@@ -1,0 +1,26 @@
+"""ocr_spark — a PySpark-native extraction engine.
+
+A from-scratch re-creation of the capabilities of the reference OCR
+extraction service (MiguelCortes1231/ocr, a Flask + PaddleOCR single-node
+app) as a distributed batch pipeline over tables of interleaved text+media
+documents.
+
+Layout
+------
+- ``ocr_spark.extraction``  pinned-behavior pure-Python extraction semantics
+  (shared by the Arrow-batched pandas UDFs and the test oracle).
+- ``ocr_spark.native``      the same operators expressed as native Catalyst
+  ``Column`` expressions (no Python in the hot path).
+- ``ocr_spark.udfs``        vectorized pandas UDFs / mapInPandas stages.
+- ``ocr_spark.pipeline``    end-to-end span pipeline: scan → explode → text
+  path ∥ media path → splice → sink, with skew salting + lineage.
+- ``ocr_spark.recognizer``  pluggable OCR backend seam (deterministic fake
+  backend for sandbox tests; Paddle backend gated behind import).
+- ``ocr_spark.tableio``     snapshot-append table seam (parquet+manifest in
+  the sandbox; Iceberg catalog config in production).
+- ``ocr_spark.textops``     large-scale training-data ops: dedup (exact,
+  minhash-LSH, simhash), ANN similarity, language id, quality scoring,
+  token counting, fingerprinting.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,94 @@
+"""HTML boilerplate stripping via text-to-tag-ratio / tag-density heuristics.
+
+Not present in the reference (which only ever sees OCR output); mandated by
+the target spec for ``kind='text'`` spans of interleaved documents.  The
+heuristic follows the classic text-to-tag-ratio family of content-extraction
+algorithms: kill the always-boilerplate containers, split the markup into
+block-level segments, score each block by visible-text-to-tag ratio and link
+density, and keep high-ratio blocks.
+
+Pure function of the input string (no parser dependency, deterministic), so
+the same code serves the executor-side pandas UDF and the test oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Containers that are boilerplate by construction.
+_KILL_CONTAINERS = re.compile(
+    r"<(script|style|nav|footer|header|aside|noscript)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+# Block-level boundaries used to segment the document.
+_BLOCK_SPLIT = re.compile(
+    r"</?(?:p|div|br|li|ul|ol|h[1-6]|table|tr|td|th|section|article|main|"
+    r"form|blockquote|pre)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_TAG = re.compile(r"<[^>]+>")
+_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_WS = re.compile(r"\s+")
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+
+# A block survives when visible text per tag exceeds this many characters
+# and anchors contribute under half of its visible text.
+TEXT_TO_TAG_THRESHOLD = 10.0
+LINK_DENSITY_THRESHOLD = 0.5
+
+
+def _unescape(text: str) -> str:
+    for k, v in _ENTITIES.items():
+        text = text.replace(k, v)
+    return text
+
+
+def _collapse(text: str) -> str:
+    return _WS.sub(" ", text).strip()
+
+
+def strip_boilerplate(text: str | None) -> str | None:
+    """Return the main visible text of an HTML-ish span; plain text passes
+    through with whitespace normalized.  ``None`` stays ``None``."""
+    if text is None:
+        return None
+    if "<" not in text:
+        return _collapse(text)
+
+    doc = _COMMENT.sub(" ", text)
+    # Iterate: kill-containers may nest (e.g. a <style> inside a <header>).
+    prev = None
+    while prev != doc:
+        prev = doc
+        doc = _KILL_CONTAINERS.sub(" ", doc)
+
+    kept: list[str] = []
+    for block in _BLOCK_SPLIT.split(doc):
+        if not block or not block.strip():
+            continue
+        anchor_text_len = sum(
+            len(_collapse(_TAG.sub(" ", m))) for m in _ANCHOR.findall(block)
+        )
+        tag_count = len(_TAG.findall(block))
+        visible = _collapse(_unescape(_TAG.sub(" ", block)))
+        if not visible:
+            continue
+        ratio = len(visible) / (1.0 + tag_count)
+        link_density = anchor_text_len / max(1, len(visible))
+        if ratio >= TEXT_TO_TAG_THRESHOLD and link_density < LINK_DENSITY_THRESHOLD:
+            kept.append(visible)
+
+    return _collapse(" ".join(kept))
+
+
+def boilerplate_stats(text: str | None) -> dict[str, int]:
+    """Tag/char counts used by the quality queries (cheap, single pass)."""
+    if text is None:
+        return {"n_tags": 0, "n_chars": 0, "n_visible": 0}
+    n_tags = len(_TAG.findall(text))
+    stripped = strip_boilerplate(text) or ""
+    return {"n_tags": n_tags, "n_chars": len(text), "n_visible": len(stripped)}

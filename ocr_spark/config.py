@@ -1,0 +1,38 @@
+"""Pipeline configuration (explicit, serializable, test-friendly)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ocr_spark.constants import REF_YEAR
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Knobs for the extraction pipeline.
+
+    - ``recognizer_backend``: "fake" (deterministic sandbox) | "paddle"
+      (production, import-gated).
+    - ``ref_year``: pinned evaluation year replacing the reference's
+      ``datetime.now()`` calls (main.py:583, 651, 1122).
+    - ``media_time_budget_s``: per-image wall-clock budget *inside* the UDF;
+      overruns quarantine the span instead of killing anything — the
+      distributed analogue of the reference's per-request process kill
+      (main.py:1211-1256, OCR_TIMEOUT_SECONDS=30 main.py:123).
+    - ``salt_buckets``: salt cardinality appended to the doc_id hash when
+      repartitioning media spans, so a single media-heavy document spreads
+      over up to ``salt_buckets`` shuffle partitions.
+    - ``media_partitions`` / ``text_partitions``: the two paths are
+      repartitioned separately (media partitions sized for model batch
+      memory, text partitions for cheap CPU); ``None`` → leave to AQE.
+    - ``strip_html``: the boilerplate-strip stage for text spans; turn off
+      for the raw-passthrough profile.
+    """
+
+    recognizer_backend: str = "fake"
+    ref_year: int = REF_YEAR
+    media_time_budget_s: float = 30.0
+    salt_buckets: int = 16
+    media_partitions: int | None = None
+    text_partitions: int | None = None
+    strip_html: bool = True

@@ -1,0 +1,178 @@
+"""End-to-end extraction pipeline over interleaved span documents.
+
+Logical plan (one wide shuffle + one salted exchange; everything else narrow):
+
+    SCAN     documents_spans(doc_id, spans)
+    EXPLODE  spans → (doc_id, kind, text, media_ref, offset)
+    SPLIT    kind='text' ∥ kind='media'                 (two narrow branches)
+    TEXT     strip_boilerplate pandas UDF               (no shuffle)
+    MEDIA    left join media_store on media_ref         (shuffle or broadcast;
+             Catalyst/AQE picks — the store is huge in prod, tiny in tests)
+             repartition(P, doc_id, salt)               (explicit skew salting)
+             mapInPandas ocr_media_batch                (executor-local model)
+    UNION    text path ∪ media path
+    SPLICE   groupBy(doc_id) → array_sort(collect_list(struct(offset, …)))
+    FIELDS   per-doc line array (derived from spliced media spans, no extra
+             shuffle) → extract_fields pandas UDF
+    OUT      (doc_id, spans_out, fields, errors)
+
+Scale notes (the design targets ~10^12 docs / 100 TB):
+- the splice groupBy shuffles once on doc_id; partial aggregation does not
+  help collect_list, so AQE post-shuffle coalescing + sane
+  ``spark.sql.shuffle.partitions`` sizing is what bounds partition memory;
+- media spans are repartitioned *separately* from text spans, salted with
+  ``pmod(xxhash64(media_ref, offset), salt_buckets)`` so a 5,000-page
+  media-heavy document spreads over ``salt_buckets`` partitions instead of
+  hot-spotting one executor;
+- the media-store join key (media_ref) is unique and uniform, AQE skew-join
+  handles residual skew;
+- filters/column pruning reach the parquet scans: the text path never reads
+  ``content`` bytes, the media path never reads span text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.config import PipelineConfig
+from ocr_spark.udfs import (
+    make_extract_fields_udf,
+    make_ocr_batch_fn,
+    strip_boilerplate_udf,
+    OCR_OUT_SCHEMA,
+)
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+
+def explode_spans(spans_df: DataFrame) -> DataFrame:
+    """documents_spans → one row per span, order carried by ``offset``."""
+    return spans_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def text_path(exploded: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """kind='text' spans → boilerplate-stripped spans (narrow)."""
+    text = exploded.filter(F.col("kind") == "text")
+    if cfg.text_partitions:
+        text = text.repartition(cfg.text_partitions, "doc_id", "offset")
+    out_text = (
+        strip_boilerplate_udf(F.col("text")) if cfg.strip_html else F.col("text")
+    )
+    return text.select(
+        "doc_id",
+        "kind",
+        out_text.alias("text"),
+        "media_ref",
+        "offset",
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def media_path(
+    exploded: DataFrame, media_df: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """kind='media' spans → recognized text spans via the OCR stage."""
+    media = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "offset"
+    )
+    media = media.join(
+        media_df.select("media_ref", "content"), on="media_ref", how="left"
+    )
+
+    # Explicit skew salting: media-heavy docs spread over salt_buckets
+    # partitions; sizing is independent of the text path.
+    salt = F.pmod(F.xxhash64("media_ref", "offset"), F.lit(cfg.salt_buckets))
+    if cfg.media_partitions:
+        media = media.repartition(cfg.media_partitions, F.col("doc_id"), salt)
+    else:
+        media = media.repartition(F.col("doc_id"), salt)
+
+    ocr = media.mapInPandas(
+        make_ocr_batch_fn(cfg.recognizer_backend, cfg.media_time_budget_s),
+        schema=OCR_OUT_SCHEMA,
+    )
+    return ocr.select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.when(
+            F.col("error").isNull(), F.array_join("lines", "\n")
+        ).alias("text"),
+        "media_ref",
+        "offset",
+        "error",
+    )
+
+
+def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The one wide shuffle: reassemble each document's ordered span
+    sequence and run the field-extraction cascade over its recognized lines.
+
+    ``array_sort`` on struct(offset, …) orders by offset (offsets are unique
+    within a doc by contract), restoring reading order regardless of task
+    placement — this is what makes span order a *verified invariant* instead
+    of an accident of partitioning.
+    """
+    spliced = all_spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("_sorted"),
+        F.collect_list(
+            F.when(
+                F.col("error").isNotNull(),
+                F.struct("offset", "media_ref", "error"),
+            )
+        ).alias("errors"),
+    )
+
+    spans_out = F.transform(
+        "_sorted",
+        lambda s: F.struct(
+            s.kind.alias("kind"),
+            s.text.alias("text"),
+            s.media_ref.alias("media_ref"),
+            s.offset.alias("offset"),
+        ),
+    )
+    docs = spliced.withColumn("spans_out", spans_out).drop("_sorted")
+
+    # Per-doc recognized lines: media spans' text split back into lines, in
+    # offset order (already sorted) — no second shuffle.
+    doc_lines = F.flatten(
+        F.transform(
+            F.filter(
+                "spans_out",
+                lambda s: (s.kind == F.lit("media")) & s.text.isNotNull(),
+            ),
+            lambda s: F.split(s.text, "\n"),
+        )
+    )
+    docs = docs.withColumn(
+        "fields", make_extract_fields_udf(cfg.ref_year)(doc_lines)
+    )
+    return docs.withColumn("errors", F.sort_array("errors")).select(
+        "doc_id", "spans_out", "fields", "errors"
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Full pipeline: returns (doc_id, spans_out, fields, errors)."""
+    cfg = cfg or PipelineConfig()
+    exploded = explode_spans(spans_df)
+    spans = text_path(exploded, cfg).unionByName(
+        media_path(exploded, media_df, cfg)
+    )
+    return splice_documents(spans, cfg)

@@ -1,0 +1,122 @@
+"""Pluggable OCR backend seam with executor-local model caching.
+
+The reference builds its PaddleOCR engine *inside a child process per HTTP
+request* (main.py:1203, 1233) — i.e. model weights are reloaded for every
+image; that is its single biggest throughput defect.  Here the recognizer is
+an executor-local lazy singleton: ``get_recognizer`` is called from inside
+the ``mapInPandas`` function, so the model loads once per executor Python
+worker process and is reused across all Arrow batches
+(``spark.python.worker.reuse=true`` keeps the worker alive across tasks).
+
+Backends
+--------
+- ``fake``: deterministic sandbox backend.  "Images" are byte payloads
+  produced by :mod:`ocr_spark.fixtures` that embed their own ground-truth
+  line list; decoding is exact and reproducible.  This is what the golden
+  span-sequence-equality tests run against (no cv2/paddle in the sandbox).
+- ``paddle``: production backend — PaddleOCR with ``lang="es"`` and the
+  orientation/unwarp stages disabled exactly like the reference
+  (main.py:170-175).  Import-gated; raises a clear error when the libs are
+  absent.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+FAKE_MAGIC = b"FAKEOCR1"
+
+
+@dataclass
+class RecognizeResult:
+    lines: list[str]
+    error: str | None = None
+
+
+class FakeRecognizer:
+    """Deterministic recognizer: decodes fixture payloads back to their
+    embedded ground-truth line lists.
+
+    Payload format: ``FAKEOCR1`` magic + UTF-8 JSON
+    ``{"lines": [...], "sleep_s": 0.0}``.  ``sleep_s`` lets tests exercise
+    the in-UDF timeout budget; a wrong magic simulates an undecodable image
+    (the reference's HTTP-400 path, main.py:1327-1328).
+    """
+
+    name = "fake"
+
+    def recognize(self, content: bytes | None, time_budget_s: float | None = None) -> RecognizeResult:
+        if content is None or len(content) == 0:
+            return RecognizeResult([], error="decode_error")
+        if not bytes(content).startswith(FAKE_MAGIC):
+            return RecognizeResult([], error="decode_error")
+        try:
+            payload = json.loads(bytes(content)[len(FAKE_MAGIC):].decode("utf-8"))
+        except Exception:
+            return RecognizeResult([], error="decode_error")
+
+        sleep_s = float(payload.get("sleep_s") or 0.0)
+        if sleep_s:
+            # Simulate a slow inference; the caller's budget check converts
+            # overruns into quarantined rows (never a killed executor).
+            time.sleep(min(sleep_s, (time_budget_s or sleep_s) + 0.05))
+
+        lines = [str(x) for x in payload.get("lines") or []]
+        return RecognizeResult(lines)
+
+
+class PaddleRecognizer:
+    """Production backend mirroring the reference engine configuration
+    (main.py:159-175): Spanish model, doc-orientation / unwarping /
+    textline-orientation disabled for speed."""
+
+    name = "paddle"
+
+    def __init__(self) -> None:
+        try:
+            import cv2  # noqa: F401
+            import numpy as np  # noqa: F401
+            from paddleocr import PaddleOCR
+        except ImportError as exc:  # pragma: no cover - not installed in sandbox
+            raise RuntimeError(
+                "PaddleRecognizer requires paddleocr+opencv; install them or "
+                "use backend='fake'"
+            ) from exc
+        self._engine = PaddleOCR(
+            use_doc_orientation_classify=False,
+            use_doc_unwarping=False,
+            use_textline_orientation=False,
+            lang="es",
+        )
+
+    def recognize(self, content: bytes | None, time_budget_s: float | None = None) -> RecognizeResult:  # pragma: no cover
+        import cv2
+        import numpy as np
+
+        if content is None or len(content) == 0:
+            return RecognizeResult([], error="decode_error")
+        img = cv2.imdecode(np.frombuffer(bytes(content), np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            return RecognizeResult([], error="decode_error")
+        result = self._engine.predict(img)
+        lines = result[0]["rec_texts"] if result else []
+        return RecognizeResult(list(lines))
+
+
+_RECOGNIZER_CACHE: dict[str, object] = {}
+
+
+def get_recognizer(backend: str = "fake"):
+    """Executor-local singleton lookup (one model per Python worker)."""
+    inst = _RECOGNIZER_CACHE.get(backend)
+    if inst is None:
+        if backend == "fake":
+            inst = FakeRecognizer()
+        elif backend == "paddle":
+            inst = PaddleRecognizer()
+        else:
+            raise ValueError(f"unknown recognizer backend: {backend}")
+        _RECOGNIZER_CACHE[backend] = inst
+    return inst

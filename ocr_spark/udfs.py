@@ -1,0 +1,123 @@
+"""Vectorized Python surface of the engine: three pandas UDFs + one
+mapInPandas stage.  Everything else in the pipeline is native Catalyst.
+
+Deliberate Python boundary (mirrors SURVEY.md §2.11):
+- ``ocr_media_batch``      mapInPandas — model inference wants executor-local
+  caching and true batching;
+- ``extract_fields_udf``   array<string> → struct — the W1/W2 strategy
+  cascades' control flow is impractical to prove equal in pure Catalyst, so
+  the pinned-behavior Python runs once per Arrow batch;
+- ``split_name_udf``       (nombre, curp) → struct — bounded search loop;
+- ``strip_boilerplate_udf``text → text — per-span heuristics with thresholds.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+from ocr_spark.boilerplate import strip_boilerplate
+from ocr_spark.constants import REF_YEAR
+from ocr_spark.extraction.fields import FIELD_ORDER, extract_fields
+from ocr_spark.extraction.name_split import split_name_by_curp
+from ocr_spark.recognizer import RecognizeResult, get_recognizer
+
+FIELDS_SCHEMA = StructType(
+    [
+        StructField(
+            name, BooleanType() if name == "es_ine" else StringType(), True
+        )
+        for name in FIELD_ORDER
+    ]
+)
+
+NAME_PARTS_SCHEMA = StructType(
+    [
+        StructField("apellido_paterno", StringType(), True),
+        StructField("apellido_materno", StringType(), True),
+        StructField("nombres", StringType(), True),
+    ]
+)
+
+OCR_OUT_SCHEMA = (
+    "doc_id string, offset int, media_ref string, lines array<string>, "
+    "error string"
+)
+
+
+def make_extract_fields_udf(ref_year: int = REF_YEAR):
+    """Struct-returning pandas UDF over the per-doc line array."""
+
+    @pandas_udf(FIELDS_SCHEMA)
+    def extract_fields_udf(lines: pd.Series) -> pd.DataFrame:
+        records = [
+            extract_fields(list(item) if item is not None else [], ref_year)
+            for item in lines
+        ]
+        return pd.DataFrame(records, columns=list(FIELD_ORDER))
+
+    return extract_fields_udf
+
+
+@pandas_udf(NAME_PARTS_SCHEMA)
+def split_name_udf(nombre: pd.Series, curp: pd.Series) -> pd.DataFrame:
+    records = [
+        split_name_by_curp(n if isinstance(n, str) else "",
+                           c if isinstance(c, str) else "")
+        for n, c in zip(nombre, curp)
+    ]
+    return pd.DataFrame(
+        records, columns=["apellido_paterno", "apellido_materno", "nombres"]
+    )
+
+
+@pandas_udf(StringType())
+def strip_boilerplate_udf(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [strip_boilerplate(t) if isinstance(t, str) else None for t in text],
+        dtype=object,
+    )
+
+
+def make_ocr_batch_fn(backend: str, time_budget_s: float):
+    """mapInPandas stage: (doc_id, offset, media_ref, content) batches →
+    (doc_id, offset, media_ref, lines, error).
+
+    The recognizer is fetched through the executor-local cache on first use
+    inside the worker process (never per row, never per task).  Per-image
+    overruns and decode failures become quarantined rows (``error`` set,
+    ``lines`` empty) — the document fails, never the job.
+    """
+
+    def ocr_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        recognizer = get_recognizer(backend)
+        for pdf in batches:
+            lines_out: list[list[str]] = []
+            error_out: list[str | None] = []
+            for content in pdf["content"]:
+                if content is None:
+                    result = RecognizeResult([], error="missing_media")
+                else:
+                    started = time.monotonic()
+                    try:
+                        result = recognizer.recognize(
+                            bytes(content), time_budget_s
+                        )
+                    except Exception as exc:  # fail the span, not the task
+                        result = RecognizeResult([], error=f"ocr_error:{exc}")
+                    if result.error is None and (
+                        time.monotonic() - started > time_budget_s
+                    ):
+                        result = RecognizeResult([], error="timeout")
+                lines_out.append(result.lines)
+                error_out.append(result.error)
+            out = pdf[["doc_id", "offset", "media_ref"]].copy()
+            out["lines"] = lines_out
+            out["error"] = error_out
+            yield out
+
+    return ocr_media_batch
