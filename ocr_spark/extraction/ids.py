@@ -32,9 +32,17 @@ def parse_curp(curp: str, ref_year: int = REF_YEAR) -> dict[str, str]:
     sex_char = curp[10].upper()
     out["sexo"] = sex_char if sex_char in ("H", "M") else "X"
 
+    # The reference can only ever see regex-validated CURPs here (digits at
+    # 4:10, main.py:997); for arbitrary strings the engine defines a
+    # non-numeric year as "no date" instead of crashing the task.
     yy, mm, dd = curp[4:6], curp[6:8], curp[8:10]
-    century = "19" if int(yy) > ref_year % 100 else "20"
-    out["fecha_nacimiento"] = f"{dd}/{mm}/{century}{yy}"
+    try:
+        yy_num = int(yy)
+    except ValueError:
+        yy_num = None
+    if yy_num is not None:
+        century = "19" if yy_num > ref_year % 100 else "20"
+        out["fecha_nacimiento"] = f"{dd}/{mm}/{century}{yy}"
 
     state_code = curp[11:13].upper()
     out["entidad_nacimiento"] = state_code
