@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end extraction pipeline over the
+synthetic interleaved span corpus (the BASELINE.json ``input_hint`` shape),
+generated deterministically *on executors* and sized to the sf0.001
+``documents`` table.  ``queries``/``oracle_sql`` expose one entry per
+implemented operator (SURVEY.md §2 plus the training-data curation
+operators) backed by :mod:`ocr_spark.driver_contract`.
 """
 
 from __future__ import annotations
@@ -13,26 +14,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full interleaved-document extraction at sf0.001 —
+    explode → boilerplate-strip ∥ salted OCR → splice → field cascade —
+    returning one row per document with stable flat schema."""
+    from ocr_spark.driver_contract import q_extract_pipeline
+
+    return q_extract_pipeline(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_spark.driver_contract import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_spark.driver_contract import registry
+
+    return {
+        name: sql for name, (_fn, sql) in registry().items() if sql is not None
+    }

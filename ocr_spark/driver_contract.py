@@ -1,0 +1,1177 @@
+"""Driver-contract query registry: one entry per implemented operator.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string run over the same parquet tables.  The
+driver cross-checks row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- counts are cast to ``bigint`` (DuckDB's count/len natural type);
+- doubles are produced by *identical ordered folds* (IEEE-deterministic)
+  and rounded, or pass through exact decimal sums — never compared raw
+  across different summation orders;
+- all regex/hash primitives are the portable forms documented in
+  :mod:`ocr_spark.textstats`.
+
+Input synthesis for the extraction operators is a **shared, regex-free SQL
+fragment** (chr/concat/case only — valid verbatim in both dialects) so both
+engines provably see identical inputs; the *operator* itself then runs as
+native Catalyst (``ocr_spark.native``) on the Spark side and as hand-written
+ANSI SQL on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark import native
+from ocr_spark import textstats as ts
+from ocr_spark.constants import (
+    BIRTHDATE_REGEX,
+    CURP_STATE_CODES,
+    ELECTOR_STATE_CODES,
+    NAME_STOPWORDS,
+    POSTAL_CODE_REGEX,
+    REF_YEAR,
+    SEX_REGEX,
+    STREET_NUMBER_REGEX,
+    VALIDITY_FALLBACK_REGEX,
+)
+from ocr_spark.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+)
+from ocr_spark.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_ann_pairs,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _register(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for name in names:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
+
+
+# ---------------------------------------------------------------------------
+# Shared input-synthesis SQL (dialect-neutral: no regex, no lpad, no casts
+# that differ — chr/concat/floor/case only).
+# ---------------------------------------------------------------------------
+
+def _two(e: str) -> str:
+    """Two-digit zero-padded string of a 0..99 integer expression."""
+    return (
+        f"concat(chr(48 + cast(floor(({e})/10) as int)),"
+        f" chr(48 + cast(({e}) % 10 as int)))"
+    )
+
+
+def _letter(e: str) -> str:
+    return f"chr(65 + cast(({e}) % 26 as int))"
+
+
+_CURP_STATE_PICK = (
+    "case cast(doc_id % 6 as int) when 0 then 'QR' when 1 then 'DF' "
+    "when 2 then 'JC' when 3 then 'NL' when 4 then 'MC' else 'ZZ' end"
+)
+
+CARDS_SQL = f"""
+SELECT doc_id,
+       case when doc_id % 10 = 9 then substr(curp_full, 1, 10)
+            else curp_full end AS curp,
+       case cast(doc_id % 4 as int)
+            when 0 then concat({_two('doc_id % 33')}, ' ABCD ',
+                               {_two('19 + doc_id % 2')},
+                               {_two('doc_id % 100')}, ' ',
+                               {_two('10 + doc_id % 90')},
+                               {_two('doc_id % 100')}, ' X')
+            when 1 then concat({_two('1 + doc_id % 32')}, 'ABCDEF',
+                               {_two('19 + doc_id % 2')},
+                               {_two('doc_id % 100')}, 'XY',
+                               {_two('10 + doc_id % 90')},
+                               {_two('doc_id % 100')})
+            when 2 then 'SHORTKEY'
+            else concat('ABCDEF', {_two('19 + doc_id % 2')},
+                        {_two('doc_id % 100')}, {_two('1 + doc_id % 32')},
+                        'XY', {_two('doc_id % 100')}, 'H0')
+       end AS ekey
+FROM (
+  SELECT doc_id,
+         concat({_letter('doc_id')}, {_letter('doc_id * 7')},
+                {_letter('doc_id * 3')}, {_letter('doc_id * 5')},
+                {_two('(doc_id * 37) % 100')},
+                {_two('1 + doc_id % 12')},
+                {_two('1 + (doc_id * 3) % 28')},
+                case cast(doc_id % 3 as int) when 0 then 'H'
+                     when 1 then 'M' else 'X' end,
+                {_CURP_STATE_PICK},
+                {_letter('doc_id * 11')}, {_letter('doc_id * 13')},
+                {_letter('doc_id * 17')},
+                {_two('doc_id % 100')}) AS curp_full
+  FROM documents
+) c
+"""
+
+_LINES_SQL = (
+    "array(concat(' ', substr(text, 1, 20), '  X'), '', '   ', "
+    "substr(text, 21, 30), 'A  B')"
+)
+
+_CLASSIFY_LINES_SQL = """
+case cast(doc_id % 5 as int)
+  when 0 then array('INSTITUTO FEDERAL ELECTORAL',
+                    'REGISTRO FEDERAL DE ELECTORES', substr(text, 1, 10))
+  when 1 then array('INSTITUTO NACIONAL ELECTORAL', 'CREDENCIAL PARA VOTAR',
+                    'CLAVE DE ELECTOR XYZ')
+  when 2 then array('INSTITUTO NACIONAL ELECTORAL', 'CREDENCIAL PARA VOTAR')
+  when 3 then array('VOTAR IFE 2024')
+  else array(substr(text, 1, 30), 'hello there')
+end
+"""
+
+_EXTRACTOR_LINES_SQL = f"""
+array(
+  'FECHA 45/13/2030',
+  case when doc_id % 7 = 0 then 'X 99/99/9999'
+       else concat('NACIMIENTO ', {_two('1 + (doc_id * 3) % 28')}, '/',
+                   {_two('1 + doc_id % 12')}, '/19',
+                   {_two('(doc_id * 37) % 100')}) end,
+  case when doc_id % 3 = 0 then '  1234  ' else 'A123' end,
+  case cast(doc_id % 3 as int) when 0 then 'SEXO H'
+       when 1 then 'SEXO M' else 'SEXO X' end,
+  case when doc_id % 2 = 0
+       then concat('C LOS MOLINOS ', {_two('10 + doc_id % 90')})
+       else 'AV JUAREZ 10 INT. 2' end,
+  concat('COL CENTRO 0', {_two('10 + doc_id % 90')},
+         {_two('doc_id % 100')}),
+  case cast(doc_id % 4 as int)
+       when 0 then 'VIG 2020-2030'
+       when 1 then 'VIG 2030-2020'
+       when 2 then 'VIG 1800-1900'
+       else 'nothing here' end
+)
+"""
+
+_NAMES_SQL = """
+case cast(doc_id % 5 as int)
+  when 0 then 'CASTILLO OLIVERA RICARDO ORLANDO'
+  when 1 then 'JUAN 123 PEREZ C1'
+  when 2 then 'DOMICILIO MARIA DE LA CRUZ'
+  when 3 then 'A B1 CD EF'
+  else 'JOSÉ Ma. GARCÍA LÓPEZ'
+end
+"""
+
+_COMPLETION_SQL = """
+SELECT doc_id,
+  case cast(doc_id % 3 as int) when 0 then '' when 1 then 'H' else 'M'
+       end AS sexo_ex,
+  case when doc_id % 2 = 0 then 'X' else '' end AS curp_sexo,
+  case when doc_id % 4 < 2 then '2019' else '2019 05' end AS anio_ex,
+  case cast(doc_id % 3 as int) when 0 then '' when 1 then 'QRO'
+       else 'QUINTANA ROO' end AS estado_ex,
+  case when doc_id % 5 < 3 then 'JALISCO' else '' end AS curp_estado,
+  'COLIMA' AS key_estado
+FROM documents
+"""
+
+_VIG_SQL = """
+case cast(doc_id % 4 as int)
+  when 0 then '2020-2030'
+  when 1 then '2020 - 2030'
+  when 2 then '2020  -   2030'
+  else ''
+end
+"""
+
+# Near-dup corpus: documents plus whitespace-doubled exact-dup copies and
+# word-dropped near-dup copies (regex-free so it is dialect-neutral).
+_DUP_CORPUS_SQL = """
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, replace(text, ' ', '  ') AS text, lang
+FROM documents
+"""
+
+
+def _case_map(col: str, mapping: dict[str, str], guard: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v.replace(chr(39), chr(39) * 2)}'"
+        for k, v in mapping.items()
+    )
+    return (
+        f"CASE WHEN {guard} THEN '' ELSE "
+        f"coalesce(CASE {col} {whens} END, '') END"
+    )
+
+
+_SW_LIT = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in ts.STOPWORDS.items()
+}
+
+# DuckDB fragments shared by several oracles -------------------------------
+
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(trim(coalesce({t}, '')), '\\s+'),"
+    " x -> x <> '')"
+)
+_DUCK_NORM = "lower(trim(regexp_replace({t}, '\\s+', ' ', 'g')))"
+_DUCK_HASH = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform("
+    "  generate_series(1, greatest(len({tk}) - 2, 0)),"
+    "  i -> concat({tk}[i], ' ', {tk}[i+1], ' ', {tk}[i+2])))"
+)
+_DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(({a}))),"
+    " i -> ((({a})[i])::double) * ((({b})[i])::double)), (x, y) -> x + y)"
+)
+
+
+def _duck_minhash_sig(sh: str, k: int = 8) -> list[str]:
+    return [
+        f"coalesce(list_min(list_transform({sh}, "
+        f"s -> ('0x' || substr(md5(concat('{j}:', s)), 1, 15))::bigint)), "
+        f"('0x' || substr(md5('∅{j}'), 1, 15))::bigint)"
+        for j in range(k)
+    ]
+
+
+def _ducked(sql: str) -> str:
+    """Rewrite the shared dialect-neutral fragments for DuckDB: Spark's
+    ``array(...)`` constructor is ``list_value(...)`` there (the only
+    constructor difference the shared fragments use)."""
+    return sql.replace("array(", "list_value(")
+
+
+# ---------------------------------------------------------------------------
+# The registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+
+def _cards_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    return spark.sql(CARDS_SQL)
+
+
+def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    return spark.table("documents")
+
+
+def q_normalize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_LINES_SQL).alias("lines")
+    )
+    norm = native.normalize_lines(F.col("lines"))
+    return df.select(
+        "doc_id",
+        F.array_join(norm, " | ").alias("norm_joined"),
+        F.size(norm).cast("bigint").alias("n_lines"),
+    )
+
+
+SQL_NORMALIZE_LINES = f"""
+WITH inp AS (SELECT doc_id, {_LINES_SQL} AS lines FROM documents),
+n AS (SELECT doc_id,
+        list_filter(list_transform(lines,
+          x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS nl
+      FROM inp)
+SELECT doc_id, array_to_string(nl, ' | ') AS norm_joined,
+       len(nl)::bigint AS n_lines
+FROM n
+"""
+
+
+def q_letters_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('A1 ', substr(text, 1, 40), ' ñé2#')").alias("s"),
+    )
+    return df.select(
+        "doc_id", native.letters_only(F.col("s")).alias("letters")
+    )
+
+
+SQL_LETTERS_ONLY = """
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(trim(upper(concat('A1 ', substr(text, 1, 40), ' ñé2#'))),
+                   '[^A-ZÁÉÍÓÚÜÑ\\s]', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS letters
+FROM documents
+"""
+
+
+def q_classify_credential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_CLASSIFY_LINES_SQL).alias("lines")
+    )
+    blob = native.doc_blob(F.col("lines"))
+    return df.select(
+        "doc_id",
+        native.credential_type(blob).alias("tipo_credencial"),
+        native.is_ine(blob).alias("es_ine"),
+    )
+
+
+SQL_CLASSIFY = f"""
+WITH inp AS (SELECT doc_id, {_CLASSIFY_LINES_SQL} AS lines FROM documents),
+b AS (SELECT doc_id,
+        trim(array_to_string(list_transform(
+          list_filter(lines, t -> t IS NOT NULL AND t <> ''),
+          t -> trim(upper(t))), ' ')) AS blob
+      FROM inp)
+SELECT doc_id,
+  CASE WHEN (blob LIKE '%INSTITUTO FEDERAL ELECTORAL%'
+             OR blob LIKE '%REGISTRO FEDERAL DE ELECTORES%'
+             OR regexp_matches(blob, '\\bIFE\\b')
+             OR (blob LIKE '%FEDERAL%' AND blob LIKE '%ELECTORAL%'
+                 AND blob LIKE '%REGISTRO%')) THEN 'C'
+       WHEN ((blob LIKE '%INSTITUTO%' AND blob LIKE '%ELECTORAL%')
+             AND (blob LIKE '%NACIONAL%' OR regexp_matches(blob, '\\bINE\\b'))
+             AND blob LIKE '%CREDENCIAL%' AND blob LIKE '%VOTAR%'
+             AND (regexp_matches(blob, 'CLAVE\\s*DE\\s*ELECTOR')
+                  OR (blob LIKE '%CLAVE%' AND blob LIKE '%ELECTOR%')
+                  OR regexp_matches(blob, 'CLAVE\\s*DE\\s*ELEC'))) THEN 'GH'
+       ELSE 'D' END AS tipo_credencial,
+  (blob LIKE '%INSTITUTO NACIONAL ELECTORAL%') AS es_ine
+FROM b
+"""
+
+
+def q_curp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cards_df(spark, sf_dir)
+    c = F.col("curp")
+    return df.select(
+        "doc_id",
+        c.alias("curp"),
+        native.curp_sex(c).alias("sexo"),
+        native.curp_birthdate(c).alias("fecha_nacimiento"),
+        native.curp_state(c).alias("estado"),
+    )
+
+
+SQL_CURP_PARSE = f"""
+WITH cards AS ({CARDS_SQL})
+SELECT doc_id, curp,
+  CASE WHEN length(curp) < 16 THEN ''
+       WHEN substr(curp, 11, 1) = 'H' THEN 'H'
+       WHEN substr(curp, 11, 1) = 'M' THEN 'M'
+       ELSE 'X' END AS sexo,
+  CASE WHEN length(curp) < 16 THEN ''
+       ELSE concat(substr(curp, 9, 2), '/', substr(curp, 7, 2), '/',
+                   CASE WHEN cast(substr(curp, 5, 2) as int) > {REF_YEAR % 100}
+                        THEN '19' ELSE '20' END,
+                   substr(curp, 5, 2)) END AS fecha_nacimiento,
+  {_case_map("substr(curp, 12, 2)", CURP_STATE_CODES, "length(curp) < 16")}
+    AS estado
+FROM cards
+"""
+
+
+def q_elector_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cards_df(spark, sf_dir)
+    k = F.col("ekey")
+    return df.select(
+        "doc_id",
+        k.alias("ekey"),
+        native.elector_state(k).alias("estado_clave"),
+        native.elector_section(k).alias("seccion_clave"),
+        native.elector_registry_year(k).alias("anio_registro_clave"),
+    )
+
+
+SQL_ELECTOR_PARSE = f"""
+WITH cards AS ({CARDS_SQL})
+SELECT doc_id, ekey,
+  {_case_map("substr(ekey, 1, 2)", ELECTOR_STATE_CODES, "length(ekey) < 13")}
+    AS estado_clave,
+  CASE WHEN length(ekey) < 13 THEN ''
+       ELSE coalesce(regexp_extract(ekey, '\\b(\\d{{4}})\\b', 1), '')
+       END AS seccion_clave,
+  CASE WHEN length(ekey) < 13 THEN ''
+       ELSE coalesce(list_filter(
+              regexp_extract_all(ekey, '\\b(19\\d{{2}}|20[0-2]\\d)\\b', 1),
+              y -> cast(y as int) between 1900 and {REF_YEAR + 1})[1], '')
+       END AS anio_registro_clave
+FROM cards
+"""
+
+
+def q_field_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    df = spark.sql(_COMPLETION_SQL)
+    return df.select(
+        "doc_id",
+        native.complete_if_blank(
+            F.col("sexo_ex"), F.col("curp_sexo")
+        ).alias("sexo"),
+        native.registry_year_suffix(F.col("anio_ex")).alias("anio_registro"),
+        native.complete_state(
+            F.col("estado_ex"), F.col("curp_estado"), F.col("key_estado")
+        ).alias("estado"),
+    )
+
+
+SQL_COMPLETIONS = f"""
+WITH inp AS ({_COMPLETION_SQL})
+SELECT doc_id,
+  CASE WHEN (sexo_ex IS NULL OR sexo_ex = '') AND curp_sexo <> ''
+       THEN curp_sexo ELSE coalesce(sexo_ex, '') END AS sexo,
+  CASE WHEN anio_ex <> '' AND anio_ex NOT LIKE '% %'
+       THEN concat(anio_ex, ' 00') ELSE anio_ex END AS anio_registro,
+  CASE WHEN (estado_ex IS NULL OR length(trim(estado_ex)) < 5)
+            AND curp_estado <> '' THEN curp_estado
+       WHEN (estado_ex IS NULL OR length(trim(estado_ex)) < 5)
+            AND key_estado <> '' THEN key_estado
+       ELSE coalesce(estado_ex, '') END AS estado
+FROM inp
+"""
+
+
+def q_regex_extractors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_EXTRACTOR_LINES_SQL).alias("lines")
+    )
+    lines = F.col("lines")
+    street = F.element_at(lines, 5)
+    return df.select(
+        "doc_id",
+        native.first_match_date(lines, BIRTHDATE_REGEX).alias("fecha"),
+        native.find_section(lines).alias("seccion"),
+        native.first_match(lines, SEX_REGEX).alias("sexo"),
+        native.first_match(lines, POSTAL_CODE_REGEX).alias("codigo_postal"),
+        F.regexp_extract(street, STREET_NUMBER_REGEX, 1).alias("numero"),
+        native.format_year_pair(
+            native.first_match_year_pair(lines, VALIDITY_FALLBACK_REGEX)
+        ).alias("vigencia"),
+    )
+
+
+SQL_REGEX_EXTRACTORS = f"""
+WITH inp AS (SELECT doc_id, {_EXTRACTOR_LINES_SQL} AS lines FROM documents),
+m AS (
+  SELECT doc_id, lines,
+    list_filter(list_transform(lines,
+        x -> coalesce(regexp_extract(x, '\\b(\\d{{2}}/\\d{{2}}/\\d{{4}})\\b', 1), '')),
+      v -> v <> ''
+           AND try_cast(string_split(v, '/')[1] as int) between 1 and 31
+           AND try_cast(string_split(v, '/')[2] as int) between 1 and 12
+           AND try_cast(string_split(v, '/')[3] as int) between 1900 and {REF_YEAR}
+    ) AS dates,
+    list_filter(list_transform(lines, x -> trim(x)),
+      x -> regexp_matches(x, '^[0-9]{{4}}$')) AS sections,
+    list_filter(list_transform(lines,
+        x -> coalesce(regexp_extract(x, '\\b(H|M|X)\\b', 1), '')),
+      v -> v <> '') AS sexes,
+    list_filter(list_transform(lines,
+        x -> coalesce(regexp_extract(x, '\\b(\\d{{5}})\\b', 1), '')),
+      v -> v <> '') AS cps,
+    list_filter(list_transform(lines,
+        x -> coalesce(regexp_extract(x, '(\\d{{4}}\\s*[-]?\\s*?\\d{{4}})', 1), '')),
+      v -> v <> ''
+           AND len(regexp_extract_all(v, '(\\d{{4}})', 1)) = 2
+           AND try_cast(regexp_extract_all(v, '(\\d{{4}})', 1)[1] as int)
+               between 1900 and 2099
+           AND try_cast(regexp_extract_all(v, '(\\d{{4}})', 1)[2] as int)
+               between 1900 and 2099
+           AND try_cast(regexp_extract_all(v, '(\\d{{4}})', 1)[2] as int)
+             > try_cast(regexp_extract_all(v, '(\\d{{4}})', 1)[1] as int)
+    ) AS vigs
+  FROM inp)
+SELECT doc_id,
+  coalesce(dates[1], '') AS fecha,
+  coalesce(sections[1], '') AS seccion,
+  coalesce(sexes[1], '') AS sexo,
+  coalesce(cps[1], '') AS codigo_postal,
+  coalesce(regexp_extract(lines[5],
+    '\\b(\\d{{1,5}}[A-Z]?(?:\\s*INT\\.?\\s*\\d+)?)\\b', 1), '') AS numero,
+  CASE WHEN coalesce(vigs[1], '') = '' THEN ''
+       ELSE trim(regexp_replace(replace(vigs[1], '-', ' - '),
+                 '\\s+', ' ', 'g')) END AS vigencia
+FROM m
+"""
+
+
+def q_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_NAMES_SQL).alias("name")
+    )
+    return df.select(
+        "doc_id",
+        F.col("name"),
+        native.clean_name(F.col("name")).alias("cleaned"),
+    )
+
+
+_SW_NAME_LIT = "[" + ", ".join(f"'{w}'" for w in NAME_STOPWORDS) + "]"
+
+SQL_NAME_CLEAN = f"""
+WITH inp AS (SELECT doc_id, {_NAMES_SQL} AS name FROM documents),
+t AS (SELECT doc_id, name,
+        list_filter(string_split_regex(coalesce(name, ''), '\\s+'),
+                    x -> x <> '') AS toks
+      FROM inp),
+k AS (SELECT doc_id, name, toks,
+        list_transform(
+          list_filter(toks, tok ->
+            length(regexp_replace(upper(tok), '[^\\wÁÉÍÓÚÜÑ]', '', 'g')) > 1
+            AND NOT list_contains({_SW_NAME_LIT},
+                  regexp_replace(upper(tok), '[^\\wÁÉÍÓÚÜÑ]', '', 'g'))
+            AND NOT regexp_matches(
+                  regexp_replace(upper(tok), '[^\\wÁÉÍÓÚÜÑ]', '', 'g'),
+                  '^\\d+$')
+            AND NOT regexp_matches(
+                  regexp_replace(upper(tok), '[^\\wÁÉÍÓÚÜÑ]', '', 'g'),
+                  '^\\d+[A-Z]*$')),
+          tok -> upper(tok)) AS kept_upper
+      FROM t)
+SELECT doc_id, name,
+  array_to_string(
+    list_filter(toks, tok -> list_contains(kept_upper, upper(tok))),
+    ' ') AS cleaned
+FROM k
+"""
+
+
+def q_strip_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 3 = 0 "
+            "then concat('FRACC LA HERRADURA ', '0', "
+            + _two("10 + doc_id % 90")
+            + ", "
+            + _two("doc_id % 100")
+            + ") else 'COL CENTRO SIN CP' end"
+        ).alias("colonia"),
+        F.expr(
+            "concat('0', " + _two("10 + doc_id % 90") + ", "
+            + _two("doc_id % 100") + ")"
+        ).alias("cp"),
+    )
+    return df.select(
+        "doc_id",
+        native.strip_cp_from_colonia(F.col("colonia"), F.col("cp")).alias(
+            "colonia_limpia"
+        ),
+    )
+
+
+SQL_STRIP_CP = f"""
+WITH inp AS (
+  SELECT doc_id,
+    case when doc_id % 3 = 0
+         then concat('FRACC LA HERRADURA ', '0', {_two('10 + doc_id % 90')},
+                     {_two('doc_id % 100')})
+         else 'COL CENTRO SIN CP' end AS colonia,
+    concat('0', {_two('10 + doc_id % 90')}, {_two('doc_id % 100')}) AS cp
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN colonia IS NULL OR trim(colonia) = '' OR cp IS NULL
+            OR trim(cp) = ''
+       THEN coalesce(trim(colonia), '')
+       ELSE trim(regexp_replace(
+              regexp_replace(colonia, concat('\\b', cp, '\\b'), '', 'g'),
+              '\\s+', ' ', 'g')) END AS colonia_limpia
+FROM inp
+"""
+
+
+def q_vigencia_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_VIG_SQL).alias("v")
+    )
+    return df.select(
+        "doc_id", native.format_year_pair(F.col("v")).alias("vigencia")
+    )
+
+
+SQL_VIG_FORMAT = f"""
+WITH inp AS (SELECT doc_id, {_VIG_SQL} AS v FROM documents)
+SELECT doc_id,
+  CASE WHEN v = '' THEN ''
+       ELSE trim(regexp_replace(replace(v, '-', ' - '), '\\s+', ' ', 'g'))
+       END AS vigencia
+FROM inp
+"""
+
+
+# ------------------------------------------------------------ dedup family
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    return spark.sql(_DUP_CORPUS_SQL)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+keyed AS (SELECT doc_id AS id,
+                 md5({_DUCK_NORM.format(t='text')}) AS digest
+          FROM corpus)
+SELECT digest, min(id) AS canonical_id, count(*)::bigint AS n_docs
+FROM keyed GROUP BY digest HAVING count(*) > 1
+"""
+
+_NEAR_CORPUS_SQL = """
+SELECT doc_id, text, lang FROM documents
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ word-dropped copies (every 7th token removed)."""
+    _register(spark, sf_dir, ["documents"])
+    base = spark.table("documents").select("doc_id", "text", "lang")
+    toks = ts.tokens(F.col("text"))
+    dropped = F.array_join(
+        F.filter(toks, lambda x, i: (i % 7) != 0), " "
+    )
+    mutated = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        dropped.alias("text"),
+        "lang",
+    )
+    return base.unionByName(mutated)
+
+
+_DUCK_NEAR_CORPUS = f"""
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+  array_to_string(list_transform(
+    list_filter(generate_series(1, len(tk)), i -> (i - 1) % 7 <> 0),
+    i -> tk[i]), ' ') AS text,
+  lang
+FROM (SELECT doc_id, lang, {_DUCK_TOKENS.format(t='text')} AS tk
+      FROM documents) x
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        corpus, bucket_col=F.col("lang"), threshold=0.3
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+s AS (SELECT doc_id AS id, lang AS bucket,
+        {_DUCK_SHINGLES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
+      FROM corpus),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id)
+SELECT id_a, id_b,
+  CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
+       THEN 0.0
+       ELSE floor(len(list_intersect(sh_a, sh_b))::double /
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+             * 10000) / 10000
+  END AS jaccard_sim
+FROM pairs
+WHERE CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
+           THEN 0.0
+           ELSE floor(len(list_intersect(sh_a, sh_b))::double /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                 * 10000) / 10000
+      END >= 0.3
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(corpus, verify_threshold=0.3)
+
+
+def _sql_minhash() -> str:
+    sig = _duck_minhash_sig("sh")
+    bands = ", ".join(
+        f"md5(concat(sig[{b * 2 + 1}], ':', sig[{b * 2 + 2}])) AS band{b}"
+        for b in range(4)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sh, {b} AS band_idx, band{b} AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+s AS (SELECT doc_id AS id,
+        {_DUCK_SHINGLES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
+      FROM corpus),
+sigs AS (SELECT id, sh, [{', '.join(sig)}] AS sig FROM s),
+sigs2 AS (SELECT id, sh, {bands} FROM sigs),
+banded AS ({band_rows.replace('FROM sigs', 'FROM sigs2')}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.id < r.id),
+j AS (
+  SELECT c.id_a, c.id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM cand c JOIN s a ON a.id = c.id_a JOIN s b ON b.id = c.id_b)
+SELECT id_a, id_b,
+  CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
+       THEN 0.0
+       ELSE floor(len(list_intersect(sh_a, sh_b))::double /
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+             * 10000) / 10000
+  END AS jaccard_sim
+FROM j
+WHERE CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
+           THEN 0.0
+           ELSE floor(len(list_intersect(sh_a, sh_b))::double /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                 * 10000) / 10000
+      END >= 0.3
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    return corpus.select(
+        F.col("doc_id").alias("id"),
+        simhash16(ts.tokens(F.col("text"))).alias("simhash"),
+    )
+
+
+def _sql_simhash() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    votes = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) > 0)) "
+        f"- len(hs) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+h AS (SELECT doc_id AS id,
+        list_transform(list_distinct({toks}),
+                       t -> ('0x' || substr(md5(t), 1, 15))::bigint) AS hs
+      FROM corpus)
+SELECT id, ({votes})::bigint AS simhash FROM h
+"""
+
+
+# ------------------------------------------------------- similarity family
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt({_DUCK_DOT.format(a='cv', b='cv')}) = 0
+           OR sqrt({_DUCK_DOT.format(a='qv', b='qv')}) = 0 THEN 0.0
+         ELSE floor({_DUCK_DOT.format(a='cv', b='qv')} /
+               (sqrt({_DUCK_DOT.format(a='cv', b='cv')}) *
+                sqrt({_DUCK_DOT.format(a='qv', b='qv')}))
+               * 1000000) / 1000000 END AS cosine_sim
+  FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+"""
+
+
+# 4 planes / cosine ≥ 0.25: tuned to the synthetic embeddings (max pairwise
+# cosine ≈ 0.51), so the candidate buckets and the verify filter both fire.
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["embeddings"])
+    return lsh_ann_pairs(
+        spark.table("embeddings"), planes=hyperplanes(4), min_cosine=0.25
+    )
+
+
+def _sql_ann_lsh() -> str:
+    # Hyperplane components inlined as literals — the same values
+    # similarity.hyperplanes() bakes into the Spark plan.
+    bits = []
+    for plane in hyperplanes(4):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
+        dot = _DUCK_DOT.format(a="embedding", b=lit)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    pair_dot = _DUCK_DOT.format(a="l.v", b="r.v")
+    norm_l = _DUCK_DOT.format(a="l.v", b="l.v")
+    norm_r = _DUCK_DOT.format(a="r.v", b="r.v")
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS v, {bucket} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+    CASE WHEN sqrt({norm_l}) = 0 OR sqrt({norm_r}) = 0 THEN 0.0
+         ELSE floor({pair_dot} / (sqrt({norm_l}) * sqrt({norm_r}))
+               * 1000000) / 1000000
+    END AS cosine_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
+"""
+
+
+# -------------------------------------------------------- textstats family
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        "lang",
+        ts.langid(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _sql_langid() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    hits = {
+        lang: f"len(list_filter(tk, t -> list_contains({_SW_LIT[lang]}, "
+              f"lower(t))))"
+        for lang in ts.LANG_ORDER
+    }
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
+h AS (SELECT doc_id, lang, {hits['de']} AS h_de, {hits['en']} AS h_en,
+             {hits['es']} AS h_es, {hits['fr']} AS h_fr
+      FROM t)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        ts.punct_ratio(t).alias("punct_ratio"),
+        ts.quality_score(t, "en").alias("quality"),
+    )
+
+
+def _sql_quality() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    sw = _SW_LIT["en"]
+    return f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt, {toks} AS tk FROM documents),
+m AS (
+  SELECT doc_id, tk,
+    len(tk)::bigint AS n_tokens,
+    len(regexp_extract_all(txt,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint AS n_bpe_tokens,
+    CASE WHEN length(txt) = 0 THEN 0.0
+         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))::double
+                    / length(txt) * 10000) / 10000 END AS punct_ratio,
+    len(list_filter(tk, x -> list_contains({sw}, lower(x)))) AS sw_hits
+  FROM t)
+SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio,
+  floor((0.4 * least(n_tokens / 64.0, 1.0)
+      + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE sw_hits::double / n_tokens END) * 4.0, 1.0)
+      + 0.3 * greatest(0.0, 1.0 - punct_ratio * 2.0)) * 10000) / 10000
+    AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        ts.fingerprint(t).alias("fp"),
+        ts.prefix_fingerprint(t).alias("prefix_fp"),
+    )
+
+
+def _sql_fingerprint() -> str:
+    norm = _DUCK_NORM.format(t="text")
+    toks = _DUCK_TOKENS.format(t=norm)
+    return f"""
+SELECT doc_id,
+  md5({norm}) AS fp,
+  ('0x' || substr(md5(array_to_string(list_transform(
+      generate_series(1, least(len({toks}), 8)),
+      i -> ({toks})[i]), ' ')), 1, 15))::bigint AS prefix_fp
+FROM documents
+"""
+
+
+# -------------------------------------------------------- relational demos
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["lineitem"])
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,4)")))
+                .cast("decimal(28,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+    AS sum_base_price,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,4)))
+        as decimal(28,6))) as double) AS sum_disc_price,
+  count(*)::bigint AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["orders", "customer"])
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment,
+  count(*)::bigint AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _register(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    with_break = ev.withColumn(
+        "brk",
+        F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return with_break.groupBy("user_id").agg(
+        (F.sum("brk") + 1).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, (sum(brk) + 1)::bigint AS n_sessions,
+       count(*)::bigint AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+    AS window_start, event_type,
+  count(*)::bigint AS n_events,
+  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+FROM events
+GROUP BY 1, event_type
+"""
+
+
+# ----------------------------------------------- pipeline (rows-only) ops
+
+def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.corpus import corpus_dataframes_distributed, docs_count_for_sf
+    from ocr_spark.pipeline import run_extraction
+
+    n = docs_count_for_sf(spark, sf_dir)
+    spans, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
+    out = run_extraction(spark, spans, media)
+    return out.select(
+        "doc_id",
+        F.size("spans_out").cast("bigint").alias("n_spans"),
+        F.size("errors").cast("bigint").alias("n_errors"),
+        F.col("fields.tipo_credencial").alias("tipo_credencial"),
+        F.col("fields.curp").alias("curp"),
+        F.col("fields.nombre").alias("nombre"),
+        F.col("fields.vigencia").alias("vigencia"),
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.udfs import strip_boilerplate_udf
+
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat('<html><head><script>var x=1;</script></head><body>"
+            "<nav><ul><li><a href=\"/a\">aaa</a></li></ul></nav><p>', "
+            "substr(text, 1, 200), "
+            "'</p><footer>footer text here</footer></body></html>')"
+        ).alias("html"),
+    )
+    return df.select(
+        "doc_id", strip_boilerplate_udf(F.col("html")).alias("main_text")
+    )
+
+
+def q_split_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.udfs import split_name_udf
+
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "case cast(doc_id % 4 as int) "
+            "when 0 then 'CASTILLO OLIVERA RICARDO ORLANDO' "
+            "when 1 then 'DE LA CRUZ GOMEZ MARIA FERNANDA' "
+            "when 2 then 'GARCIA LOPEZ JOSE LUIS' "
+            "else 'PEREZ JUAN' end"
+        ).alias("nombre"),
+        F.expr(
+            "case cast(doc_id % 4 as int) "
+            "when 0 then 'CAOR930531HQRSLC09' "
+            "when 1 then 'CUGF850214MDFRZR08' "
+            "when 2 then 'GALJ900101HJCRPS01' "
+            "else 'PEJU880101HDFRRN02' end"
+        ).alias("curp"),
+    )
+    parts = split_name_udf(F.col("nombre"), F.col("curp"))
+    return df.select(
+        "doc_id",
+        parts["apellido_paterno"].alias("apellido_paterno"),
+        parts["apellido_materno"].alias("apellido_materno"),
+        parts["nombres"].alias("nombres"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.corpus import corpus_dataframes_distributed, docs_count_for_sf
+    from ocr_spark.multimodal import extract_media_meta
+
+    n = docs_count_for_sf(spark, sf_dir)
+    _, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
+    return extract_media_meta(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.corpus import corpus_dataframes_distributed, docs_count_for_sf
+    from ocr_spark.multimodal import sample_frames
+
+    n = docs_count_for_sf(spark, sf_dir)
+    _, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
+    return sample_frames(media, every_n=2)
+
+
+# ---------------------------------------------------------------------------
+
+def registry() -> dict[str, Entry]:
+    return {
+        # reference extraction operators (native Catalyst, DuckDB oracle)
+        "normalize_lines": (q_normalize_lines, _ducked(SQL_NORMALIZE_LINES)),
+        "letters_only": (q_letters_only, SQL_LETTERS_ONLY),
+        "classify_credential": (q_classify_credential, _ducked(SQL_CLASSIFY)),
+        "curp_parse": (q_curp_parse, SQL_CURP_PARSE),
+        "elector_key_parse": (q_elector_key_parse, SQL_ELECTOR_PARSE),
+        "field_completions": (q_field_completions, SQL_COMPLETIONS),
+        "regex_extractors": (q_regex_extractors, _ducked(SQL_REGEX_EXTRACTORS)),
+        "name_clean": (q_name_clean, SQL_NAME_CLEAN),
+        "strip_cp": (q_strip_cp, SQL_STRIP_CP),
+        "vigencia_format": (q_vigencia_format, SQL_VIG_FORMAT),
+        # training-data curation operators
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+        "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+        "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
+        "langid": (q_langid, _sql_langid()),
+        "quality_score": (q_quality, _sql_quality()),
+        "fingerprint": (q_fingerprint, _sql_fingerprint()),
+        # relational / windowed demos over the driver tables
+        "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+        "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+        "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+        "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        # pipeline stages (pandas-UDF control flow → rows-only checks)
+        "extract_pipeline": (q_extract_pipeline, None),
+        "strip_boilerplate": (q_strip_boilerplate, None),
+        "split_name": (q_split_name, None),
+        "media_meta": (q_media_meta, None),
+        "frame_sample": (q_frame_sample, None),
+    }

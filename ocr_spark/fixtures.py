@@ -192,6 +192,54 @@ def fake_media_content(lines: list[str], sleep_s: float = 0.0) -> bytes:
     return FAKE_MAGIC + json.dumps(payload, ensure_ascii=False).encode("utf-8")
 
 
+def build_doc(
+    seed: int,
+    d: int,
+    heavy_frac: float = 0.02,
+    ine_frac: float = 0.30,
+    broken_frac: float = 0.01,
+) -> tuple[dict, list[dict]]:
+    """Generate ONE document (span_row, its media_rows) — pure function of
+    (seed, d), so any doc can be re-materialized in isolation on any executor
+    (this is what makes the distributed generator and resume tests cheap)."""
+    rng = Random(f"{seed}/{d}")
+    doc_id = f"doc_{d:06d}"
+    heavy = rng.random() < heavy_frac
+    n_spans = rng.randint(50, 200) if heavy else rng.randint(1, 12)
+
+    spans: list[dict] = []
+    media_rows: list[dict] = []
+    offset = 0
+    for s in range(n_spans):
+        is_media = rng.random() < (0.9 if heavy else 0.3)
+        if is_media:
+            media_ref = f"m_{d:06d}_{s:03d}"
+            if rng.random() < ine_frac:
+                truth = gen_ine_lines(rng)
+            else:
+                truth = gen_generic_lines(rng)
+            broken = rng.random() < broken_frac
+            content = b"NOTANIMG" if broken else fake_media_content(truth)
+            media_rows.append({
+                "media_ref": media_ref,
+                "content": content,
+                "fmt": rng.choice(["img", "pdf_page"]),
+                "width": rng.choice([640, 1280, 1920]),
+                "height": rng.choice([480, 720, 1080]),
+                "truth_lines": truth,
+            })
+            spans.append({"kind": "media", "text": None,
+                          "media_ref": media_ref, "offset": offset})
+        else:
+            text = (gen_html_text(rng) if rng.random() < 0.6
+                    else gen_plain_text(rng))
+            spans.append({"kind": "text", "text": text,
+                          "media_ref": None, "offset": offset})
+        offset += rng.randint(1, 3)
+
+    return {"doc_id": doc_id, "spans": spans}, media_rows
+
+
 def build_corpus(
     seed: int,
     n_docs: int,
@@ -206,44 +254,12 @@ def build_corpus(
     """
     span_rows: list[dict] = []
     media_rows: list[dict] = []
-
     for d in range(n_docs):
-        rng = Random(f"{seed}/{d}")
-        doc_id = f"doc_{d:06d}"
-        heavy = rng.random() < heavy_frac
-        n_spans = rng.randint(50, 200) if heavy else rng.randint(1, 12)
-
-        spans: list[dict] = []
-        offset = 0
-        for s in range(n_spans):
-            is_media = rng.random() < (0.9 if heavy else 0.3)
-            if is_media:
-                media_ref = f"m_{d:06d}_{s:03d}"
-                if rng.random() < ine_frac:
-                    truth = gen_ine_lines(rng)
-                else:
-                    truth = gen_generic_lines(rng)
-                broken = rng.random() < broken_frac
-                content = b"NOTANIMG" if broken else fake_media_content(truth)
-                media_rows.append({
-                    "media_ref": media_ref,
-                    "content": content,
-                    "fmt": rng.choice(["img", "pdf_page"]),
-                    "width": rng.choice([640, 1280, 1920]),
-                    "height": rng.choice([480, 720, 1080]),
-                    "truth_lines": truth,
-                })
-                spans.append({"kind": "media", "text": None,
-                              "media_ref": media_ref, "offset": offset})
-            else:
-                text = (gen_html_text(rng) if rng.random() < 0.6
-                        else gen_plain_text(rng))
-                spans.append({"kind": "text", "text": text,
-                              "media_ref": None, "offset": offset})
-            offset += rng.randint(1, 3)
-
-        span_rows.append({"doc_id": doc_id, "spans": spans})
-
+        span_row, doc_media = build_doc(
+            seed, d, heavy_frac, ine_frac, broken_frac
+        )
+        span_rows.append(span_row)
+        media_rows.extend(doc_media)
     return span_rows, media_rows
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ocr_spark.constants import (
     CURP_STATE_CODES,
     ELECTOR_STATE_CODES,
+    NAME_STOPWORDS,
     REF_YEAR,
 )
 
@@ -268,6 +269,32 @@ def registry_year_suffix(value: Column) -> Column:
         (value != F.lit("")) & ~value.contains(" "),
         F.concat(value, F.lit(" 00")),
     ).otherwise(value)
+
+
+def clean_name(name: Column) -> Column:
+    """P3 (main.py:661-722): drop administrative/numeric tokens from a
+    candidate name, preserving the reference's two-phase quirk — the keep
+    test runs on punctuation-stripped uppercase tokens, but survivors are
+    selected by *upper-cased membership* against the kept originals, so a
+    failing token identical (case-insensitively) to a passing one survives
+    too (main.py:713-720)."""
+    toks = F.filter(
+        F.split(F.coalesce(name, F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    stop = F.array(*[F.lit(w) for w in NAME_STOPWORDS])
+    cleaned = lambda t: F.regexp_replace(F.upper(t), r"[^\wÁÉÍÓÚÜÑ]", "")
+    passes = lambda t: (
+        (F.length(cleaned(t)) > 1)
+        & ~F.array_contains(stop, cleaned(t))
+        & ~cleaned(t).rlike(r"^\d+$")
+        & ~cleaned(t).rlike(r"^\d+[A-Z]*$")
+    )
+    kept_upper = F.transform(F.filter(toks, passes), lambda t: F.upper(t))
+    survivors = F.filter(
+        toks, lambda t: F.array_contains(kept_upper, F.upper(t))
+    )
+    return F.array_join(survivors, " ")
 
 
 def strip_cp_from_colonia(colonia: Column, cp: Column) -> Column:

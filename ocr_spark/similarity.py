@@ -1,0 +1,159 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``array<float>`` embeddings:
+
+- **brute-force cosine top-k** — the correctness baseline.  The query set is
+  broadcast (it is small by definition); the corpus side stays partitioned,
+  each partition scores its rows and a single top-k-per-query window reduces.
+  At 100 TB this is the "score everything once" pattern: one broadcast, one
+  shuffle keyed by query_id for the top-k.
+- **random-hyperplane LSH buckets** — the scale path.  Bucket assignment is
+  narrow (per-row sign bits against literal hyperplanes baked into the
+  plan); candidate generation joins on the bucket key; cosine verification
+  runs only inside buckets.  Recall is tuned by planes-per-table and number
+  of bucket tables; a single table is enough for the oracle-checked shape.
+
+Float discipline: embeddings are cast to double and reduced with an ordered
+left fold (``zip_with`` + ``aggregate``) so the bit pattern matches the
+DuckDB oracle's identical fold — IEEE doubles are deterministic given the
+same operation order, which makes `round(x, 6)` safely comparable across
+engines.
+
+The hyperplane components are derived from the portable md5 hash on the
+DRIVER (plain Python) and inlined as literals in both plans, so Spark and
+the oracle share them by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 8
+DEFAULT_DIMS = 64
+
+
+def _hash60(s: str) -> int:
+    """Driver-side twin of textstats.portable_hash (md5 first 15 hex)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def hyperplanes(
+    n_planes: int = DEFAULT_PLANES, dims: int = DEFAULT_DIMS, seed: str = "lsh"
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dims."""
+    return [
+        [
+            (_hash60(f"{seed}/p{p}/d{d}") % 2001 - 1000) / 1000.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product in double (cross-engine stable)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(
+        prods, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity floor-truncated to ``decimals`` digits (cross-engine
+    deterministic — see textstats.trunc4); zero vectors → 0.0."""
+    dot = dot_fold(a, b)
+    na = F.sqrt(dot_fold(a, a))
+    nb = F.sqrt(dot_fold(b, b))
+    scale = F.lit(float(10 ** decimals))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        F.floor(dot / (na * nb) * scale) / scale
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim), k rows per query, self
+    matches excluded.  ``broadcast(queries)`` keeps the corpus scan narrow;
+    the only shuffle is the per-query top-k window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("cv"), F.col("qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_bucket(
+    vec: Column, planes: list[list[float]] | None = None
+) -> Column:
+    """Sign-bit bucket string of a vector against the literal hyperplanes."""
+    planes = planes or hyperplanes()
+    bits = [
+        F.when(
+            dot_fold(vec, F.array(*[F.lit(v) for v in plane])) > 0.0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    min_cosine: float = 0.6,
+) -> DataFrame:
+    """Bucketed ANN candidate pairs verified by exact cosine.
+
+    Narrow bucket assignment → join on bucket → cosine only inside buckets.
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b.
+    """
+    planes = planes or hyperplanes()
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for a training-data pipeline, as native Catalyst
+column expressions: tokenization, token counting, language-ID, quality
+scoring, document fingerprinting.
+
+Not part of the reference (which only ever sees OCR'd ID cards); these are
+the large-corpus curation operators the engine needs at 10^12-document scale.
+Everything here is pure ``pyspark.sql.functions`` — JVM-side, whole-stage
+codegen, no Python in the hot path — and every operator has a line-for-line
+ANSI-SQL twin in the driver contract (DuckDB oracle).
+
+Portability contract with the oracles (do not change casually):
+- tokens   = split(trim(text), '\\s+'), empty text → empty array
+- norm     = lower(trim(collapse-ws(text)))
+- hash     = cast(conv(substr(md5(x),1,15),16,10) as bigint)
+             ≡ DuckDB ('0x'||substr(md5(x),1,15))::bigint  (60-bit, positive)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + literal: they are broadcast as plan
+# constants and mirrored verbatim in the DuckDB oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "y", "que", "en", "los", "del", "se", "por"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
+}
+LANG_ORDER: tuple[str, ...] = ("de", "en", "es", "fr")  # tie-break order
+
+# One BPE-ish pre-tokenization class: letter runs, digit runs, single
+# non-alnum marks (the classic GPT-2-style pre-split, ASCII approximation).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def trunc4(col: Column) -> Column:
+    """Floor-truncate to 4 decimals.  Used instead of round() for every
+    cross-engine-compared double: Spark rounds ties via decimal HALF_UP
+    while DuckDB rounds the raw double, so exact .xxxx5 values diverge;
+    floor on the identical IEEE double is deterministic in both."""
+    return F.floor(col * F.lit(10000.0)) / F.lit(10000.0)
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit positive hash identical across Spark and DuckDB (see module
+    docstring).  Used by minhash/simhash/LSH so oracles can replay them."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def norm_text(text: Column) -> Column:
+    """Canonical text form shared by dedup + fingerprinting."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; '' and NULL → empty array (portable with
+    string_split_regex on the trimmed string filtered for '')."""
+    t = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    return F.filter(t, lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the pre-tokenizer regex — the cheap
+    stand-in for a real BPE vocab at corpus-statistics time."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(BPE_ISH_REGEX), F.lit(0)
+        )
+    ).cast("bigint")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens (with multiplicity) in the language's stopword set."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def langid(text: Column) -> Column:
+    """Argmax stopword-vote language; deterministic tie-break on LANG_ORDER;
+    zero hits everywhere → 'und' (undetermined)."""
+    toks = tokens(text)
+    scored = [
+        F.struct(
+            stopword_hits(toks, lang).alias("hits"),
+            # negative index gives "earlier lang wins ties" under max()
+            F.lit(-i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_ORDER)
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alnum/non-space chars per char, 4 decimals; '' → 0.0."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        trunc4(punct.cast("double") / n.cast("double"))
+    )
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Heuristic 0..1 quality score of a document for corpus curation:
+    rewards mid-length docs and stopword presence, penalizes punctuation
+    soup.  Rounded to 4 decimals so cross-engine float equality holds."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        stopword_hits(toks, lang).cast("double") / n_tok
+    )
+    sw_score = F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
+    p_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(2.0)
+    )
+    return trunc4(
+        F.lit(0.4) * len_score + F.lit(0.3) * sw_score + F.lit(0.3) * p_score
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Full-document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(text))
+
+
+def prefix_fingerprint(text: Column, n_tokens: int = 8) -> Column:
+    """Locality-friendly fingerprint of the first ``n_tokens`` tokens —
+    the 'rolling hash head' used for cheap near-duplicate pre-bucketing."""
+    head = F.array_join(F.slice(tokens(norm_text(text)), 1, n_tokens), " ")
+    return portable_hash(head)
