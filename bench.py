@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "docs_per_sec": ...}
+
+Per-query timing forces *full* materialization via the noop data source
+(`count()` alone would let Catalyst prune expensive columns like the
+extraction-field struct and understate the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "extract_pipeline",      # the flagship: docs/sec end-to-end
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_pairs",
+    "quality_score",
+    "langid",
+    "fingerprint",
+    "dedup_exact",
+    "lineitem_pricing",
+    "orders_by_segment",
+    "events_sessions",
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    from ocr_spark.driver_contract import registry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(
+        "ocr-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = reg[name]
+        t0 = time.monotonic()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # docs/sec for the flagship: corpus size == documents rowcount at SF
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    extract_s = timings["extract_pipeline"]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / extract_s, 2) if extract_s else None,
+        "n_docs": n_docs,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

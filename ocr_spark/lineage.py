@@ -1,0 +1,135 @@
+"""Per-partition lineage + checkpoint resume for the extraction pipeline.
+
+North-rule mechanics (no analogue in the reference, whose only observability
+is `/health` + gunicorn access logs — main.py:1352-1369, entrypoint.sh:25):
+
+- every document is assigned a deterministic **bucket**
+  ``pmod(xxhash64(doc_id), n_buckets)`` — the unit of checkpointing;
+- the output table is written **partitioned by bucket** with dynamic
+  partition overwrite, so re-emitting a bucket replaces exactly its files
+  (the parquet-dir emulation of Iceberg's overwrite-by-filter; on a real
+  cluster the same calls target an Iceberg catalog table);
+- after the data commit, one lineage row per bucket is appended:
+  ``(run_id, bucket, docs_in, docs_out, bytes_out, wall_ms, status)``;
+- a resumed run reads the lineage table, collects the ``status='done'``
+  buckets for its ``run_id`` (tiny — bucket cardinality, not doc
+  cardinality), and prunes them from the input *before* the heavy stages,
+  so a crash loses at most the in-flight buckets' work.
+
+Crash ordering: data first, lineage second.  A crash between the two leaves
+orphan data files for unfinished buckets; the retry overwrites exactly those
+partitions, so the protocol is idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.config import PipelineConfig
+from ocr_spark.pipeline import run_extraction
+
+LINEAGE_SCHEMA = (
+    "run_id string, bucket int, docs_in bigint, docs_out bigint, "
+    "bytes_out bigint, wall_ms bigint, status string"
+)
+
+
+def bucket_of(doc_id, n_buckets: int):
+    return F.pmod(F.xxhash64(doc_id), F.lit(n_buckets)).cast("int")
+
+
+def done_buckets(spark: SparkSession, lineage_dir: str, run_id: str) -> list[int]:
+    """Buckets already committed for this run (empty when no lineage yet)."""
+    if not os.path.exists(lineage_dir):
+        return []
+    rows = (
+        spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+        .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("bucket").distinct().collect()
+    )
+    return sorted(r.bucket for r in rows)
+
+
+def run_resumable(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str,
+    n_buckets: int = 64,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """One (re)run: process every bucket not yet 'done', commit data, then
+    commit lineage.  Returns a summary dict for logging/tests."""
+    cfg = cfg or PipelineConfig()
+    skip = done_buckets(spark, lineage_dir, run_id)
+    if len(skip) >= n_buckets:
+        # Every bucket committed — nothing to scan, nothing to run.
+        return {"run_id": run_id, "skipped_buckets": len(skip),
+                "processed_buckets": 0, "wall_ms": 0}
+
+    pending = spans_df.withColumn(
+        "bucket", bucket_of(F.col("doc_id"), n_buckets)
+    )
+    if skip:
+        pending = pending.filter(~F.col("bucket").isin(skip))
+
+    docs_in = (
+        pending.groupBy("bucket").agg(F.count(F.lit(1)).alias("docs_in"))
+    )
+    started = time.monotonic()
+    out = run_extraction(spark, pending.drop("bucket"), media_df, cfg)
+    out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+
+    # Data commit: dynamic partition overwrite replaces exactly the buckets
+    # this run touched (idempotent retry), never the already-done ones.
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    wall_ms = int((time.monotonic() - started) * 1000)
+
+    # Lineage commit (after data): per-bucket stats read back from the
+    # committed files, so docs_out/bytes_out reflect what is actually there.
+    committed = spark.read.parquet(out_dir).withColumn(
+        "bucket", F.col("bucket").cast("int")
+    )
+    if skip:
+        committed = committed.filter(~F.col("bucket").isin(skip))
+    stats = committed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs_out"),
+        F.sum(F.length(F.to_json(F.struct("spans_out"))))
+        .cast("bigint").alias("bytes_out"),
+    )
+    lineage = (
+        docs_in.join(stats, on="bucket", how="left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("docs_in").cast("bigint").alias("docs_in"),
+            F.coalesce(F.col("docs_out"), F.lit(0))
+            .cast("bigint").alias("docs_out"),
+            F.coalesce(F.col("bytes_out"), F.lit(0))
+            .cast("bigint").alias("bytes_out"),
+            F.lit(wall_ms).cast("bigint").alias("wall_ms"),
+            F.lit("done").alias("status"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_dir)
+
+    n_pending = len(
+        [r for r in docs_in.select("bucket").collect()]
+    )
+    return {
+        "run_id": run_id,
+        "skipped_buckets": len(skip),
+        "processed_buckets": n_pending,
+        "wall_ms": wall_ms,
+    }

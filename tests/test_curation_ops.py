@@ -1,0 +1,186 @@
+"""Unit tests for the corpus-curation operators (dedup, similarity,
+textstats) against plain-Python reference computations on small inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_spark import textstats as ts
+from ocr_spark.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+    simhash_pairs,
+)
+from ocr_spark.similarity import brute_force_topk, hyperplanes, lsh_ann_pairs
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_duplicates_normalizes_whitespace(spark):
+    df = _df(spark, [
+        (1, "hello  world"), (2, "Hello world"), (3, "hello world "),
+        (4, "unrelated doc"),
+    ], "doc_id bigint, text string")
+    got = {r.canonical_id: r.n_docs for r in exact_duplicates(df).collect()}
+    # 1 and 3 normalize to 'hello world'; 2 differs by case (norm lowers: all 3)
+    assert got == {1: 3}
+
+
+def test_shingles_short_and_exact(spark):
+    df = _df(spark, [(1, "a b c d"), (2, "a b")], "id bigint, t string")
+    out = df.select(
+        "id", shingles(ts.tokens(F.col("t"))).alias("sh")
+    ).collect()
+    by_id = {r.id: r.sh for r in out}
+    assert by_id[1] == ["a b c", "b c d"]
+    assert by_id[2] == []
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = _df(spark, [
+        (1, "w x y z q r s t", "b0"),
+        (2, "w x y z q r s t", "b0"),
+        (3, "aa bb cc dd ee ff", "b0"),
+    ], "doc_id bigint, text string, lang string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            df, bucket_col=F.col("lang"), threshold=0.0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.0
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    text = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = _df(spark, [(1, text), (2, text), (3, other)],
+             "doc_id bigint, text string")
+    pairs = minhash_lsh_pairs(df, verify_threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard_sim) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_votes_match_python(spark):
+    toks = ["alpha", "beta", "gamma"]
+    expected = 0
+    hashes = [_py_hash60(t) for t in toks]
+    for b in range(16):
+        vote = sum(1 if h & (1 << b) else -1 for h in hashes)
+        if vote > 0:
+            expected |= 1 << b
+    df = _df(spark, [(1, " ".join(toks))], "id bigint, t string")
+    got = df.select(simhash16(ts.tokens(F.col("t"))).alias("s")).collect()
+    assert got[0].s == expected
+
+
+def test_simhash_pairs_identical_docs(spark):
+    df = _df(spark, [(1, "p q r s"), (2, "p q r s"), (3, "completely different words here")],
+             "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk_matches_numpy_order(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = _df(spark, vecs, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [
+        (r.neighbor_id, r.cosine_sim)
+        for r in brute_force_topk(df, q, k=2).collect()
+    ]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+    assert [n for n, _ in got] == [1, 2]
+    assert abs(got[0][1] - cos(vecs[0][1], vecs[1][1])) < 1e-6
+
+
+def test_lsh_ann_identical_vectors_pair_up(spark):
+    v = [0.5] * 8 + [-0.25] * 8
+    w = [9.0] + [0.0] * 15
+    df = _df(spark, [(1, v), (2, v), (3, w)],
+             "vec_id bigint, embedding array<float>")
+    planes = hyperplanes(4, dims=16)
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in lsh_ann_pairs(df, planes=planes, min_cosine=0.99).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.999999
+
+
+# -------------------------------------------------------------- textstats
+
+def test_langid_stopword_votes(spark):
+    df = _df(spark, [
+        (1, "the cat and the dog"),
+        (2, "el perro y la casa de los gatos"),
+        (3, "xyzzy plugh"),
+        (4, "de la le"),  # es:2 (de,la) fr:2 (de? no — fr set has de,le,la)
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: r.p for r in df.select(
+        "doc_id", ts.langid(F.col("text")).alias("p")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+    # 'de la le': es hits(de? not es... la:1, de:1 -> es has de? yes 'de')
+    assert got[4] in ("es", "fr")  # tie broken deterministically
+    # determinism: rerun gives identical result
+    got2 = {r.doc_id: r.p for r in df.select(
+        "doc_id", ts.langid(F.col("text")).alias("p")).collect()}
+    assert got == got2
+
+
+def test_token_counts_and_quality_bounds(spark):
+    df = _df(spark, [
+        (1, "one two three"), (2, ""), (3, "a,b.c!!!"),
+    ], "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n"),
+        ts.bpe_ish_token_count(F.col("text")).alias("b"),
+        ts.quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert rows[1].n == 3 and rows[1].b == 3
+    assert rows[2].n == 0 and rows[2].b == 0 and rows[2].q == 0.3
+    assert rows[3].b == 8  # a , b . c ! ! !
+    assert all(0.0 <= r.q <= 1.0 for r in rows.values())
+
+
+def test_fingerprint_is_whitespace_case_invariant(spark):
+    df = _df(spark, [
+        (1, "Hello   World"), (2, "hello world"),
+    ], "doc_id bigint, text string")
+    fps = [r.fp for r in df.select(
+        ts.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_prefix_fingerprint_matches_python(spark):
+    text = "Alpha beta gamma"
+    df = _df(spark, [(1, text)], "doc_id bigint, text string")
+    got = df.select(
+        ts.prefix_fingerprint(F.col("text")).alias("h")).collect()[0].h
+    assert got == _py_hash60("alpha beta gamma")
