@@ -36,3 +36,12 @@ class PipelineConfig:
     media_partitions: int | None = None
     text_partitions: int | None = None
     strip_html: bool = True
+    # Fixed sha256 iterations per image for the fake backend (scaling
+    # benchmarks emulate real inference cost with it; ~2000 ≈ 1 ms);
+    # 0 = plain payload decode.
+    fake_work_iters: int = 0
+    # Preprocessing stage (north_rule mandates deskew+binarize; the
+    # reference-equivalence profile disables both like main.py:171-173).
+    preproc_backend: str = "fake"
+    deskew: bool = True
+    binarize: bool = True

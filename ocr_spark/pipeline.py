@@ -97,7 +97,11 @@ def media_path(
         media = media.repartition(F.col("doc_id"), salt)
 
     ocr = media.mapInPandas(
-        make_ocr_batch_fn(cfg.recognizer_backend, cfg.media_time_budget_s),
+        make_ocr_batch_fn(
+            cfg.recognizer_backend, cfg.media_time_budget_s,
+            cfg.fake_work_iters,
+            cfg.preproc_backend, cfg.deskew, cfg.binarize,
+        ),
         schema=OCR_OUT_SCHEMA,
     )
     return ocr.select(

@@ -43,11 +43,31 @@ class FakeRecognizer:
     ``{"lines": [...], "sleep_s": 0.0}``.  ``sleep_s`` lets tests exercise
     the in-UDF timeout budget; a wrong magic simulates an undecodable image
     (the reference's HTTP-400 path, main.py:1327-1328).
+
+    ``work_iters_per_image`` burns a FIXED number of sha256 iterations per
+    image (cache-resident, GIL-irrelevant across worker processes) to
+    emulate real model-inference cost in scaling benchmarks.  Fixed
+    iterations — not wall-clock calibration — so the amount of work is
+    deterministic and identical at every parallelism level (calibrating
+    under load would bias the comparison).  ~2000 iters ≈ 1 ms on this
+    class of core.  0 (default) disables it.
     """
 
     name = "fake"
 
+    def __init__(self, work_iters_per_image: int = 0) -> None:
+        self.work_iters = int(work_iters_per_image)
+
+    def _burn(self) -> None:
+        import hashlib
+
+        h = b"x" * 64
+        for _ in range(self.work_iters):
+            h = hashlib.sha256(h).digest()
+
     def recognize(self, content: bytes | None, time_budget_s: float | None = None) -> RecognizeResult:
+        if self.work_iters:
+            self._burn()
         if content is None or len(content) == 0:
             return RecognizeResult([], error="decode_error")
         if not bytes(content).startswith(FAKE_MAGIC):
@@ -105,18 +125,19 @@ class PaddleRecognizer:
         return RecognizeResult(list(lines))
 
 
-_RECOGNIZER_CACHE: dict[str, object] = {}
+_RECOGNIZER_CACHE: dict[tuple, object] = {}
 
 
-def get_recognizer(backend: str = "fake"):
+def get_recognizer(backend: str = "fake", fake_work_iters: int = 0):
     """Executor-local singleton lookup (one model per Python worker)."""
-    inst = _RECOGNIZER_CACHE.get(backend)
+    key = (backend, fake_work_iters)
+    inst = _RECOGNIZER_CACHE.get(key)
     if inst is None:
         if backend == "fake":
-            inst = FakeRecognizer()
+            inst = FakeRecognizer(work_iters_per_image=fake_work_iters)
         elif backend == "paddle":
             inst = PaddleRecognizer()
         else:
             raise ValueError(f"unknown recognizer backend: {backend}")
-        _RECOGNIZER_CACHE[backend] = inst
+        _RECOGNIZER_CACHE[key] = inst
     return inst

@@ -28,6 +28,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Bytes are a poor proxy for this engine's cost: a 64 MB partition of
+        # media refs is hours of OCR.  Small advisory sizes keep AQE's
+        # post-shuffle coalescing from serializing the CPU-heavy UDF stages
+        # onto a handful of cores (measured 42% wall regression at default).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        # Single-machine local mode: delay scheduling only inserts 3 s idle
+        # gaps at stage boundaries (no locality to gain).
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.python.worker.reuse", "true")

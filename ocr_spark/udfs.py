@@ -83,7 +83,10 @@ def strip_boilerplate_udf(text: pd.Series) -> pd.Series:
     )
 
 
-def make_ocr_batch_fn(backend: str, time_budget_s: float):
+def make_ocr_batch_fn(backend: str, time_budget_s: float,
+                      fake_work_iters: int = 0,
+                      preproc_backend: str = "fake",
+                      deskew: bool = True, binarize: bool = True):
     """mapInPandas stage: (doc_id, offset, media_ref, content) batches →
     (doc_id, offset, media_ref, lines, error).
 
@@ -94,7 +97,11 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float):
     """
 
     def ocr_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        recognizer = get_recognizer(backend)
+        from ocr_spark.preproc import get_preprocessor
+
+        recognizer = get_recognizer(backend, fake_work_iters)
+        preproc = get_preprocessor(preproc_backend)
+        do_preproc = deskew or binarize
         for pdf in batches:
             lines_out: list[list[str]] = []
             error_out: list[str | None] = []
@@ -104,9 +111,10 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float):
                 else:
                     started = time.monotonic()
                     try:
-                        result = recognizer.recognize(
-                            bytes(content), time_budget_s
-                        )
+                        raw = bytes(content)
+                        if do_preproc:
+                            raw = preproc(raw, deskew, binarize)
+                        result = recognizer.recognize(raw, time_budget_s)
                     except Exception as exc:  # fail the span, not the task
                         result = RecognizeResult([], error=f"ocr_error:{exc}")
                     if result.error is None and (
