@@ -668,17 +668,30 @@ FROM (SELECT doc_id, lang, {_DUCK_TOKENS.format(t='text')} AS tk
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard.  Blocking key = the document's
+    single min-hash over its shingle set (1-permutation MinHash): block
+    sizes stay bounded at any corpus size (coarse keys like language make
+    the pair count quadratic — 17x wall at sf0.1), at the usual MinHash
+    recall J per pair; the banded variant (dedup_minhash_lsh) is the
+    high-recall path."""
     corpus = _near_corpus(spark, sf_dir)
-    return ngram_jaccard_pairs(
-        corpus, bucket_col=F.col("lang"), threshold=0.3
+    toks = ts.tokens(F.col("text"))
+    bucket = F.coalesce(
+        F.array_min(F.transform(shingles(toks), ts.portable_hash)),
+        F.lit(-1),
     )
+    return ngram_jaccard_pairs(corpus, bucket_col=bucket, threshold=0.3)
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH corpus AS ({_DUCK_NEAR_CORPUS}),
-s AS (SELECT doc_id AS id, lang AS bucket,
+s0 AS (SELECT doc_id AS id,
         {_DUCK_SHINGLES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
+s AS (SELECT id, sh,
+        coalesce(list_min(list_transform(sh,
+          x -> ('0x' || substr(md5(x), 1, 15))::bigint)), -1) AS bucket
+      FROM s0),
 pairs AS (
   SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
   FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id)
