@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the optimizations the engine depends on
+at 100 TB (pushdown, pruning, broadcast, bounded shuffles, top-k pushdown)
+must be visible in the plans, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.driver_contract import (
+    q_ann_cosine_topk,
+    q_dedup_exact,
+    q_extract_pipeline,
+    q_orders_by_segment,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(q_orders_by_segment(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(q_ann_cosine_topk(spark, SF))
+    # query-side selection vec_id < 10 must reach the parquet scan
+    assert "LessThan(vec_id,10)" in plan
+    # top-k is pushed as a group-limit before the final sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    plan = _plan(q_dedup_exact(spark, SF))
+    # only doc_id + text are read; lang/source/n_chars are pruned
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
+
+
+def test_pipeline_shuffle_count_is_bounded(spark):
+    """The extraction pipeline's plan: exactly the designed exchanges —
+    the salted media repartition, the splice groupBy, and the media-store
+    join's two sides — nothing incidental."""
+    plan = _plan(q_extract_pipeline(spark, SF))
+    n_exchanges = plan.count("Exchange (")
+    # hashpartitioning exchanges: media join (x2 sides or 1 + broadcast),
+    # salted repartition, splice groupBy.  Anything above 5 means a
+    # regression added an accidental shuffle.
+    assert n_exchanges <= 5, f"unexpected exchange count {n_exchanges}"
+
+
+def test_native_sections_compile_to_codegen(spark):
+    """The non-UDF sections must land in whole-stage codegen subtrees.
+    AQE hides them until execution, so plan with AQE off for this check."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q_extract_pipeline(spark, SF)
+        codegen = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("codegen")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n = int(codegen.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 2, codegen.splitlines()[0]
+
+
+def test_pipeline_media_salting_present(spark):
+    plan = _plan(q_extract_pipeline(spark, SF))
+    # the explicit salted repartition keys on doc_id + the xxhash salt
+    assert "xxhash64" in plan
