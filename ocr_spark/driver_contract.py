@@ -1067,6 +1067,92 @@ GROUP BY 1, event_type
 """
 
 
+def q_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join broadcast chain region ⋈ nation ⋈ supplier (the classic
+    snowflake walk; both dims broadcast, zero shuffle joins)."""
+    _register(spark, sf_dir, ["region", "nation", "supplier"])
+    region = spark.table("region")
+    nation = spark.table("nation")
+    supplier = spark.table("supplier")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+SQL_SUPPLIER_BY_REGION = """
+SELECT r_name, count(*)::bigint AS n_suppliers,
+  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + LIKE filter that must push to the scan, then agg."""
+    _register(spark, sf_dir, ["part"])
+    part = spark.table("part")
+    return (
+        part.filter(
+            (F.col("p_retailprice") > 950.0)
+            & F.col("p_type").isin("PROMO", "STANDARD")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_PART_FILTER_AGG = """
+SELECT p_brand, count(*)::bigint AS n_parts,
+  cast(sum(cast(p_retailprice as decimal(18,2))) as double) AS total_price
+FROM part
+WHERE p_retailprice > 950.0 AND p_type IN ('PROMO', 'STANDARD')
+GROUP BY p_brand
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (k=3) by value — WindowGroupLimit pushdown shape."""
+    from pyspark.sql import Window
+
+    _register(spark, sf_dir, ["orders"])
+    orders = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn(
+            "rank_in_cust", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "rank_in_cust")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+  row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ::bigint AS rank_in_cust
+FROM orders
+QUALIFY rank_in_cust <= 3
+"""
+
+
 # ----------------------------------------------- pipeline (rows-only) ops
 
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,6 +1267,11 @@ def registry() -> dict[str, Entry]:
         "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        "supplier_by_region": (q_supplier_by_region, SQL_SUPPLIER_BY_REGION),
+        "part_filter_agg": (q_part_filter_agg, SQL_PART_FILTER_AGG),
+        "top_orders_per_customer": (
+            q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER,
+        ),
         # pipeline stages (pandas-UDF control flow → rows-only checks)
         "extract_pipeline": (q_extract_pipeline, None),
         "strip_boilerplate": (q_strip_boilerplate, None),
