@@ -48,6 +48,15 @@ def shingles(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
     ).otherwise(F.array_distinct(F.transform(idx, gram)))
 
 
+def shingle_hashes(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct 60-bit hashes of the shingle set.  All pairwise work
+    (Jaccard intersects, band joins) runs on these instead of the shingle
+    strings: bigint compares are ~2x faster and shuffle ~5x fewer bytes,
+    and the md5-based hash keeps the DuckDB oracles replayable (collision
+    probability over per-doc sets is negligible at 60 bits)."""
+    return F.array_distinct(F.transform(shingles(toks, n), portable_hash))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """|A∩B| / |A∪B| over distinct-element arrays, floor-truncated to 4
     decimals (see textstats.trunc4 for why not round)."""
@@ -56,14 +65,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union <= 0, F.lit(0.0)).otherwise(trunc4(inter / union))
 
 
-def minhash_signature(sh: Column, k: int = DEFAULT_MINHASH_K) -> Column:
-    """Array of k min-hashes over the shingle set; empty set → hash of the
-    sentinel '∅{j}' so empty docs still band deterministically."""
+def minhash_signature(sh_hashes: Column, k: int = DEFAULT_MINHASH_K) -> Column:
+    """Array of k min-hashes over the hashed shingle set (each permutation
+    re-hashes the 60-bit shingle hash salted with its index); empty set →
+    hash of the sentinel '∅{j}' so empty docs still band deterministically."""
     sigs = [
         F.coalesce(
             F.array_min(
                 F.transform(
-                    sh, lambda s: portable_hash(F.concat(F.lit(f"{j}:"), s))
+                    sh_hashes,
+                    lambda h: portable_hash(
+                        F.concat(F.lit(f"{j}:"), h.cast("string"))
+                    ),
                 )
             ),
             portable_hash(F.lit(f"∅{j}")),
@@ -131,13 +144,14 @@ def ngram_jaccard_pairs(
     self-join shuffles on the bucket key only.
     """
     toks = tokens(F.col(text_col))
+    sh = shingle_hashes(toks, n)
     bucket = bucket_col if bucket_col is not None else F.floor(
         F.size(toks) / F.lit(16)
     )
     base = df.select(
         F.col(id_col).alias("id"),
         bucket.alias("bucket"),
-        shingles(toks, n).alias("sh"),
+        sh.alias("sh"),
     )
     left = base.alias("l")
     right = base.alias("r")
@@ -175,8 +189,13 @@ def minhash_lsh_pairs(
     (small) candidate pair set.
     """
     toks = tokens(F.col(text_col))
-    sh = shingles(toks, shingle_n)
+    sh = shingle_hashes(toks, shingle_n)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    # The hashed-shingle base feeds banding AND both sides of the verify
+    # join; persisting it avoids recomputing tokenize+shingle+hash three
+    # times (spills to disk when it outgrows memory — it is the compressed
+    # per-doc sketch, ~2 orders smaller than the corpus text).
+    base = base.persist()
     sig_df = base.withColumn("sig", minhash_signature(F.col("sh"), k))
 
     n_bands = k // band_size

@@ -43,7 +43,7 @@ from ocr_spark.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    shingles,
+    shingle_hashes,
     simhash16,
 )
 from ocr_spark.similarity import (
@@ -235,6 +235,11 @@ _DUCK_SHINGLES = (
     "  generate_series(1, greatest(len({tk}) - 2, 0)),"
     "  i -> concat({tk}[i], ' ', {tk}[i+1], ' ', {tk}[i+2])))"
 )
+# hashed shingle sets (the form all pairwise work runs on — see dedup.py)
+_DUCK_SHINGLE_HASHES = (
+    "list_distinct(list_transform(" + _DUCK_SHINGLES + ","
+    " x -> ('0x' || substr(md5(x), 1, 15))::bigint))"
+)
 _DUCK_DOT = (
     "list_reduce(list_transform(generate_series(1, len(({a}))),"
     " i -> ((({a})[i])::double) * ((({b})[i])::double)), (x, y) -> x + y)"
@@ -242,9 +247,11 @@ _DUCK_DOT = (
 
 
 def _duck_minhash_sig(sh: str, k: int = 8) -> list[str]:
+    """k permutations over the HASHED shingle set (h rendered as a decimal
+    string, matching Spark's bigint→string cast)."""
     return [
         f"coalesce(list_min(list_transform({sh}, "
-        f"s -> ('0x' || substr(md5(concat('{j}:', s)), 1, 15))::bigint)), "
+        f"h -> ('0x' || substr(md5(concat('{j}:', h)), 1, 15))::bigint)), "
         f"('0x' || substr(md5('∅{j}'), 1, 15))::bigint)"
         for j in range(k)
     ]
@@ -676,22 +683,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-recall path."""
     corpus = _near_corpus(spark, sf_dir)
     toks = ts.tokens(F.col("text"))
-    bucket = F.coalesce(
-        F.array_min(F.transform(shingles(toks), ts.portable_hash)),
-        F.lit(-1),
-    )
+    bucket = F.coalesce(F.array_min(shingle_hashes(toks)), F.lit(-1))
     return ngram_jaccard_pairs(corpus, bucket_col=bucket, threshold=0.3)
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH corpus AS ({_DUCK_NEAR_CORPUS}),
 s0 AS (SELECT doc_id AS id,
-        {_DUCK_SHINGLES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
+        {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
-s AS (SELECT id, sh,
-        coalesce(list_min(list_transform(sh,
-          x -> ('0x' || substr(md5(x), 1, 15))::bigint)), -1) AS bucket
-      FROM s0),
+s AS (SELECT id, sh, coalesce(list_min(sh), -1) AS bucket FROM s0),
 pairs AS (
   SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
   FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id)
@@ -730,7 +731,7 @@ def _sql_minhash() -> str:
     return f"""
 WITH corpus AS ({_DUCK_NEAR_CORPUS}),
 s AS (SELECT doc_id AS id,
-        {_DUCK_SHINGLES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
+        {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
 sigs AS (SELECT id, sh, [{', '.join(sig)}] AS sig FROM s),
 sigs2 AS (SELECT id, sh, {bands} FROM sigs),
