@@ -1068,6 +1068,73 @@ GROUP BY 1, event_type
 """
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (JSON ingest): parse the events ``props`` JSON column natively
+    (`get_json_object` → Catalyst JSON path, no UDF) and aggregate."""
+    _register(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type, count(*)::bigint AS n_events,
+  sum(json_extract_string(props, '$.k')::bigint)::bigint AS total_k,
+  min(json_extract_string(props, '$.k')::bigint)::bigint AS min_k,
+  max(json_extract_string(props, '$.k')::bigint)::bigint AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_curp_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 state lookup as a BROADCAST JOIN against a dimension DataFrame
+    (the alternative to the `create_map` literal used by `curp_parse` —
+    both shapes exist so either can serve depending on dimension size)."""
+    df = _cards_df(spark, sf_dir)
+    dim = spark.createDataFrame(
+        list(CURP_STATE_CODES.items()), schema="code string, estado string"
+    )
+    code = F.upper(F.substring(F.col("curp"), 12, 2))
+    keyed = df.select(
+        "doc_id",
+        F.when(F.length("curp") >= 16, code).alias("code"),
+    )
+    return (
+        keyed.join(F.broadcast(dim), on="code", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("estado"), F.lit("")).alias("estado"),
+        )
+    )
+
+
+def _sql_curp_state_join() -> str:
+    rows = ", ".join(
+        f"('{k}', '{v.replace(chr(39), chr(39) * 2)}')"
+        for k, v in CURP_STATE_CODES.items()
+    )
+    return f"""
+WITH cards AS ({CARDS_SQL}),
+dim(code, estado) AS (VALUES {rows}),
+keyed AS (
+  SELECT doc_id,
+    CASE WHEN length(curp) >= 16 THEN upper(substr(curp, 12, 2)) END AS code
+  FROM cards)
+SELECT doc_id, coalesce(estado, '') AS estado
+FROM keyed LEFT JOIN dim USING (code)
+"""
+
+
 def q_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join broadcast chain region ⋈ nation ⋈ supplier (the classic
     snowflake walk; both dims broadcast, zero shuffle joins)."""
@@ -1268,6 +1335,8 @@ def registry() -> dict[str, Entry]:
         "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
+        "curp_state_join": (q_curp_state_join, _sql_curp_state_join()),
         "supplier_by_region": (q_supplier_by_region, SQL_SUPPLIER_BY_REGION),
         "part_filter_agg": (q_part_filter_agg, SQL_PART_FILTER_AGG),
         "top_orders_per_customer": (
