@@ -922,25 +922,52 @@ FROM m
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir)
-    t = F.col("text")
+    df = ts.with_winnow_fingerprints(
+        _docs_df(spark, sf_dir).select("doc_id", "text")
+    )
+    winnow = F.col("winnow")
     return df.select(
         "doc_id",
-        ts.fingerprint(t).alias("fp"),
-        ts.prefix_fingerprint(t).alias("prefix_fp"),
+        ts.fingerprint(F.col("text")).alias("fp"),
+        ts.prefix_fingerprint(F.col("text")).alias("prefix_fp"),
+        F.size(winnow).cast("bigint").alias("n_winnow"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort(winnow), lambda h: h.cast("string")),
+            )
+        ).alias("winnow_digest"),
     )
 
 
-def _sql_fingerprint() -> str:
-    norm = _DUCK_NORM.format(t="text")
+def _sql_fingerprint(k: int = 5, w: int = 4) -> str:
+    norm = _DUCK_NORM.format(t="coalesce(text, '')")
     toks = _DUCK_TOKENS.format(t=norm)
     return f"""
-SELECT doc_id,
+WITH g AS (
+  SELECT doc_id, {norm} AS t,
+    CASE WHEN length({norm}) < {k} THEN []::bigint[]
+         ELSE list_transform(
+           generate_series(1, length({norm}) - {k - 1}),
+           i -> ('0x' || substr(md5(substr({norm}, i, {k})), 1, 15))::bigint)
+    END AS grams
+  FROM documents),
+wsel AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(grams) < {w} THEN []::bigint[]
+         ELSE list_transform(
+           generate_series(1, len(grams) - {w - 1}),
+           j -> list_min(grams[j:j + {w - 1}]))
+    END) AS sel
+  FROM g)
+SELECT d.doc_id,
   md5({norm}) AS fp,
   ('0x' || substr(md5(array_to_string(list_transform(
       generate_series(1, least(len({toks}), 8)),
-      i -> ({toks})[i]), ' ')), 1, 15))::bigint AS prefix_fp
-FROM documents
+      i -> ({toks})[i]), ' ')), 1, 15))::bigint AS prefix_fp,
+  len(w2.sel)::bigint AS n_winnow,
+  md5(array_to_string(list_sort(w2.sel), ',')) AS winnow_digest
+FROM documents d JOIN wsel w2 ON d.doc_id = w2.doc_id
 """
 
 

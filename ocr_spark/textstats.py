@@ -135,6 +135,48 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm_text(text))
 
 
+def with_winnow_fingerprints(df, text_col: str = "text",
+                             out_col: str = "winnow",
+                             k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken \'03):
+    hash every char k-gram of the normalized text, slide a window of w
+    hashes, keep each window\'s minimum — the classic plagiarism/near-dup
+    fingerprint that guarantees matches of length ≥ k+w-1 share a print.
+
+    DataFrame-level on purpose: the k-gram hash array MUST be a projected
+    attribute before the window-min pass references it — an inline
+    expression gets re-evaluated inside the per-window lambda, turning the
+    operator O(n²) in document length (observed as a multi-minute hang at
+    SF scale).  Three narrow projections, no shuffle, no UDF.
+
+    Adds ``out_col`` = distinct selected hashes in window order
+    (array<bigint>); all other columns pass through."""
+    cols = df.columns
+    norm = norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    staged = df.select(*cols, norm.alias("__winnow_norm"))
+
+    t = F.col("__winnow_norm")
+    n = F.length(t)
+    grams = F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: portable_hash(t.substr(i, F.lit(k))),
+        )
+    )
+    staged = staged.select(*cols, grams.alias("__winnow_grams"))
+
+    g = F.col("__winnow_grams")
+    sel = F.when(
+        F.size(g) < w, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - (w - 1)),
+            lambda j: F.array_min(F.slice(g, j, w)),
+        )
+    )
+    return staged.select(*cols, F.array_distinct(sel).alias(out_col))
+
+
 def prefix_fingerprint(text: Column, n_tokens: int = 8) -> Column:
     """Locality-friendly fingerprint of the first ``n_tokens`` tokens —
     the 'rolling hash head' used for cheap near-duplicate pre-bucketing."""

@@ -4,6 +4,7 @@ textstats) against plain-Python reference computations on small inputs."""
 from __future__ import annotations
 
 import hashlib
+import re
 import math
 
 from pyspark.sql import functions as F
@@ -184,3 +185,35 @@ def test_prefix_fingerprint_matches_python(spark):
     got = df.select(
         ts.prefix_fingerprint(F.col("text")).alias("h")).collect()[0].h
     assert got == _py_hash60("alpha beta gamma")
+
+
+def test_winnow_fingerprints_match_python(spark):
+    """Winnowing (k=5, w=4) against a direct Python implementation."""
+    from ocr_spark.textstats import with_winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abc",                # shorter than k → empty
+        "abcdefg",            # grams but < w windows → empty
+        "aaaaaaaaaaaaaaa",    # degenerate: identical grams
+    ]
+    df = _df(spark, list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r.doc_id: sorted(r.winnow)
+        for r in with_winnow_fingerprints(df).collect()
+    }
+
+    def py_winnow(text, k=5, w=4):
+        t = re.sub(r"\s+", " ", text.strip()).lower()
+        grams = [_py_hash60(t[i:i + k]) for i in range(len(t) - k + 1)]
+        if len(grams) < w:
+            return []
+        sel = [min(grams[j:j + w]) for j in range(len(grams) - w + 1)]
+        out = []
+        for h in sel:
+            if h not in out:
+                out.append(h)
+        return sorted(out)
+
+    for i, text in enumerate(texts):
+        assert got[i] == py_winnow(text), (i, text)
