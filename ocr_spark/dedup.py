@@ -152,12 +152,22 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         bucket.alias("bucket"),
         sh.alias("sh"),
+        F.size(sh).alias("n_sh"),
     )
     left = base.alias("l")
     right = base.alias("r")
     pairs = left.join(right, on="bucket").filter(F.col("l.id") < F.col("r.id"))
+    # Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose set sizes differ too much can never reach the threshold —
+    # skip their O(|A|+|B|) intersect entirely.  Result-identical.
+    ratio_ok = (
+        F.least(F.col("l.n_sh"), F.col("r.n_sh")).cast("double")
+        >= F.lit(threshold)
+        * F.greatest(F.col("l.n_sh"), F.col("r.n_sh")).cast("double")
+    )
     return (
-        pairs.select(
+        pairs.filter(ratio_ok)
+        .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard_sim"),
@@ -226,9 +236,15 @@ def minhash_lsh_pairs(
     )
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ratio_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        >= F.lit(verify_threshold)
+        * F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
+    )
     return (
         cand.join(sh_a, on="id_a")
         .join(sh_b, on="id_b")
+        .filter(ratio_ok)  # J ≤ min/max sizes — result-identical prefilter
         .select(
             "id_a", "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),

@@ -852,6 +852,62 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 
 # -------------------------------------------------------- textstats family
 
+def q_embed_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DOCUMENT pairs: documents joined to
+    their embedding vectors (doc_id = vec_id), LSH-bucketed candidates,
+    exact-cosine verify, annotated with cluster-label agreement."""
+    _register(spark, sf_dir, ["documents", "embeddings"])
+    docs = spark.table("documents").select("doc_id", "lang")
+    emb = spark.table("embeddings")
+    joined = docs.join(
+        emb, docs.doc_id == emb.vec_id
+    ).select("doc_id", "embedding", "label")
+    pairs = lsh_ann_pairs(
+        joined, id_col="doc_id", planes=hyperplanes(4), min_cosine=0.25
+    )
+    labels = joined.select(
+        F.col("doc_id").alias("id"), F.col("label").alias("lab")
+    )
+    return (
+        pairs.join(labels.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("lab", "label_a"), on="id_a")
+        .join(labels.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("lab", "label_b"), on="id_b")
+        .select(
+            "id_a", "id_b", "cosine_sim",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+        )
+    )
+
+
+def _sql_embed_doc_neardup() -> str:
+    bits = []
+    for plane in hyperplanes(4):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
+        dot = _DUCK_DOT.format(a="embedding", b=lit)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    pair_dot = _DUCK_DOT.format(a="l.v", b="r.v")
+    norm_l = _DUCK_DOT.format(a="l.v", b="l.v")
+    norm_r = _DUCK_DOT.format(a="r.v", b="r.v")
+    return f"""
+WITH j AS (
+  SELECT d.doc_id AS id, e.embedding, e.label
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+b AS (SELECT id, embedding AS v, label, {bucket} AS bucket FROM j),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+    CASE WHEN sqrt({norm_l}) = 0 OR sqrt({norm_r}) = 0 THEN 0.0
+         ELSE floor({pair_dot} / (sqrt({norm_l}) * sqrt({norm_r}))
+               * 1000000) / 1000000
+    END AS cosine_sim,
+    (l.label = r.label) AS same_label
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+SELECT id_a, id_b, cosine_sim, same_label
+FROM pairs WHERE cosine_sim >= 0.25
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs_df(spark, sf_dir)
     return df.select(
@@ -1354,6 +1410,7 @@ def registry() -> dict[str, Entry]:
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
+        "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
         "langid": (q_langid, _sql_langid()),
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),
