@@ -21,7 +21,10 @@ class PipelineConfig:
       (main.py:1211-1256, OCR_TIMEOUT_SECONDS=30 main.py:123).
     - ``salt_buckets``: salt cardinality appended to the doc_id hash when
       repartitioning media spans, so a single media-heavy document spreads
-      over up to ``salt_buckets`` shuffle partitions.
+      over up to ``salt_buckets`` shuffle partitions.  Hash placement of
+      the salted keys is collision-prone (measured 4-of-16 keys landing in
+      one partition), so size this ≥ 4× the per-doc parallelism you
+      actually need and keep shuffle partitions ≥ 4× salt_buckets.
     - ``media_partitions`` / ``text_partitions``: the two paths are
       repartitioned separately (media partitions sized for model batch
       memory, text partitions for cheap CPU); ``None`` → leave to AQE.
