@@ -49,6 +49,8 @@ from ocr_spark.dedup import (
 from ocr_spark.similarity import (
     brute_force_topk,
     hyperplanes,
+    ivf_centroids,
+    ivf_search,
     lsh_ann_pairs,
 )
 
@@ -852,6 +854,53 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 
 # -------------------------------------------------------- textstats family
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k ANN: the scale path that scores only the n_probes
+    closest inverted-file cells per query (vs the brute-force baseline in
+    ann_cosine_topk)."""
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(emb, queries, k=5, n_probes=2)
+
+
+def _sql_ann_ivf(k: int = 5, n_probes: int = 2) -> str:
+    cells = []
+    for i, c in enumerate(ivf_centroids()):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]::double[]"
+        dot = _DUCK_DOT.format(a="embedding", b=lit)
+        cells.append(
+            f"{{'score': {dot}, 'prio': {-i}, 'cell': {i}}}"
+        )
+    structs = "[" + ", ".join(cells) + "]"
+    pair_dot = _DUCK_DOT.format(a="c.v", b="q.qv")
+    norm_c = _DUCK_DOT.format(a="c.v", b="c.v")
+    norm_q = _DUCK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+WITH assigned AS (
+  SELECT vec_id AS id, embedding AS v,
+         (list_max({structs})).cell AS cell
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest(list_transform(
+           list_reverse(list_sort({structs}))[1:{n_probes}],
+           s -> s.cell)) AS cell
+  FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.id AS neighbor_id,
+    CASE WHEN sqrt({norm_c}) = 0 OR sqrt({norm_q}) = 0 THEN 0.0
+         ELSE floor({pair_dot} / (sqrt({norm_c}) * sqrt({norm_q}))
+               * 1000000) / 1000000
+    END AS cosine_sim
+  FROM assigned c JOIN probes q ON c.cell = q.cell
+  WHERE c.id <> q.query_id)
+SELECT query_id, neighbor_id, cosine_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id ASC) <= {k}
+"""
+
+
 def q_embed_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate DOCUMENT pairs: documents joined to
     their embedding vectors (doc_id = vec_id), LSH-bucketed candidates,
@@ -1411,6 +1460,7 @@ def registry() -> dict[str, Entry]:
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
         "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
+        "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf()),
         "langid": (q_langid, _sql_langid()),
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),

@@ -112,6 +112,102 @@ def brute_force_topk(
     )
 
 
+def ivf_centroids(
+    n_cells: int = 16, dims: int = DEFAULT_DIMS, seed: str = "ivf"
+) -> list[list[float]]:
+    """Deterministic pseudo-random coarse-quantizer centroids (the sandbox
+    stand-in for k-means-trained ones; the assignment/probe machinery is
+    identical either way)."""
+    return hyperplanes(n_cells, dims, seed)
+
+
+def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-dot centroid id, ties to the lowest id (struct-max trick)."""
+    scored = [
+        F.struct(
+            dot_fold(
+                vec, F.array(*[F.lit(v) for v in c])
+            ).alias("score"),
+            F.lit(-i).alias("prio"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored))["cell"]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF index build: (id, v, cell).  Narrow — one pass, no shuffle; at
+    scale the output is written partitioned by cell so probes prune files."""
+    centroids = centroids or ivf_centroids()
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _cell_of(F.col(vec_col), centroids).alias("cell"),
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k: score only vectors whose cell is among each query's
+    ``n_probes`` closest centroids — the inverted-file pruning that turns
+    brute force O(N) per query into O(N · probes / cells).
+
+    Output: (query_id, neighbor_id, cosine_sim), ≤ k rows per query."""
+    centroids = centroids or ivf_centroids()
+    indexed = ivf_assign(corpus, id_col, vec_col, centroids)
+
+    scored_cells = [
+        F.struct(
+            dot_fold(
+                F.col(vec_col), F.array(*[F.lit(v) for v in c])
+            ).alias("score"),
+            F.lit(-i).alias("prio"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.array(*scored_cells))), 1, n_probes
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.transform(probe_cells, lambda s: s["cell"]).alias("cells"),
+    ).select(
+        "query_id", "qv", F.explode("cells").alias("cell")
+    )
+
+    cand = indexed.join(F.broadcast(q), on="cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine(F.col("v"), F.col("qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def lsh_bucket(
     vec: Column, planes: list[list[float]] | None = None
 ) -> Column:

@@ -217,3 +217,32 @@ def test_winnow_fingerprints_match_python(spark):
 
     for i, text in enumerate(texts):
         assert got[i] == py_winnow(text), (i, text)
+
+
+def test_ivf_with_all_probes_equals_brute_force(spark):
+    """Probing every cell must reproduce exact brute-force top-k; fewer
+    probes trade recall for the pruned scan."""
+    from ocr_spark.similarity import ivf_centroids, ivf_search
+
+    rng_vecs = [
+        (i, [((i * 7 + d * 13) % 21 - 10) / 10.0 for d in range(16)])
+        for i in range(40)
+    ]
+    df = _df(spark, rng_vecs, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    cents = ivf_centroids(8, dims=16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, q, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(df, q, k=3, n_probes=8, centroids=cents).collect()
+    }
+    assert full == exact
+    pruned = ivf_search(df, q, k=3, n_probes=2, centroids=cents).collect()
+    assert {(r.query_id, r.neighbor_id) for r in pruned} <= set(
+        (qid, n) for qid in range(4) for n in range(40)
+    )
+    assert all(len([r for r in pruned if r.query_id == qid]) <= 3
+               for qid in range(4))
