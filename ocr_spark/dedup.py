@@ -116,8 +116,11 @@ def exact_duplicates(
     One shuffle (groupBy digest); output one row per *duplicated* digest
     with the canonical (min) id and the group size.
     """
-    keyed = df.select(
-        F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("digest")
+    # NULL text (quarantined/empty docs) must not collapse into one bogus
+    # "duplicate" group via the NULL digest; they are simply not dedupable.
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.md5(norm_text(F.col(text_col))).alias("digest"),
     )
     return (
         keyed.groupBy("digest")
@@ -139,14 +142,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Jaccard near-dup pairs inside cheap blocking buckets.
 
-    ``bucket_col`` defaults to token-count decile-ish blocking
-    (floor(n_tokens/16)) — near-dups rarely differ wildly in length.  The
-    self-join shuffles on the bucket key only.
+    ``bucket_col`` defaults to the 1-permutation MinHash bucket (minimum
+    shingle hash): block sizes stay bounded at any corpus size and, unlike
+    length bucketing, a near-identical pair can never straddle a boundary
+    (a 31-token doc and its 33-token copy land in different length buckets
+    and would silently never pair).  Recall per pair ≈ its Jaccard; the
+    banded variant below is the high-recall path.  The self-join shuffles
+    on the bucket key only.
     """
     toks = tokens(F.col(text_col))
     sh = shingle_hashes(toks, n)
-    bucket = bucket_col if bucket_col is not None else F.floor(
-        F.size(toks) / F.lit(16)
+    bucket = bucket_col if bucket_col is not None else F.coalesce(
+        F.array_min(sh), F.lit(-1)
     )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -184,6 +191,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     verify_threshold: float = 0.3,
     shingle_n: int = DEFAULT_SHINGLE,
+    persist_base: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -204,8 +212,12 @@ def minhash_lsh_pairs(
     # The hashed-shingle base feeds banding AND both sides of the verify
     # join; persisting it avoids recomputing tokenize+shingle+hash three
     # times (spills to disk when it outgrows memory — it is the compressed
-    # per-doc sketch, ~2 orders smaller than the corpus text).
-    base = base.persist()
+    # per-doc sketch, ~2 orders smaller than the corpus text).  Spark's
+    # CacheManager holds the entry until unpersist, so repeated callers in
+    # one long session should pass persist_base=False (or clearCache());
+    # one-shot jobs keep the default.
+    if persist_base:
+        base = base.persist()
     sig_df = base.withColumn("sig", minhash_signature(F.col("sh"), k))
 
     n_bands = k // band_size

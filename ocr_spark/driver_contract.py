@@ -1146,9 +1146,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["events"])
     ev = spark.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w)
-    )
+    # cast-to-double keeps sub-second precision; unix_timestamp truncates
+    # to whole seconds and would disagree with the oracle's epoch() on
+    # gaps within 1s of the threshold
+    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ (UTC
+    # session) → fractional epoch seconds; NTZ cannot cast to double directly
+    gap = epoch - F.lag(epoch).over(w)
     with_break = ev.withColumn(
         "brk",
         F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0)),

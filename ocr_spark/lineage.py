@@ -43,14 +43,22 @@ def bucket_of(doc_id, n_buckets: int):
 
 
 def done_buckets(spark: SparkSession, lineage_dir: str, run_id: str) -> list[int]:
-    """Buckets already committed for this run (empty when no lineage yet)."""
-    if not os.path.exists(lineage_dir):
-        return []
-    rows = (
-        spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
-        .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-        .select("bucket").distinct().collect()
-    )
+    """Buckets already committed for this run (empty when no lineage yet).
+
+    Missing-table detection goes through Spark's own reader, not a local
+    filesystem probe — ``os.path.exists`` is always False for hdfs://,
+    s3a:// etc., which would silently disable resume on exactly the
+    deployments that need it."""
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("bucket").distinct().collect()
+        )
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND et al.
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return []
+        raise
     return sorted(r.bucket for r in rows)
 
 
@@ -69,7 +77,7 @@ def run_resumable(
     cfg = cfg or PipelineConfig()
     skip = done_buckets(spark, lineage_dir, run_id)
     if len(skip) >= n_buckets:
-        # Every bucket committed — nothing to scan, nothing to run.
+        # Every configured bucket committed — nothing to scan or run.
         return {"run_id": run_id, "skipped_buckets": len(skip),
                 "processed_buckets": 0, "wall_ms": 0}
 
@@ -78,9 +86,22 @@ def run_resumable(
     )
     if skip:
         pending = pending.filter(~F.col("bucket").isin(skip))
+        # A fully-committed run whose corpus does not populate every
+        # configured bucket never trips the count check above; proving
+        # emptiness costs one scan and only happens on no-op reruns.
+        if pending.isEmpty():
+            return {"run_id": run_id, "skipped_buckets": len(skip),
+                    "processed_buckets": 0, "wall_ms": 0}
 
-    docs_in = (
+    # Collected once (bucket-cardinality rows): reused for the lineage
+    # join AND the summary without re-scanning the input.
+    docs_in_rows = (
         pending.groupBy("bucket").agg(F.count(F.lit(1)).alias("docs_in"))
+        .collect()
+    )
+    docs_in = spark.createDataFrame(
+        [(int(r.bucket), int(r.docs_in)) for r in docs_in_rows],
+        schema="bucket int, docs_in bigint",
     )
     started = time.monotonic()
     out = run_extraction(spark, pending.drop("bucket"), media_df, cfg)
@@ -124,9 +145,7 @@ def run_resumable(
     )
     lineage.write.mode("append").parquet(lineage_dir)
 
-    n_pending = len(
-        [r for r in docs_in.select("bucket").collect()]
-    )
+    n_pending = len(docs_in_rows)
     return {
         "run_id": run_id,
         "skipped_buckets": len(skip),

@@ -283,7 +283,11 @@ def clean_name(name: Column) -> Column:
         lambda t: t != F.lit(""),
     )
     stop = F.array(*[F.lit(w) for w in NAME_STOPWORDS])
-    cleaned = lambda t: F.regexp_replace(F.upper(t), r"[^\wÁÉÍÓÚÜÑ]", "")
+    # (?U) makes Java's \w Unicode-aware like Python's (the reference keeps
+    # any accented letter, not just the ÁÉÍÓÚÜÑ listed explicitly).  The
+    # DuckDB oracle's RE2 \w is ASCII-only; the contract inputs stay within
+    # the explicit set so the two agree there.
+    cleaned = lambda t: F.regexp_replace(F.upper(t), r"(?U)[^\wÁÉÍÓÚÜÑ]", "")
     passes = lambda t: (
         (F.length(cleaned(t)) > 1)
         & ~F.array_contains(stop, cleaned(t))

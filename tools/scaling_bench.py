@@ -156,7 +156,8 @@ def main() -> None:
     print(json.dumps(report))
 
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         li = profiles["light"]
         with open(out_path, "w") as f:
             f.write(f"""# Scaling evidence — extraction pipeline (N vs 4N parallelism)
