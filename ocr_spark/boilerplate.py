@@ -13,6 +13,7 @@ the same code serves the executor-side pandas UDF and the test oracle.
 
 from __future__ import annotations
 
+import html
 import re
 
 # Containers that are boilerplate by construction.
@@ -28,12 +29,12 @@ _BLOCK_SPLIT = re.compile(
     re.IGNORECASE,
 )
 _TAG = re.compile(r"<[^>]+>")
+# Markup detector for routing: a real tag opens with a letter, '/' or '!'
+# immediately after '<' ("x < y and y > z" must stay plain text; browsers
+# treat "< y" as text too).
+_MARKUP = re.compile(r"</?[A-Za-z!][^>]*>")
 _ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _WS = re.compile(r"\s+")
-_ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
-}
 
 # A block survives when visible text per tag exceeds this many characters
 # and anchors contribute under half of its visible text.
@@ -42,9 +43,9 @@ LINK_DENSITY_THRESHOLD = 0.5
 
 
 def _unescape(text: str) -> str:
-    for k, v in _ENTITIES.items():
-        text = text.replace(k, v)
-    return text
+    # stdlib html.unescape: a hand-rolled replace table double-unescaped
+    # ('&amp;lt;' became '<' instead of the literal '&lt;').
+    return html.unescape(text)
 
 
 def _collapse(text: str) -> str:
@@ -56,7 +57,10 @@ def strip_boilerplate(text: str | None) -> str | None:
     through with whitespace normalized.  ``None`` stays ``None``."""
     if text is None:
         return None
-    if "<" not in text:
+    # Route to the HTML path only when actual markup is present: a bare
+    # '<' in plain text (comparisons, code fragments) must not subject the
+    # span to the block-ratio filter, which destroys short content.
+    if not _MARKUP.search(text):
         return _collapse(text)
 
     doc = _COMMENT.sub(" ", text)

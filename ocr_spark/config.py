@@ -48,3 +48,9 @@ class PipelineConfig:
     preproc_backend: str = "fake"
     deskew: bool = True
     binarize: bool = True
+    # Hard per-image isolation: run inference in a killable child process
+    # (the reference's mp.Process+terminate semantics, main.py:1233-1247).
+    # The default soft budget quarantines overruns only after recognize()
+    # RETURNS; it cannot preempt a hung native call — enable this when the
+    # backend can genuinely hang, at the cost of one model copy + IPC.
+    hard_kill: bool = False

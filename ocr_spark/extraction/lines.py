@@ -13,7 +13,6 @@ from ocr_spark.constants import REF_YEAR
 
 _WS = re.compile(r"\s+")
 _FOUR_DIGITS = re.compile(r"\d{4}")
-_SECTION = re.compile(r"\d{4}")
 
 
 def normalize_lines(lines: list[str] | None) -> list[str]:
@@ -90,6 +89,6 @@ def find_section(lines: list[str]) -> str:
     section.  Reference: ``buscar_seccion`` main.py:1172-1186."""
     for line in lines:
         stripped = line.strip()
-        if _SECTION.fullmatch(stripped):
+        if _FOUR_DIGITS.fullmatch(stripped):
             return stripped
     return ""

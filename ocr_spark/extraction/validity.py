@@ -19,12 +19,14 @@ from __future__ import annotations
 
 import re
 
-from ocr_spark.extraction.lines import normalize_lines
+from ocr_spark.extraction.lines import (
+    _plausible_year_pair,
+    normalize_lines,
+)
 
 _SAME_LINE = re.compile(r"VIGENCIA\s*[:\-]?\s*(\d{4}\s*[-\s]+\s*\d{4})")
 _YEAR_PAIR_LOOSE = re.compile(r"(\d{4}\s*[-\s]+\s*\d{4})")
 _YEAR_PAIR_DASH = re.compile(r"\b(\d{4}\s*[-]\s*\d{4})\b")
-_FOUR_DIGITS = re.compile(r"\d{4}")
 _PLAUSIBLE_YEAR = re.compile(r"\b(19\d{2}|20\d{2})\b")
 _WS = re.compile(r"\s+")
 
@@ -55,12 +57,8 @@ def extract_validity(lines: list[str], credential_type: str) -> str:
                     return _format_pair(m.group(1))
 
         m = _YEAR_PAIR_DASH.search(line)
-        if m:
-            years = _FOUR_DIGITS.findall(m.group(1))
-            if len(years) == 2:
-                y1, y2 = int(years[0]), int(years[1])
-                if 1900 <= y1 <= 2099 and 1900 <= y2 <= 2099 and y2 > y1:
-                    return _format_pair(m.group(1))
+        if m and _plausible_year_pair(m.group(1)):
+            return _format_pair(m.group(1))
 
     for i, line in enumerate(clean):
         if "VIGENCIA" in line.upper():

@@ -102,10 +102,8 @@ def gen_ine_lines(rng: Random) -> list[str]:
             lines.append("MEXICO")
 
     name_style = rng.random()
-    if card_kind == "GH" and name_style < 0.4:
-        lines.append("NOMBRE")
-        lines += name_lines
-    elif name_style < 0.7:
+    if name_style < 0.7:
+        # labeled layout (exercises name strategy (b) on GH cards)
         lines.append("NOMBRE")
         lines += name_lines
     else:

@@ -47,9 +47,14 @@ SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 
 
 def explode_spans(spans_df: DataFrame) -> DataFrame:
-    """documents_spans → one row per span, order carried by ``offset``."""
+    """documents_spans → one row per span, order carried by ``offset``.
+
+    ``explode_outer`` so a document with an empty (or null) spans array
+    still yields one all-null row — plain ``explode`` would silently drop
+    the document from the output instead of producing
+    ``(doc_id, spans_out=[], fields-of-nothing)``."""
     return spans_df.select(
-        "doc_id", F.explode("spans").alias("s")
+        "doc_id", F.explode_outer("spans").alias("s")
     ).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -101,6 +106,7 @@ def media_path(
             cfg.recognizer_backend, cfg.media_time_budget_s,
             cfg.fake_work_iters,
             cfg.preproc_backend, cfg.deskew, cfg.binarize,
+            cfg.hard_kill,
         ),
         schema=OCR_OUT_SCHEMA,
     )
@@ -116,6 +122,30 @@ def media_path(
     )
 
 
+def other_path(exploded: DataFrame) -> DataFrame:
+    """Spans that are neither text nor media.
+
+    Null kind = the explode_outer placeholder of a legitimately empty
+    document → passes through so the doc appears in the output (the splice
+    drops the placeholder from spans_out).  Any other kind is malformed
+    input → quarantined with an error row, never silently dropped (same
+    contract as missing_media/decode_error/timeout)."""
+    other = exploded.filter(
+        F.col("kind").isNull() | ~F.col("kind").isin("text", "media")
+    )
+    return other.select(
+        "doc_id",
+        "kind",
+        F.lit(None).cast("string").alias("text"),
+        "media_ref",
+        "offset",
+        F.when(
+            F.col("kind").isNotNull(),
+            F.concat(F.lit("unknown_kind:"), F.col("kind")),
+        ).alias("error"),
+    )
+
+
 def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The one wide shuffle: reassemble each document's ordered span
     sequence and run the field-extraction cascade over its recognized lines.
@@ -127,7 +157,14 @@ def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     spliced = all_spans.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            F.collect_list(
+                # collect_list skips nulls: the empty-document placeholder
+                # (null kind, from explode_outer) contributes no span.
+                F.when(
+                    F.col("kind").isNotNull(),
+                    F.struct("offset", "kind", "text", "media_ref"),
+                )
+            )
         ).alias("_sorted"),
         F.collect_list(
             F.when(
@@ -176,7 +213,9 @@ def run_extraction(
     """Full pipeline: returns (doc_id, spans_out, fields, errors)."""
     cfg = cfg or PipelineConfig()
     exploded = explode_spans(spans_df)
-    spans = text_path(exploded, cfg).unionByName(
-        media_path(exploded, media_df, cfg)
+    spans = (
+        text_path(exploded, cfg)
+        .unionByName(media_path(exploded, media_df, cfg))
+        .unionByName(other_path(exploded))
     )
     return splice_documents(spans, cfg)

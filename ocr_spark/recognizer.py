@@ -81,7 +81,9 @@ class FakeRecognizer:
         if sleep_s:
             # Simulate a slow inference; the caller's budget check converts
             # overruns into quarantined rows (never a killed executor).
-            time.sleep(min(sleep_s, (time_budget_s or sleep_s) + 0.05))
+            # `is not None` — a 0.0 budget is a real budget, not absence.
+            cap = time_budget_s if time_budget_s is not None else sleep_s
+            time.sleep(min(sleep_s, cap + 0.05))
 
         lines = [str(x) for x in payload.get("lines") or []]
         return RecognizeResult(lines)
@@ -123,6 +125,72 @@ class PaddleRecognizer:
         result = self._engine.predict(img)
         lines = result[0]["rec_texts"] if result else []
         return RecognizeResult(list(lines))
+
+
+class ProcessIsolatedRecognizer:
+    """Hard-kill wrapper: runs the wrapped backend in ONE persistent child
+    process per Python worker and ``kill()``s it on budget overrun — the
+    distributed analogue of the reference's per-request ``mp.Process`` +
+    ``terminate()`` (main.py:1233-1247), minus its per-request model reload.
+
+    The soft in-UDF budget check cannot preempt a *hung* native inference
+    call (it only fires after ``recognize`` returns); this wrapper can.
+    Cost: one model copy + IPC per image — enable via
+    ``PipelineConfig(hard_kill=True)`` when the backend can genuinely hang.
+    """
+
+    def __init__(self, backend: str, fake_work_iters: int = 0) -> None:
+        self.backend = backend
+        self.fake_work_iters = fake_work_iters
+        self._proc = None
+        self._conn = None
+
+    @staticmethod
+    def _worker_loop(backend: str, fake_work_iters: int, conn) -> None:
+        recognizer = get_recognizer(backend, fake_work_iters)
+        while True:
+            try:
+                content = conn.recv()
+            except EOFError:
+                return
+            try:
+                result = recognizer.recognize(content, None)
+                conn.send((result.lines, result.error))
+            except Exception as exc:
+                conn.send(([], f"ocr_error:{exc}"))
+
+    def _ensure(self) -> None:
+        if self._proc is None or not self._proc.is_alive():
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            parent, child = ctx.Pipe()
+            proc = ctx.Process(
+                target=self._worker_loop,
+                args=(self.backend, self.fake_work_iters, child),
+                daemon=True,
+            )
+            proc.start()
+            child.close()
+            self._proc, self._conn = proc, parent
+
+    def recognize(
+        self, content: bytes | None, time_budget_s: float | None = None
+    ) -> RecognizeResult:
+        self._ensure()
+        try:
+            self._conn.send(content)
+            if self._conn.poll(time_budget_s):
+                lines, error = self._conn.recv()
+                return RecognizeResult(lines, error)
+        except (BrokenPipeError, EOFError, OSError):
+            pass
+        # Overrun or dead child: kill, respawn lazily on the next image.
+        self._proc.kill()
+        self._proc.join()
+        self._proc = None
+        self._conn = None
+        return RecognizeResult([], error="timeout")
 
 
 _RECOGNIZER_CACHE: dict[tuple, object] = {}

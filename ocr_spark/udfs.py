@@ -86,7 +86,8 @@ def strip_boilerplate_udf(text: pd.Series) -> pd.Series:
 def make_ocr_batch_fn(backend: str, time_budget_s: float,
                       fake_work_iters: int = 0,
                       preproc_backend: str = "fake",
-                      deskew: bool = True, binarize: bool = True):
+                      deskew: bool = True, binarize: bool = True,
+                      hard_kill: bool = False):
     """mapInPandas stage: (doc_id, offset, media_ref, content) batches →
     (doc_id, offset, media_ref, lines, error).
 
@@ -98,8 +99,15 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float,
 
     def ocr_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_spark.preproc import get_preprocessor
+        from ocr_spark.recognizer import ProcessIsolatedRecognizer
 
-        recognizer = get_recognizer(backend, fake_work_iters)
+        if hard_kill:
+            # Child-process isolation with a real kill on overrun — the only
+            # defense against a backend that HANGS (the soft check below
+            # only fires after recognize returns).
+            recognizer = ProcessIsolatedRecognizer(backend, fake_work_iters)
+        else:
+            recognizer = get_recognizer(backend, fake_work_iters)
         preproc = get_preprocessor(preproc_backend)
         do_preproc = deskew or binarize
         for pdf in batches:
@@ -121,7 +129,13 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float,
                         time.monotonic() - started > time_budget_s
                     ):
                         result = RecognizeResult([], error="timeout")
-                lines_out.append(result.lines)
+                # Recognized lines are spliced via array_join('\n') and
+                # split back for the field cascade; an embedded newline in a
+                # single OCR "line" (out-of-contract backend) would shift
+                # every line boundary downstream — normalize it away here.
+                lines_out.append(
+                    [ln.replace("\n", " ") for ln in result.lines]
+                )
                 error_out.append(result.error)
             out = pdf[["doc_id", "offset", "media_ref"]].copy()
             out["lines"] = lines_out

@@ -1,0 +1,111 @@
+"""Edge-path regressions from review: empty documents survive the
+pipeline, unknown span kinds are quarantined (never dropped), the
+hard-kill recognizer preempts hung inference, boilerplate treats bare '<'
+as text, and embedded newlines in OCR lines cannot shift line boundaries."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from ocr_spark.boilerplate import strip_boilerplate
+from ocr_spark.config import PipelineConfig
+from ocr_spark.fixtures import fake_media_content
+from ocr_spark.pipeline import run_extraction
+from ocr_spark.recognizer import ProcessIsolatedRecognizer
+
+SPANS_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
+             "media_ref:string,offset:int>>")
+MEDIA_DDL = ("media_ref string, content binary, fmt string, width int, "
+             "height int, truth_lines array<string>")
+
+
+def _empty_media(spark):
+    return spark.createDataFrame([], schema=MEDIA_DDL)
+
+
+def test_empty_document_survives_pipeline(spark):
+    spans_df = spark.createDataFrame(
+        [("d_empty", []), ("d_text", [("text", "hello there", None, 0)])],
+        schema=SPANS_DDL,
+    )
+    rows = {r.doc_id: r for r in run_extraction(
+        spark, spans_df, _empty_media(spark), PipelineConfig()
+    ).collect()}
+    assert set(rows) == {"d_empty", "d_text"}
+    assert rows["d_empty"].spans_out == []
+    assert rows["d_empty"].errors == []
+    assert rows["d_text"].spans_out[0].text == "hello there"
+
+
+def test_unknown_kind_is_quarantined_not_dropped(spark):
+    spans_df = spark.createDataFrame(
+        [("d1", [("text", "ok", None, 0), ("image", None, "x", 1)])],
+        schema=SPANS_DDL,
+    )
+    row = run_extraction(
+        spark, spans_df, _empty_media(spark), PipelineConfig()
+    ).collect()[0]
+    assert len(row.spans_out) == 2  # position kept, text null
+    assert row.spans_out[1].kind == "image"
+    assert row.spans_out[1].text is None
+    assert [e.error for e in row.errors] == ["unknown_kind:image"]
+
+
+def test_hard_kill_preempts_hung_inference():
+    """A recognize() call that sleeps past the budget is killed (not
+    awaited), and the NEXT image still works via respawn."""
+    rec = ProcessIsolatedRecognizer("fake")
+    slow = fake_media_content(["X"], sleep_s=30.0)
+    t0 = time.monotonic()
+    result = rec.recognize(slow, time_budget_s=0.5)
+    assert time.monotonic() - t0 < 5.0  # did not wait the 30 s
+    assert result.error == "timeout"
+    ok = rec.recognize(fake_media_content(["HELLO"]), time_budget_s=5.0)
+    assert ok.error is None and ok.lines == ["HELLO"]
+
+
+def test_hard_kill_pipeline_end_to_end(spark):
+    spans_df = spark.createDataFrame(
+        [("d1", [("media", None, "m_slow", 0), ("media", None, "m_ok", 1)])],
+        schema=SPANS_DDL,
+    )
+    media_df = spark.createDataFrame(
+        [("m_slow", fake_media_content(["X"], sleep_s=30.0), "img", 1, 1, ["X"]),
+         ("m_ok", fake_media_content(["FINE"]), "img", 1, 1, ["FINE"])],
+        schema=MEDIA_DDL,
+    )
+    cfg = PipelineConfig(media_time_budget_s=0.5, hard_kill=True)
+    t0 = time.monotonic()
+    row = run_extraction(spark, spans_df, media_df, cfg).collect()[0]
+    assert time.monotonic() - t0 < 60
+    assert [e.error for e in row.errors] == ["timeout"]
+    assert row.spans_out[1].text == "FINE"
+
+
+def test_boilerplate_bare_angle_bracket_is_plain_text():
+    assert strip_boilerplate("a<b") == "a<b"
+    assert strip_boilerplate("x < y and y > z") == "x < y and y > z"
+    # entities unescape exactly once
+    got = strip_boilerplate(
+        "<p>He said &amp;lt;tag&amp;gt; and 1 &lt; 2 here today ok</p>"
+    )
+    assert got == "He said &lt;tag&gt; and 1 < 2 here today ok"
+
+
+def test_embedded_newline_in_ocr_line_does_not_shift_boundaries(spark):
+    spans_df = spark.createDataFrame(
+        [("d1", [("media", None, "m1", 0)])], schema=SPANS_DDL
+    )
+    media_df = spark.createDataFrame(
+        [("m1", fake_media_content(["SECCION", "12\n34"]), "img", 1, 1, [])],
+        schema=MEDIA_DDL,
+    )
+    row = run_extraction(
+        spark, spans_df, media_df, PipelineConfig()
+    ).collect()[0]
+    # the rogue line stays ONE line ('12 34'); a naive join/split would
+    # have made '34' its own line
+    assert row.spans_out[0].text == "SECCION\n12 34"
+    assert row.fields.seccion == ""  # '12 34' is not a 4-digit line
