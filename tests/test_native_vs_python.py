@@ -173,3 +173,29 @@ def test_native_registry_suffix_and_cp_strip(spark):
         ).collect()
     ]
     assert got2 == ["FRACC LA HERRADURA III", "COL 770501 NORTE", "", "COL CENTRO"]
+
+
+def test_native_clean_name_matches_python(spark):
+    """P3 native vs the pinned-behavior Python, including the upper-cased
+    membership quirk, mixed punctuation, digit codes, stopwords, and a
+    non-listed accented letter (the (?U) Unicode \\w parity case)."""
+    from ocr_spark.extraction.name import clean_name as py_clean
+
+    names = [
+        "CASTILLO OLIVERA RICARDO ORLANDO",
+        "JUAN 123 PEREZ C1",
+        "DOMICILIO MARIA DE LA CRUZ",
+        "A B1 CD EF",
+        "JOSÉ Ma. GARCÍA LÓPEZ",
+        "ÀLVARO DÛPONT",          # accents outside the explicit set
+        "nombre Nombre NOMBRE x",  # case-insensitive membership quirk
+        "   ",
+        "12345 678A",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [
+        r.out for r in df.select(
+            native.clean_name(F.col("name")).alias("out")
+        ).collect()
+    ]
+    assert got == [py_clean(n) for n in names]
