@@ -42,13 +42,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="recognizer backend: fake|paddle")
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
     from ocr_spark.config import PipelineConfig
     from ocr_spark.corpus import corpus_dataframes_distributed
     from ocr_spark.lineage import run_resumable
+    from ocr_spark.session import get_spark
 
-    spark = SparkSession.builder.appName("ocr-spark-extract").getOrCreate()
+    # Tuned session defaults (AQE sizing, locality, Arrow, worker reuse)
+    # apply here too; spark-submit owns the master.
+    spark = get_spark("ocr-spark-extract", master="submit")
     if args.synthetic:
         spans_df, media_df = corpus_dataframes_distributed(
             spark, seed=args.seed, n_docs=args.synthetic

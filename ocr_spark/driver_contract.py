@@ -637,7 +637,7 @@ SQL_DEDUP_EXACT = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 keyed AS (SELECT doc_id AS id,
                  md5({_DUCK_NORM.format(t='text')}) AS digest
-          FROM corpus)
+          FROM corpus WHERE text IS NOT NULL)
 SELECT digest, min(id) AS canonical_id, count(*)::bigint AS n_docs
 FROM keyed GROUP BY digest HAVING count(*) > 1
 """
@@ -1031,10 +1031,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_df(spark, sf_dir).select("doc_id", "text")
     )
     winnow = F.col("winnow")
+    # coalesce for NULL-text parity with the oracle's coalesce(text, '')
+    nn_text = F.coalesce(F.col("text"), F.lit(""))
     return df.select(
         "doc_id",
-        ts.fingerprint(F.col("text")).alias("fp"),
-        ts.prefix_fingerprint(F.col("text")).alias("prefix_fp"),
+        ts.fingerprint(nn_text).alias("fp"),
+        ts.prefix_fingerprint(nn_text).alias("prefix_fp"),
         F.size(winnow).cast("bigint").alias("n_winnow"),
         F.md5(
             F.concat_ws(

@@ -23,7 +23,6 @@ partitions, so the protocol is idempotent.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,8 +32,8 @@ from ocr_spark.config import PipelineConfig
 from ocr_spark.pipeline import run_extraction
 
 LINEAGE_SCHEMA = (
-    "run_id string, bucket int, docs_in bigint, docs_out bigint, "
-    "bytes_out bigint, wall_ms bigint, status string"
+    "run_id string, bucket int, n_buckets int, docs_in bigint, "
+    "docs_out bigint, bytes_out bigint, wall_ms bigint, status string"
 )
 
 
@@ -42,23 +41,39 @@ def bucket_of(doc_id, n_buckets: int):
     return F.pmod(F.xxhash64(doc_id), F.lit(n_buckets)).cast("int")
 
 
-def done_buckets(spark: SparkSession, lineage_dir: str, run_id: str) -> list[int]:
+def done_buckets(
+    spark: SparkSession, lineage_dir: str, run_id: str,
+    n_buckets: int | None = None,
+) -> list[int]:
     """Buckets already committed for this run (empty when no lineage yet).
 
     Missing-table detection goes through Spark's own reader, not a local
     filesystem probe — ``os.path.exists`` is always False for hdfs://,
     s3a:// etc., which would silently disable resume on exactly the
-    deployments that need it."""
+    deployments that need it.
+
+    When ``n_buckets`` is given, it is validated against the value the
+    committed rows were produced with: resuming a mod-256 run with
+    mod-64 bucketing would silently skip documents whose NEW bucket id
+    collides with an OLD committed one — better to fail loudly."""
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
             .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-            .select("bucket").distinct().collect()
+            .select("bucket", "n_buckets").distinct().collect()
         )
     except Exception as exc:  # AnalysisException: PATH_NOT_FOUND et al.
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return []
         raise
+    if n_buckets is not None:
+        seen = {r.n_buckets for r in rows if r.n_buckets is not None}
+        if seen and seen != {n_buckets}:
+            raise ValueError(
+                f"run {run_id!r} was committed with n_buckets={sorted(seen)} "
+                f"but this resume uses n_buckets={n_buckets}; bucket ids are "
+                "not comparable across moduli — rerun with the original value"
+            )
     return sorted(r.bucket for r in rows)
 
 
@@ -75,7 +90,7 @@ def run_resumable(
     """One (re)run: process every bucket not yet 'done', commit data, then
     commit lineage.  Returns a summary dict for logging/tests."""
     cfg = cfg or PipelineConfig()
-    skip = done_buckets(spark, lineage_dir, run_id)
+    skip = done_buckets(spark, lineage_dir, run_id, n_buckets)
     if len(skip) >= n_buckets:
         # Every configured bucket committed — nothing to scan or run.
         return {"run_id": run_id, "skipped_buckets": len(skip),
@@ -86,12 +101,13 @@ def run_resumable(
     )
     if skip:
         pending = pending.filter(~F.col("bucket").isin(skip))
-        # A fully-committed run whose corpus does not populate every
-        # configured bucket never trips the count check above; proving
-        # emptiness costs one scan and only happens on no-op reruns.
-        if pending.isEmpty():
-            return {"run_id": run_id, "skipped_buckets": len(skip),
-                    "processed_buckets": 0, "wall_ms": 0}
+    # Nothing pending (fully-committed rerun with sparse buckets, or an
+    # empty input on a fresh run): writing and reading back an all-empty
+    # partitioned dataset would fail on schema inference — exit first.
+    # Proving emptiness costs at most one scan, and only on no-op runs.
+    if pending.isEmpty():
+        return {"run_id": run_id, "skipped_buckets": len(skip),
+                "processed_buckets": 0, "wall_ms": 0}
 
     # Collected once (bucket-cardinality rows): reused for the lineage
     # join AND the summary without re-scanning the input.
@@ -134,6 +150,7 @@ def run_resumable(
         .select(
             F.lit(run_id).alias("run_id"),
             F.col("bucket").cast("int").alias("bucket"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
             F.col("docs_in").cast("bigint").alias("docs_in"),
             F.coalesce(F.col("docs_out"), F.lit(0))
             .cast("bigint").alias("docs_out"),

@@ -15,16 +15,19 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a session with AQE, Arrow, and worker reuse on.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
-    real cluster pass nothing and let spark-submit own it.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
+    pass ``master="submit"`` from a spark-submit entry point so the
+    launcher owns the master while the tuned defaults still apply.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -4,9 +4,11 @@ The reference has no streaming semantics (SURVEY.md §2.10 — strictly
 request/response), and the target is a batch pipeline; this module is the
 continuous-ingestion adapter the survey reserves for it: a file-source
 stream of ``documents_spans`` rows drives the IDENTICAL batch pipeline per
-micro-batch through ``foreachBatch``, with Spark's own checkpointing
-providing exactly-once per-batch processing on top of the bucket-level
-lineage of :mod:`ocr_spark.lineage`.
+micro-batch through ``foreachBatch``.  Output is partitioned by
+``batch_id`` and written with dynamic partition overwrite, so a micro-batch
+replayed after a crash (foreachBatch is at-least-once) overwrites its own
+partition instead of appending duplicates — effectively-once results on
+top of Spark's offset checkpointing.
 
 No stateful operators, watermarks or event-time windows are introduced —
 nothing in the operator inventory needs them; each document is complete
@@ -49,9 +51,16 @@ def run_streaming_extraction(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = run_extraction(spark, batch_df, media_df, cfg)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        # foreachBatch may replay a batch after a crash between the data
+        # write and the streaming commit log; dynamic overwrite of the
+        # batch_id partition makes the replay idempotent.
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

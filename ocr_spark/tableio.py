@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import secrets
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,7 +56,12 @@ class ParquetManifestIO:
         """
         manifest = self._load(table)
         snap_id = len(manifest["snapshots"])
-        data_dir = os.path.join(self.root, table, f"data/s{snap_id:06d}")
+        # Unique suffix: an orphan from a crashed append must never collide
+        # with the retry (a deterministic s<N> path would fail
+        # errorifexists forever and brick the table).
+        data_dir = os.path.join(
+            self.root, table, f"data/s{snap_id:06d}-{secrets.token_hex(4)}"
+        )
         df.write.mode("errorifexists").parquet(data_dir)
 
         manifest["snapshots"].append({"id": snap_id, "dir": data_dir})

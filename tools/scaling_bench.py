@@ -120,8 +120,10 @@ def _sub(code: str, *args: str) -> str:
         env={**os.environ, "SPARK_DRIVER_MEMORY": "24g"},
     )
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0:
+        raise RuntimeError(f"subprocess failed: {r.stderr[-2000:]}")
     if code is WORKER and not lines:
-        raise RuntimeError(f"worker failed: {r.stderr[-2000:]}")
+        raise RuntimeError(f"worker produced no result: {r.stderr[-2000:]}")
     return lines[-1] if lines else ""
 
 
@@ -132,21 +134,24 @@ def main() -> None:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     plat = platform_speedup()
-    _sub(GEN, str(n_docs), CORPUS, str(PARTS))
-    profiles = {}
-    for label, iters in (("light", 0), ("inference", WORK_ITERS)):
-        lo = json.loads(_sub(WORKER, "8", str(n_docs), CORPUS,
-                             str(iters), str(RUNS), str(PARTS)))
-        hi = json.loads(_sub(WORKER, "32", str(n_docs), CORPUS,
-                             str(iters), str(RUNS), str(PARTS)))
-        speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-        profiles[label] = {
-            "work_iters_per_image": iters, "local8": lo, "local32": hi,
-            "speedup": round(speedup, 2),
-            "eff_vs_ideal4x": round(speedup / 4.0, 3),
-            "eff_vs_platform": round(speedup / plat["speedup"], 3),
-        }
-    shutil.rmtree(CORPUS, ignore_errors=True)
+    try:
+        _sub(GEN, str(n_docs), CORPUS, str(PARTS))
+        profiles = {}
+        for label, iters in (("light", 0), ("inference", WORK_ITERS)):
+            lo = json.loads(_sub(WORKER, "8", str(n_docs), CORPUS,
+                                 str(iters), str(RUNS), str(PARTS)))
+            hi = json.loads(_sub(WORKER, "32", str(n_docs), CORPUS,
+                                 str(iters), str(RUNS), str(PARTS)))
+            speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+            profiles[label] = {
+                "work_iters_per_image": iters, "local8": lo, "local32": hi,
+                "speedup": round(speedup, 2),
+                "eff_vs_ideal4x": round(speedup / 4.0, 3),
+                "eff_vs_platform": round(speedup / plat["speedup"], 3),
+            }
+    finally:
+        # /dev/shm is RAM — never leave a failed run's corpus resident
+        shutil.rmtree(CORPUS, ignore_errors=True)
 
     inf = profiles["inference"]
     report = {"n_docs": n_docs, "partitions": PARTS, "runs_per_point": RUNS,
