@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark import native
@@ -1358,7 +1358,61 @@ QUALIFY rank_in_cust <= 3
 """
 
 
-# ----------------------------------------------- pipeline (rows-only) ops
+# --------------------------------------- pipeline ops (precomputed truth)
+#
+# The pandas-UDF pipeline stages can't be re-expressed as ANSI SQL over the
+# driver tables, but their inputs are pure functions of (seed, n_docs), so
+# their expected outputs are precomputed WITHOUT Spark (tools/gen_truth.py,
+# doc-by-doc Python via tests/oracle.py) and committed as parquet; the
+# oracle is a SELECT over read_parquet(...), putting the full distribution
+# machinery (explode → join → salted repartition → mapInPandas → splice)
+# under the driver's hard rows+schema+hash gate.  The truth files carry an
+# n_docs column and the SQL selects the slice matching count(documents), so
+# one static string works at every scale factor.
+
+import os as _os
+
+_TRUTH_DIR = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "fixtures", "truth")
+)
+
+
+def _truth_sql(name: str, cols: str) -> str:
+    return f"""
+WITH nn AS (SELECT count(*) AS c FROM documents)
+SELECT {cols}
+FROM read_parquet('{_TRUTH_DIR}/{name}.parquet') t, nn
+WHERE t.n_docs = nn.c
+"""
+
+
+# Span-sequence digest: canonical encoding of the north-rule invariant
+# (kind, text, media_ref, order) — '∅' null sentinel, \x1e field / \x1f span
+# separators, md5 over UTF-8.  Twin: tools/gen_truth.py::spans_digest.
+def _spans_digest_col() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                "spans_out",
+                lambda s: F.concat_ws(
+                    "\x1e",
+                    s["kind"],
+                    F.coalesce(s["text"], F.lit("∅")),
+                    F.coalesce(s["media_ref"], F.lit("∅")),
+                    s["offset"].cast("string"),
+                ),
+            ),
+        )
+    )
+
+
+_EXTRACT_FIELD_COLS = (
+    "tipo_credencial", "es_ine", "nombre", "curp", "clave_elector",
+    "fecha_nacimiento", "anio_registro", "seccion", "vigencia", "sexo",
+    "pais", "calle", "colonia", "estado", "numero", "codigo_postal",
+)
+
 
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.corpus import corpus_dataframes_distributed, docs_count_for_sf
@@ -1371,11 +1425,16 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("spans_out").cast("bigint").alias("n_spans"),
         F.size("errors").cast("bigint").alias("n_errors"),
-        F.col("fields.tipo_credencial").alias("tipo_credencial"),
-        F.col("fields.curp").alias("curp"),
-        F.col("fields.nombre").alias("nombre"),
-        F.col("fields.vigencia").alias("vigencia"),
+        _spans_digest_col().alias("spans_digest"),
+        *[F.col(f"fields.{c}").alias(c) for c in _EXTRACT_FIELD_COLS],
     )
+
+
+SQL_EXTRACT_PIPELINE = _truth_sql(
+    "extract_pipeline",
+    "doc_id, n_spans, n_errors, spans_digest, "
+    + ", ".join(_EXTRACT_FIELD_COLS),
+)
 
 
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1452,18 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", strip_boilerplate_udf(F.col("html")).alias("main_text")
     )
+
+
+# Independent oracle (not precomputed truth): the synthetic wrapper's
+# script/nav/footer are boilerplate by construction and the driver corpus
+# text is markup-free (verified: no '<'/'&', min length 48 ≥ the 10-char
+# text-to-tag threshold), so the expected main text reduces to the
+# whitespace-collapsed first 200 chars — expressible in plain SQL.
+SQL_STRIP_BOILERPLATE = """
+SELECT doc_id,
+  trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g')) AS main_text
+FROM documents
+"""
 
 
 def q_split_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,13 +1495,42 @@ def q_split_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Expected splits for the four fixed (nombre, curp) inputs, precomputed with
+# the pinned scorer (ocr_spark/extraction/name_split.py; reference semantics
+# main.py:1449-1527) and inlined — the oracle is input-shape-driven, so it
+# holds at any scale factor.
+SQL_SPLIT_NAME = """
+SELECT doc_id,
+  CASE cast(doc_id % 4 as int)
+    WHEN 0 THEN 'CASTILLO' WHEN 1 THEN 'DE LA CRUZ'
+    WHEN 2 THEN 'GARCIA' ELSE 'PEREZ' END AS apellido_paterno,
+  CASE cast(doc_id % 4 as int)
+    WHEN 0 THEN 'OLIVERA' WHEN 1 THEN 'GOMEZ'
+    WHEN 2 THEN 'LOPEZ' ELSE '' END AS apellido_materno,
+  CASE cast(doc_id % 4 as int)
+    WHEN 0 THEN 'RICARDO ORLANDO' WHEN 1 THEN 'MARIA FERNANDA'
+    WHEN 2 THEN 'JOSE LUIS' ELSE 'JUAN' END AS nombres
+FROM documents
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.corpus import corpus_dataframes_distributed, docs_count_for_sf
     from ocr_spark.multimodal import extract_media_meta
 
     n = docs_count_for_sf(spark, sf_dir)
     _, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
-    return extract_media_meta(media)
+    # '' for the no-error case so the hash never depends on engines'
+    # NULL canonicalization.
+    return extract_media_meta(media).withColumn(
+        "error", F.coalesce(F.col("error"), F.lit(""))
+    )
+
+
+SQL_MEDIA_META = _truth_sql(
+    "media_meta",
+    "media_ref, fmt, width, height, n_lines, n_bytes, error",
+)
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,7 +1539,17 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = docs_count_for_sf(spark, sf_dir)
     _, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
-    return sample_frames(media, every_n=2)
+    return sample_frames(media, every_n=2).select(
+        "media_ref",
+        "frame_idx",
+        F.coalesce(F.col("frame_ref"), F.lit("")).alias("frame_ref"),
+        F.coalesce(F.col("error"), F.lit("")).alias("error"),
+    )
+
+
+SQL_FRAME_SAMPLE = _truth_sql(
+    "frame_sample", "media_ref, frame_idx, frame_ref, error"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1481,10 +1591,11 @@ def registry() -> dict[str, Entry]:
         "top_orders_per_customer": (
             q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER,
         ),
-        # pipeline stages (pandas-UDF control flow → rows-only checks)
-        "extract_pipeline": (q_extract_pipeline, None),
-        "strip_boilerplate": (q_strip_boilerplate, None),
-        "split_name": (q_split_name, None),
-        "media_meta": (q_media_meta, None),
-        "frame_sample": (q_frame_sample, None),
+        # pipeline stages (pandas-UDF control flow → precomputed-truth or
+        # input-shape oracles; see the "pipeline ops" section above)
+        "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
+        "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
+        "split_name": (q_split_name, SQL_SPLIT_NAME),
+        "media_meta": (q_media_meta, SQL_MEDIA_META),
+        "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     }

@@ -186,8 +186,14 @@ class ProcessIsolatedRecognizer:
         except (BrokenPipeError, EOFError, OSError):
             pass
         # Overrun or dead child: kill, respawn lazily on the next image.
+        # Close the parent pipe end too, or every kill leaks one fd pair
+        # for the life of the (reused) worker process.
         self._proc.kill()
         self._proc.join()
+        try:
+            self._conn.close()
+        except OSError:  # pragma: no cover - already closed by the OS
+            pass
         self._proc = None
         self._conn = None
         return RecognizeResult([], error="timeout")
@@ -196,12 +202,22 @@ class ProcessIsolatedRecognizer:
 _RECOGNIZER_CACHE: dict[tuple, object] = {}
 
 
-def get_recognizer(backend: str = "fake", fake_work_iters: int = 0):
-    """Executor-local singleton lookup (one model per Python worker)."""
-    key = (backend, fake_work_iters)
+def get_recognizer(backend: str = "fake", fake_work_iters: int = 0,
+                   hard_kill: bool = False):
+    """Executor-local singleton lookup (one model per Python worker).
+
+    ``hard_kill=True`` returns the (equally cached) process-isolated
+    wrapper: ONE persistent child per Python worker, reused across tasks —
+    constructing it per ``mapInPandas`` task would fork + reload the model
+    for every task under worker reuse, exactly the reference's
+    per-request-reload defect (main.py:1203) this seam exists to avoid.
+    """
+    key = (backend, fake_work_iters, hard_kill)
     inst = _RECOGNIZER_CACHE.get(key)
     if inst is None:
-        if backend == "fake":
+        if hard_kill:
+            inst = ProcessIsolatedRecognizer(backend, fake_work_iters)
+        elif backend == "fake":
             inst = FakeRecognizer(work_iters_per_image=fake_work_iters)
         elif backend == "paddle":
             inst = PaddleRecognizer()

@@ -37,9 +37,6 @@ def get_spark(
         # onto a handful of cores (measured 42% wall regression at default).
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
-        # Single-machine local mode: delay scheduling only inserts 3 s idle
-        # gaps at stage boundaries (no locality to gain).
-        .config("spark.locality.wait", "0s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.python.worker.reuse", "true")
@@ -47,6 +44,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master != "submit":
+        # Single-machine local mode only: delay scheduling just inserts 3 s
+        # idle gaps at stage boundaries (no data locality to gain with one
+        # node).  On a real cluster (master="submit") the Spark default is
+        # kept — disabling locality there would de-localize the scans.
+        builder = builder.config("spark.locality.wait", "0s")
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)

@@ -99,15 +99,13 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float,
 
     def ocr_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_spark.preproc import get_preprocessor
-        from ocr_spark.recognizer import ProcessIsolatedRecognizer
 
-        if hard_kill:
-            # Child-process isolation with a real kill on overrun — the only
-            # defense against a backend that HANGS (the soft check below
-            # only fires after recognize returns).
-            recognizer = ProcessIsolatedRecognizer(backend, fake_work_iters)
-        else:
-            recognizer = get_recognizer(backend, fake_work_iters)
+        # hard_kill=True → the cached process-isolated wrapper: child-process
+        # isolation with a real kill on overrun, the only defense against a
+        # backend that HANGS (the soft check below only fires after
+        # recognize returns).  Cached either way — one recognizer (and one
+        # child process) per Python worker, reused across tasks.
+        recognizer = get_recognizer(backend, fake_work_iters, hard_kill)
         preproc = get_preprocessor(preproc_backend)
         do_preproc = deskew or binarize
         for pdf in batches:

@@ -4,6 +4,8 @@ must be visible in the plans, not assumed."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ocr_spark.driver_contract import (
@@ -14,6 +16,10 @@ from ocr_spark.driver_contract import (
 )
 
 SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF), reason="driver testdata not present"
+)
 
 
 def _plan(df) -> str:

@@ -1,0 +1,166 @@
+"""Precompute oracle-truth parquet for the pipeline contract queries.
+
+The flagship `extract_pipeline` (and the other pandas-UDF pipeline stages:
+`media_meta`, `frame_sample`) cannot be re-expressed as ANSI SQL over the
+driver tables — their logic is the pinned reference cascade + the fake-media
+decode plumbing.  They CAN be put under the driver's hard DuckDB gate with
+precomputed truth: the synthetic corpus is a pure function of (seed, n_docs),
+so the expected output per document is computed here WITHOUT Spark (via
+tests/oracle.py, doc by doc, single-threaded Python) and committed as
+parquet; `oracle_sql()` is then a plain SELECT over `read_parquet(...)`.
+
+The Spark side must reproduce these rows bit-for-bit through explode →
+join → salted repartition → mapInPandas → splice — which is exactly the
+distribution-mechanics guarantee the hard gate is for.
+
+Each file carries every pre-generated corpus size in one table, keyed by an
+``n_docs`` column; the oracle SQL selects the slice whose ``n_docs`` equals
+``count(*)`` of the driver's ``documents`` view, so one static SQL string
+works at every scale factor (sf0.001 and sf0.01 share n=500, sf0.1 is 5000 —
+the corpus depends only on (seed, n), not on the driver tables' content).
+
+Usage: python tools/gen_truth.py  (writes fixtures/truth/*.parquet)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from ocr_spark.config import PipelineConfig  # noqa: E402
+from ocr_spark.extraction.fields import FIELD_ORDER  # noqa: E402
+from ocr_spark.fixtures import build_corpus  # noqa: E402
+from ocr_spark.multimodal import _decode_fake  # noqa: E402
+from tests.oracle import expected_document  # noqa: E402
+
+TRUTH_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures", "truth")
+SEED = 42
+SIZES = (500, 5000)  # sf0.001/sf0.01 and sf0.1 document counts
+FRAME_EVERY_N = 2  # must match q_frame_sample's every_n
+
+# Span-sequence digest: the canonical per-doc encoding of the north-rule
+# invariant (kind, text, media_ref, order).  \x1e/\x1f unit separators and a
+# '∅' null sentinel; both sides md5 the UTF-8 bytes.  The Spark twin lives in
+# driver_contract.q_extract_pipeline.
+NULL_SENTINEL = "∅"
+FIELD_SEP = "\x1e"
+SPAN_SEP = "\x1f"
+
+
+def spans_digest(spans_out: list[tuple]) -> str:
+    parts = [
+        FIELD_SEP.join(
+            (
+                kind,
+                text if text is not None else NULL_SENTINEL,
+                media_ref if media_ref is not None else NULL_SENTINEL,
+                str(offset),
+            )
+        )
+        for kind, text, media_ref, offset in spans_out
+    ]
+    return hashlib.md5(SPAN_SEP.join(parts).encode("utf-8")).hexdigest()
+
+
+def gen_for_n(n_docs: int):
+    cfg = PipelineConfig()
+    span_rows, media_rows = build_corpus(SEED, n_docs)
+    media_by_ref = {m["media_ref"]: m for m in media_rows}
+
+    extract = []
+    for span_row in span_rows:
+        exp = expected_document(span_row, media_by_ref, cfg)
+        row = {
+            "n_docs": n_docs,
+            "doc_id": exp["doc_id"],
+            "n_spans": len(exp["spans_out"]),
+            "n_errors": len(exp["errors"]),
+            "spans_digest": spans_digest(exp["spans_out"]),
+        }
+        row.update({k: exp["fields"][k] for k in FIELD_ORDER})
+        extract.append(row)
+
+    meta = []
+    frames = []
+    for m in media_rows:
+        content = m["content"]
+        try:
+            payload = _decode_fake(bytes(content))
+            lines = payload.get("lines") or []
+            err = ""
+        except Exception as exc:
+            lines, err = [], (str(exc) or "decode_error")
+        meta.append({
+            "n_docs": n_docs,
+            "media_ref": m["media_ref"],
+            "fmt": m["fmt"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_lines": len(lines) if not err else 0,
+            "n_bytes": len(content),
+            "error": err,
+        })
+        if err:
+            frames.append({
+                "n_docs": n_docs, "media_ref": m["media_ref"],
+                "frame_idx": -1, "frame_ref": "", "error": err,
+            })
+        else:
+            for i in range(0, len(lines), FRAME_EVERY_N):
+                frames.append({
+                    "n_docs": n_docs, "media_ref": m["media_ref"],
+                    "frame_idx": i, "frame_ref": f"{m['media_ref']}#f{i}",
+                    "error": "",
+                })
+    return extract, meta, frames
+
+
+def _write(name: str, rows: list[dict], schema: pa.Schema) -> None:
+    table = pa.Table.from_pylist(rows, schema=schema)
+    out = os.path.join(TRUTH_DIR, f"{name}.parquet")
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+
+
+def main() -> None:
+    os.makedirs(TRUTH_DIR, exist_ok=True)
+    extract_all, meta_all, frames_all = [], [], []
+    for n in SIZES:
+        e, m, f = gen_for_n(n)
+        extract_all += e
+        meta_all += m
+        frames_all += f
+
+    extract_schema = pa.schema(
+        [("n_docs", pa.int64()), ("doc_id", pa.string()),
+         ("n_spans", pa.int64()), ("n_errors", pa.int64()),
+         ("spans_digest", pa.string())]
+        + [(f, pa.bool_() if f == "es_ine" else pa.string())
+           for f in FIELD_ORDER]
+    )
+    _write("extract_pipeline", extract_all, extract_schema)
+
+    meta_schema = pa.schema([
+        ("n_docs", pa.int64()), ("media_ref", pa.string()),
+        ("fmt", pa.string()), ("width", pa.int32()), ("height", pa.int32()),
+        ("n_lines", pa.int32()), ("n_bytes", pa.int64()),
+        ("error", pa.string()),
+    ])
+    _write("media_meta", meta_all, meta_schema)
+
+    frame_schema = pa.schema([
+        ("n_docs", pa.int64()), ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()), ("frame_ref", pa.string()),
+        ("error", pa.string()),
+    ])
+    _write("frame_sample", frames_all, frame_schema)
+
+
+if __name__ == "__main__":
+    main()
