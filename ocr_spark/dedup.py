@@ -29,6 +29,16 @@ from ocr_spark.textstats import norm_text, portable_hash, tokens, trunc4
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASH_K = 8  # permutations; banded 2-per-band → 4 bands
 
+# Hash modes for the sketch primitives:
+# - 'portable': md5-derived 60-bit (textstats.portable_hash) — replayable in
+#   the DuckDB oracles, the contract-query default;
+# - 'fast': JVM xxhash64 — no string md5/concat per element, several-fold
+#   cheaper signature CPU, same operator shapes.  Production path; has no
+#   cross-engine oracle (DuckDB has no xxhash64), so it is verified by the
+#   pytest differential against the portable path's PAIRS (both modes must
+#   recover the same duplicate structure on the fixture corpus).
+HASH_MODES = ("portable", "fast")
+
 
 # --------------------------------------------------------------- primitives
 
@@ -48,13 +58,18 @@ def shingles(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
     ).otherwise(F.array_distinct(F.transform(idx, gram)))
 
 
-def shingle_hashes(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct 60-bit hashes of the shingle set.  All pairwise work
+def shingle_hashes(
+    toks: Column, n: int = DEFAULT_SHINGLE, hash_mode: str = "portable"
+) -> Column:
+    """Distinct 60/64-bit hashes of the shingle set.  All pairwise work
     (Jaccard intersects, band joins) runs on these instead of the shingle
-    strings: bigint compares are ~2x faster and shuffle ~5x fewer bytes,
-    and the md5-based hash keeps the DuckDB oracles replayable (collision
-    probability over per-doc sets is negligible at 60 bits)."""
-    return F.array_distinct(F.transform(shingles(toks, n), portable_hash))
+    strings: bigint compares are ~2x faster and shuffle ~5x fewer bytes.
+    ``hash_mode`` picks md5-portable (oracle-replayable) vs xxhash64 (fast);
+    collision probability over per-doc sets is negligible at either width."""
+    sh = shingles(toks, n)
+    if hash_mode == "fast":
+        return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    return F.array_distinct(F.transform(sh, portable_hash))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -65,36 +80,58 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union <= 0, F.lit(0.0)).otherwise(trunc4(inter / union))
 
 
-def minhash_signature(sh_hashes: Column, k: int = DEFAULT_MINHASH_K) -> Column:
+def minhash_signature(
+    sh_hashes: Column, k: int = DEFAULT_MINHASH_K, hash_mode: str = "portable"
+) -> Column:
     """Array of k min-hashes over the hashed shingle set (each permutation
-    re-hashes the 60-bit shingle hash salted with its index); empty set →
-    hash of the sentinel '∅{j}' so empty docs still band deterministically."""
-    sigs = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    sh_hashes,
-                    lambda h: portable_hash(
-                        F.concat(F.lit(f"{j}:"), h.cast("string"))
-                    ),
-                )
-            ),
-            portable_hash(F.lit(f"∅{j}")),
-        ).alias(f"mh{j}")
-        for j in range(k)
-    ]
+    re-hashes the shingle hash salted with its index); empty set → hash of
+    a sentinel so empty docs still band deterministically.
+
+    'fast' mode re-hashes with ``xxhash64(h, j)`` — a pure JVM two-column
+    hash, no per-element string concat + md5 — the dominant CPU saving of
+    the production path."""
+    if hash_mode == "fast":
+        sigs = [
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh_hashes, lambda h: F.xxhash64(h, F.lit(j)))
+                ),
+                F.xxhash64(F.lit("∅"), F.lit(j)),
+            ).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    else:
+        sigs = [
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        sh_hashes,
+                        lambda h: portable_hash(
+                            F.concat(F.lit(f"{j}:"), h.cast("string"))
+                        ),
+                    )
+                ),
+                portable_hash(F.lit(f"∅{j}")),
+            ).alias(f"mh{j}")
+            for j in range(k)
+        ]
     return F.array(*sigs)
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over distinct tokens (bigint in [0, 65535]).
+def simhash_sig(toks: Column, bits: int = 16) -> Column:
+    """``bits``-wide SimHash over distinct tokens (bigint, ≤ 60 bits — the
+    width of the portable hash).
 
     Classic bit-vote: each token hash votes +1/−1 per bit position; the
-    signature sets bits with positive vote.  16 bits keeps the per-row
-    expression tree small while preserving hamming-distance locality."""
+    signature sets bits with positive vote.  16 bits is the compact
+    demo/signature width; pair generation at scale uses 60 (see
+    :func:`simhash_pairs` — block-key cardinality is what bounds the
+    bucket self-joins)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash width must be in [1, 60] (portable hash)")
     hashes = F.transform(F.array_distinct(toks), lambda t: portable_hash(t))
     sig = F.lit(0).cast("bigint")
-    for b in range(16):
+    for b in range(bits):
         mask = F.lit(1 << b).cast("bigint")
         vote = F.aggregate(
             hashes,
@@ -104,6 +141,11 @@ def simhash16(toks: Column) -> Column:
         )
         sig = sig + F.when(vote > 0, mask).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash (compact signature for the dedup_simhash contract)."""
+    return simhash_sig(toks, 16)
 
 
 # ---------------------------------------------------------------- operators
@@ -139,16 +181,25 @@ def ngram_jaccard_pairs(
     bucket_col: Column | None = None,
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.3,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Jaccard near-dup pairs inside cheap blocking buckets.
 
     ``bucket_col`` defaults to the 1-permutation MinHash bucket (minimum
-    shingle hash): block sizes stay bounded at any corpus size and, unlike
-    length bucketing, a near-identical pair can never straddle a boundary
-    (a 31-token doc and its 33-token copy land in different length buckets
-    and would silently never pair).  Recall per pair ≈ its Jaccard; the
-    banded variant below is the high-recall path.  The self-join shuffles
-    on the bucket key only.
+    shingle hash) — unlike length bucketing, a near-identical pair can
+    never straddle a boundary.  Recall per pair ≈ its Jaccard; the banded
+    variant below is the high-recall path.  The self-join shuffles on the
+    bucket key only.
+
+    **Skew contract**: min-shingle buckets are usually small, but a
+    globally common shingle whose hash happens to be low becomes the min
+    for a large corpus fraction (boilerplate phrases do exactly this),
+    making one bucket quadratic.  ``bucket_cap`` bounds that: buckets are
+    deterministically split into sub-buckets of ≤ ``bucket_cap`` docs
+    (row_number over id within the bucket), capping any bucket's pair
+    count at cap²/2 regardless of input.  Pairs straddling a sub-bucket
+    split are missed — bounded recall loss on pathological buckets only,
+    the standard cap-vs-quadratic trade.  ``None`` disables the cap.
     """
     toks = tokens(F.col(text_col))
     sh = shingle_hashes(toks, n)
@@ -161,9 +212,21 @@ def ngram_jaccard_pairs(
         sh.alias("sh"),
         F.size(sh).alias("n_sh"),
     )
+    join_keys = ["bucket"]
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy("id")
+        base = base.withColumn(
+            "sub_bucket",
+            F.floor((F.row_number().over(w) - 1) / bucket_cap).cast("int"),
+        )
+        join_keys = ["bucket", "sub_bucket"]
     left = base.alias("l")
     right = base.alias("r")
-    pairs = left.join(right, on="bucket").filter(F.col("l.id") < F.col("r.id"))
+    pairs = left.join(right, on=join_keys).filter(
+        F.col("l.id") < F.col("r.id")
+    )
     # Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
     # whose set sizes differ too much can never reach the threshold —
     # skip their O(|A|+|B|) intersect entirely.  Result-identical.
@@ -192,6 +255,7 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.3,
     shingle_n: int = DEFAULT_SHINGLE,
     persist_base: bool = True,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -205,9 +269,16 @@ def minhash_lsh_pairs(
     bench time).  Bands are hashes, so the join key space is uniform (no
     skew); the shingle arrays move over the wire exactly twice, keyed by the
     (small) candidate pair set.
+
+    ``hash_mode='fast'`` swaps every md5-based primitive (shingle hash,
+    permutations, band key) for JVM xxhash64 — identical plan shape, much
+    cheaper per-row signature CPU; 'portable' is the DuckDB-replayable
+    contract default (see HASH_MODES).
     """
+    if hash_mode not in HASH_MODES:
+        raise ValueError(f"hash_mode must be one of {HASH_MODES}")
     toks = tokens(F.col(text_col))
-    sh = shingle_hashes(toks, shingle_n)
+    sh = shingle_hashes(toks, shingle_n, hash_mode)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     # The hashed-shingle base feeds banding AND both sides of the verify
     # join; persisting it avoids recomputing tokenize+shingle+hash three
@@ -218,20 +289,25 @@ def minhash_lsh_pairs(
     # one-shot jobs keep the default.
     if persist_base:
         base = base.persist()
-    sig_df = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+    sig_df = base.withColumn(
+        "sig", minhash_signature(F.col("sh"), k, hash_mode)
+    )
 
     n_bands = k // band_size
     sig = F.col("sig")
+
+    def band_hash(b: int) -> Column:
+        members = [sig[b * band_size + j] for j in range(band_size)]
+        if hash_mode == "fast":
+            return F.xxhash64(*members).cast("string")
+        return F.md5(
+            F.concat_ws(":", *[m.cast("string") for m in members])
+        )
+
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    *[sig[b * band_size + j].cast("string")
-                      for j in range(band_size)],
-                )
-            ).alias("band_hash"),
+            band_hash(b).alias("band_hash"),
         )
         for b in range(n_bands)
     ])
@@ -265,38 +341,84 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_block_widths(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per block, splitting ``bits`` as evenly as possible."""
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    shifts, acc = [], 0
+    for w in widths:
+        shifts.append((acc, w))
+        acc += w
+    return shifts
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top ``prefix_bits`` of the
-    signature, verify hamming distance inside the block.
+    """SimHash near-dup pairs with FULL recall at ``hamming ≤ max_hamming``.
 
-    Note the usual SimHash caveat applies (pairs straddling a prefix-bucket
-    boundary are missed); production sweeps rotate the prefix.  Kept single-
-    sweep here because the oracle replays exactly this shape.
+    Standard block-permutation scheme (Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): split the ``bits``-wide
+    signature into ``max_hamming + 1`` contiguous blocks — by pigeonhole,
+    any pair within the hamming budget agrees EXACTLY on at least one
+    block.  Each block is one candidate table: explode to
+    ``(block_idx, block_val)``, self-join on that key, distinct the id
+    pairs, verify ``bit_count(xor) ≤ max_hamming``.
+
+    Scale shape: the join key space is ``n_blocks × 2^(bits/n_blocks)``
+    (4 × 2^15 at the defaults) — versus the previous prefix-only blocking
+    whose constant 16 buckets made the self-join O(n²/16) at any corpus
+    size.  Only ``(id, sig, block)`` rows move through the explode/join
+    (sig is one bigint).  Residual hazard: byte-identical documents share
+    a signature and still concentrate — run exact dedup first; AQE
+    skew-join splits what remains.
     """
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError("max_hamming + 1 blocks must fit in the signature")
     base = df.select(
         F.col(id_col).alias("id"),
-        simhash16(tokens(F.col(text_col))).alias("sig"),
+        simhash_sig(tokens(F.col(text_col)), bits).alias("sig"),
     )
-    shift = 16 - prefix_bits
-    base = base.withColumn(
-        "bucket", F.shiftright(F.col("sig"), shift)
+    sig = F.col("sig")
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_idx"),
+            F.shiftright(sig, shift).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("block_val"),
+        )
+        for i, (shift, width) in enumerate(
+            simhash_block_widths(bits, n_blocks)
+        )
+    ])
+    banded = (
+        base.select("id", "sig", F.explode(blocks).alias("b"))
+        .select("id", "sig", "b.block_idx", "b.block_val")
     )
-    left = base.alias("l")
-    right = base.alias("r")
-    xor = F.expr("l.sig ^ r.sig")
-    return (
-        left.join(right, on="bucket")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["block_idx", "block_val"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.bit_count(xor).cast("bigint").alias("hamming"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

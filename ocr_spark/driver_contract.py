@@ -45,6 +45,7 @@ from ocr_spark.dedup import (
     ngram_jaccard_pairs,
     shingle_hashes,
     simhash16,
+    simhash_pairs,
 )
 from ocr_spark.similarity import (
     brute_force_topk,
@@ -694,10 +695,15 @@ WITH corpus AS ({_DUCK_NEAR_CORPUS}),
 s0 AS (SELECT doc_id AS id,
         {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
-s AS (SELECT id, sh, coalesce(list_min(sh), -1) AS bucket FROM s0),
+s1 AS (SELECT id, sh, coalesce(list_min(sh), -1) AS bucket FROM s0),
+s AS (SELECT id, sh, bucket,
+        cast(floor((row_number() OVER (PARTITION BY bucket ORDER BY id) - 1)
+                   / 256.0) AS int) AS sub_bucket
+      FROM s1),
 pairs AS (
   SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
-  FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id)
+  FROM s l JOIN s r ON l.bucket = r.bucket
+   AND l.sub_bucket = r.sub_bucket AND l.id < r.id)
 SELECT id_a, id_b,
   CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
        THEN 0.0
@@ -769,6 +775,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         simhash16(ts.tokens(F.col("text"))).alias("simhash"),
     )
+
+
+def _simhash_pair_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ word-dropped near-dups (+1M) ∪ whitespace-doubled exact
+    dups (+2M): the doubled copies tokenize identically (hamming 0), the
+    dropped copies land near the originals — both distances exercised."""
+    base = _near_corpus(spark, sf_dir)
+    doubled = spark.table("documents").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("replace(text, ' ', '  ')").alias("text"),
+        "lang",
+    )
+    return base.unionByName(doubled)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        _simhash_pair_corpus(spark, sf_dir), max_hamming=3, bits=60
+    )
+
+
+def _sql_simhash_pairs(max_hamming: int = 3, bits: int = 60) -> str:
+    from ocr_spark.dedup import simhash_block_widths
+
+    toks = _DUCK_TOKENS.format(t="text")
+    votes = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) > 0)) "
+        f"- len(hs) > 0 THEN {1 << b}::bigint ELSE 0 END)"
+        for b in range(bits)
+    )
+    blocks = " UNION ALL ".join(
+        f"SELECT id, sig, {i} AS block_idx, "
+        f"((sig >> {shift}) & {(1 << width) - 1}) AS block_val FROM s"
+        for i, (shift, width) in enumerate(
+            simhash_block_widths(bits, max_hamming + 1)
+        )
+    )
+    return f"""
+WITH corpus AS ({_DUCK_NEAR_CORPUS}
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, replace(text, ' ', '  ') AS text, lang
+FROM documents),
+h AS (SELECT doc_id AS id,
+        list_transform(list_distinct({toks}),
+                       t -> ('0x' || substr(md5(t), 1, 15))::bigint) AS hs
+      FROM corpus),
+s AS (SELECT id, ({votes})::bigint AS sig FROM h),
+b AS ({blocks}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.sig AS sig_a, r.sig AS sig_b
+  FROM b l JOIN b r
+    ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+   AND l.id < r.id)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::bigint AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
 
 
 def _sql_simhash() -> str:
@@ -1572,6 +1635,7 @@ def registry() -> dict[str, Entry]:
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
         "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),

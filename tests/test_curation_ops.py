@@ -96,6 +96,115 @@ def test_simhash_pairs_identical_docs(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_pairs_full_recall_vs_brute_force(spark):
+    """The block-permutation scheme (max_hamming+1 blocks) must recover
+    EVERY pair within the hamming budget — including pairs whose differing
+    bits straddle several blocks — exactly matching an all-pairs check."""
+    texts = [
+        " ".join(f"w{i}" for i in range(20)),                      # base
+        " ".join(f"w{i}" for i in range(19)) + " z0",              # ~near
+        " ".join(f"w{i}" for i in range(18)) + " z0 z1",           # ~near
+        " ".join(f"v{i}" for i in range(20)),                      # far
+        " ".join(f"w{i}" for i in range(20)),                      # exact dup
+    ]
+    df = _df(spark, list(enumerate(texts)), "doc_id bigint, text string")
+    from ocr_spark.dedup import simhash_sig
+    from ocr_spark import textstats as ts
+
+    sigs = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", simhash_sig(ts.tokens(F.col("text")), 60).alias("s")
+        ).collect()
+    }
+    for h in (3, 7):
+        expected = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= h
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(df, max_hamming=h).collect()
+        }
+        assert got == expected, (h, got, expected)
+
+
+def test_simhash_block_widths_partition_signature():
+    from ocr_spark.dedup import simhash_block_widths
+
+    for bits, blocks in [(60, 4), (60, 8), (16, 4), (7, 3)]:
+        spans = simhash_block_widths(bits, blocks)
+        assert len(spans) == blocks
+        assert sum(w for _, w in spans) == bits
+        covered = [s for s, w in spans for s in range(s, s + w)]
+        assert covered == list(range(bits))  # contiguous, disjoint, complete
+
+
+def test_ngram_bucket_cap_bounds_hot_buckets(spark):
+    """Boilerplate-heavy corpus: 50% of docs share a long boilerplate
+    phrase whose shingles dominate the min-hash, funnelling them into ONE
+    blocking bucket.  The cap must split that bucket into sub-buckets of
+    ≤ cap docs (bounding the self-join at cap²/2 pairs per sub-bucket)
+    while still pairing docs inside a sub-bucket."""
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, boiler + f" unique{i}"))
+        else:
+            rows.append((i, " ".join(f"x{i}_{j}" for j in range(10))))
+    df = _df(spark, rows, "doc_id bigint, text string")
+
+    from ocr_spark.dedup import shingle_hashes
+    from ocr_spark import textstats as ts
+
+    cap = 5
+    pairs = ngram_jaccard_pairs(
+        df, threshold=0.5, bucket_cap=cap
+    ).collect()
+    # boilerplate docs share 18/21-ish shingles pairwise → J ≈ 0.8 ≥ 0.5;
+    # with 20 such docs in ≤5-doc sub-buckets the pair count per sub-bucket
+    # is capped at C(5,2)=10 — assert the cap held AND pairs were found.
+    assert len(pairs) > 0
+    boiler_ids = {i for i in range(40) if i % 2 == 0}
+    assert all(r.id_a in boiler_ids and r.id_b in boiler_ids for r in pairs)
+    # every pair is within one sub-bucket of ≤ cap consecutive bucket
+    # members → no pair spans ≥ cap intervening boiler docs
+    max_pairs_if_capped = (len(boiler_ids) // cap) * (cap * (cap - 1) // 2)
+    assert len(pairs) <= max_pairs_if_capped
+
+
+def test_minhash_fast_mode_matches_portable_on_exact_dups(spark):
+    """hash_mode='fast' (xxhash64) must recover the same duplicate
+    structure: exact-dup pairs are found in BOTH modes with identical
+    jaccard (signatures of identical shingle sets always collide,
+    whatever the hash), and every fast-mode pair is a true near-dup."""
+    text = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(28)) + " q1 q2"
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = _df(spark, [(1, text), (2, text), (3, other), (4, near)],
+             "doc_id bigint, text string")
+    portable = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_lsh_pairs(
+            df, verify_threshold=0.3, hash_mode="portable"
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_lsh_pairs(
+            df, verify_threshold=0.3, hash_mode="fast"
+        ).collect()
+    }
+    assert fast[(1, 2)] == portable[(1, 2)] == 1.0
+    # jaccard over hashed shingle sets is hash-independent (injective on
+    # this corpus), so any pair surfaced by both modes agrees exactly
+    for pair in set(fast) & set(portable):
+        assert fast[pair] == portable[pair]
+    assert (3, 4) not in fast and (1, 3) not in fast
+
+
 # ------------------------------------------------------------- similarity
 
 def test_brute_force_topk_matches_numpy_order(spark):
