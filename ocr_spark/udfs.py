@@ -77,6 +77,9 @@ def split_name_udf(nombre: pd.Series, curp: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(StringType())
 def strip_boilerplate_udf(text: pd.Series) -> pd.Series:
+    # Scalar loop on purpose: the operator is regex-bound, and measured
+    # batch twins (pandas .str, Arrow/RE2 kernels) came out 0.75-1.0x of
+    # this loop — see the vectorization note in ocr_spark/boilerplate.py.
     return pd.Series(
         [strip_boilerplate(t) if isinstance(t, str) else None for t in text],
         dtype=object,

@@ -109,3 +109,65 @@ def test_embedded_newline_in_ocr_line_does_not_shift_boundaries(spark):
     # have made '34' its own line
     assert row.spans_out[0].text == "SECCION\n12 34"
     assert row.fields.seccion == ""  # '12 34' is not a 4-digit line
+
+
+def test_boilerplate_micro_opts_preserve_semantics():
+    """The subn tag-strip+count fold and the '<a' anchor prefilter must be
+    invisible: golden fixture corpus + adversarial edges vs a direct
+    transliteration of the un-optimized algorithm."""
+    import re
+    from random import Random
+
+    from ocr_spark.boilerplate import (
+        _ANCHOR, _BLOCK_SPLIT, _COMMENT, _KILL_CONTAINERS, _MARKUP, _TAG,
+        LINK_DENSITY_THRESHOLD, TEXT_TO_TAG_THRESHOLD,
+        _collapse, _unescape, strip_boilerplate,
+    )
+    from ocr_spark.fixtures import gen_html_text, gen_plain_text
+
+    def reference(text):
+        if text is None:
+            return None
+        if not _MARKUP.search(text):
+            return _collapse(text)
+        doc = _COMMENT.sub(" ", text)
+        prev = None
+        while prev != doc:
+            prev = doc
+            doc = _KILL_CONTAINERS.sub(" ", doc)
+        kept = []
+        for block in _BLOCK_SPLIT.split(doc):
+            if not block or not block.strip():
+                continue
+            anchor_text_len = sum(
+                len(_collapse(_TAG.sub(" ", m)))
+                for m in _ANCHOR.findall(block)
+            )
+            tag_count = len(_TAG.findall(block))
+            visible = _collapse(_unescape(_TAG.sub(" ", block)))
+            if not visible:
+                continue
+            ratio = len(visible) / (1.0 + tag_count)
+            link_density = anchor_text_len / max(1, len(visible))
+            if (ratio >= TEXT_TO_TAG_THRESHOLD
+                    and link_density < LINK_DENSITY_THRESHOLD):
+                kept.append(visible)
+        return _collapse(" ".join(kept))
+
+    rng = Random(7)
+    cases = [gen_html_text(rng) for _ in range(60)]
+    cases += [gen_plain_text(rng) for _ in range(20)]
+    cases += [
+        None, "", "   ", "a<b", "x < y and y > z",
+        "&amp;lt; stays literal &amp;lt;",
+        "<p>&amp;lt; unescapes once</p><footer>f</footer>",
+        "<header><style>x{}</style>deep nest</header><p>"
+        "content words enough to pass the ratio threshold</p>",
+        "<div><a href='#'>link link link link</a></div>",
+        "<div><A HREF='#'>UPPER CASE LINK UPPER CASE LINK</A></div>",
+        "<p>short</p>", "<p></p><div>   </div>",
+        "<ul><li><a href='/x'>x</a></li><li>plain item that is long enough"
+        " to survive on its own</li></ul>",
+    ]
+    for c in cases:
+        assert strip_boilerplate(c) == reference(c), c
