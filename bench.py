@@ -24,7 +24,9 @@ from ocr_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "extract_pipeline",      # the flagship: docs/sec end-to-end
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",  # xxhash64 production-hash variant
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_pairs",
     "quality_score",
@@ -35,6 +37,19 @@ HEADLINE = [
     "orders_by_segment",
     "events_sessions",
 ]
+
+
+def _minhash_fast(spark, sf_dir: str):
+    """Same operator/corpus as the dedup_minhash_lsh contract query, with
+    hash_mode='fast' (xxhash64 shingles/permutations/band keys) — the
+    production configuration; the md5-portable twin exists for the DuckDB
+    oracle, so the pair of timings is the price of oracle portability."""
+    from ocr_spark.dedup import minhash_lsh_pairs
+    from ocr_spark.driver_contract import _near_corpus
+
+    return minhash_lsh_pairs(
+        _near_corpus(spark, sf_dir), verify_threshold=0.3, hash_mode="fast"
+    )
 
 
 def _materialize(df) -> int:
@@ -90,7 +105,10 @@ def main() -> None:
         if name == "extract_pipeline":
             timings[name] = round(_timed_extract(spark, sf_dir), 3)
             continue
-        fn, _sql = reg[name]
+        fn, _sql = (
+            (_minhash_fast, None) if name == "dedup_minhash_lsh_fast"
+            else reg[name]
+        )
         t0 = time.monotonic()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)

@@ -148,6 +148,40 @@ def simhash16(toks: Column) -> Column:
     return simhash_sig(toks, 16)
 
 
+def simhash_from_features(
+    df: DataFrame, features: Column, id_col: str = "id", bits: int = 60
+) -> DataFrame:
+    """(id, sig) SimHash signatures from a per-row array of feature hashes.
+
+    The expression-tree form (:func:`simhash_sig`) interprets one
+    higher-order ``aggregate`` per bit — measured ~1 ms/row at 60 bits.
+    This shape instead explodes the feature hashes and computes all bit
+    votes in ONE whole-stage-codegen hash aggregate (60 ``sum((h>>b)&1)``
+    columns + a count), then folds the signature: vote_b > 0 ⟺
+    2·ones_b > n.  One narrow shuffle on id; ~40× faster at sf0.1.
+
+    Empty feature arrays survive via ``explode_outer`` (null h → count 0 →
+    all votes ≤ 0 → sig 0, matching the fold semantics of the expression
+    form and the DuckDB oracle).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash width must be in [1, 60] (portable hash)")
+    f = df.select(F.col(id_col).alias("id"), F.explode_outer(features).alias("h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"ones{b}")
+        for b in range(bits)
+    ]
+    g = f.groupBy("id").agg(F.count("h").alias("n"), *aggs)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(
+            2 * F.coalesce(F.col(f"ones{b}"), F.lit(0)) > F.col("n"),
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return g.select("id", sig.alias("sig"))
+
+
 # ---------------------------------------------------------------- operators
 
 def exact_duplicates(
@@ -358,6 +392,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 60,
+    shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """SimHash near-dup pairs with FULL recall at ``hamming ≤ max_hamming``.
 
@@ -368,6 +403,12 @@ def simhash_pairs(
     block.  Each block is one candidate table: explode to
     ``(block_idx, block_val)``, self-join on that key, distinct the id
     pairs, verify ``bit_count(xor) ≤ max_hamming``.
+
+    Features are word-``shingle_n``-gram hashes (the literature's feature
+    set), not unigram tokens: token-set signatures over a finite
+    vocabulary cluster tightly and blow up the candidate join (measured
+    17.5M candidates for 20K true pairs at sf0.1 on the driver corpus —
+    1000× precision loss); shingle features decorrelate the signatures.
 
     Scale shape: the join key space is ``n_blocks × 2^(bits/n_blocks)``
     (4 × 2^15 at the defaults) — versus the previous prefix-only blocking
@@ -380,9 +421,11 @@ def simhash_pairs(
     n_blocks = max_hamming + 1
     if n_blocks > bits:
         raise ValueError("max_hamming + 1 blocks must fit in the signature")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        simhash_sig(tokens(F.col(text_col)), bits).alias("sig"),
+    feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
+    base = simhash_from_features(
+        df.select(F.col(id_col).alias("id"), feats.alias("feats")),
+        F.col("feats"),
+        bits=bits,
     )
     sig = F.col("sig")
     blocks = F.array(*[

@@ -799,7 +799,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_simhash_pairs(max_hamming: int = 3, bits: int = 60) -> str:
     from ocr_spark.dedup import simhash_block_widths
 
-    toks = _DUCK_TOKENS.format(t="text")
+    sh = _DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t="text"))
     votes = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) > 0)) "
         f"- len(hs) > 0 THEN {1 << b}::bigint ELSE 0 END)"
@@ -817,9 +817,7 @@ WITH corpus AS ({_DUCK_NEAR_CORPUS}
 UNION ALL
 SELECT doc_id + 2000000 AS doc_id, replace(text, ' ', '  ') AS text, lang
 FROM documents),
-h AS (SELECT doc_id AS id,
-        list_transform(list_distinct({toks}),
-                       t -> ('0x' || substr(md5(t), 1, 15))::bigint) AS hs
+h AS (SELECT doc_id AS id, {sh} AS hs
       FROM corpus),
 s AS (SELECT id, ({votes})::bigint AS sig FROM h),
 b AS ({blocks}),

@@ -108,15 +108,15 @@ def test_simhash_pairs_full_recall_vs_brute_force(spark):
         " ".join(f"w{i}" for i in range(20)),                      # exact dup
     ]
     df = _df(spark, list(enumerate(texts)), "doc_id bigint, text string")
-    from ocr_spark.dedup import simhash_sig
+    from ocr_spark.dedup import shingle_hashes, simhash_from_features
     from ocr_spark import textstats as ts
 
-    sigs = {
-        r.doc_id: r.s
-        for r in df.select(
-            "doc_id", simhash_sig(ts.tokens(F.col("text")), 60).alias("s")
-        ).collect()
-    }
+    feats = shingle_hashes(ts.tokens(F.col("text")))
+    sig_df = simhash_from_features(
+        df.select(F.col("doc_id").alias("id"), feats.alias("f")),
+        F.col("f"),
+    )
+    sigs = {r.id: r.sig for r in sig_df.collect()}
     for h in (3, 7):
         expected = {
             (a, b): bin(sigs[a] ^ sigs[b]).count("1")
