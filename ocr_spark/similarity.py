@@ -115,10 +115,67 @@ def brute_force_topk(
 def ivf_centroids(
     n_cells: int = 16, dims: int = DEFAULT_DIMS, seed: str = "ivf"
 ) -> list[list[float]]:
-    """Deterministic pseudo-random coarse-quantizer centroids (the sandbox
-    stand-in for k-means-trained ones; the assignment/probe machinery is
-    identical either way)."""
+    """Deterministic pseudo-random coarse-quantizer centroids — the
+    oracle-replayable default (literals shared with the DuckDB SQL by
+    construction).  For a data-adapted quantizer train with
+    :func:`ivf_train_kmeans`; the assignment/probe machinery is identical
+    either way."""
     return hyperplanes(n_cells, dims, seed)
+
+
+def ivf_train_kmeans(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    dims: int = DEFAULT_DIMS,
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Spherical k-means training for the IVF coarse quantizer.
+
+    Lloyd iterations as plain DataFrame aggregations: assign each vector to
+    its argmax-dot centroid (the same ``_cell_of`` expression the index
+    uses), then recompute each centroid as the per-dimension mean of its
+    members (``dims`` codegen'd avg aggregates over one groupBy(cell)
+    shuffle) and re-normalize to unit length — with unit centroids,
+    argmax-dot ≡ argmax-cosine, so training and probing optimize the same
+    objective.  Centroids live on the driver between iterations
+    (n_cells × dims floats — broadcast as plan literals, never shuffled),
+    so the per-iteration cost is ONE pass + one tiny shuffle regardless of
+    corpus size.  Init = the deterministic seeded centroids, so training is
+    reproducible up to float summation order; empty cells keep their
+    previous centroid.
+    """
+    centroids = [
+        _normalize(c) for c in hyperplanes(n_cells, dims, seed)
+    ]
+    v = F.col(vec_col)
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            _cell_of(v, centroids).alias("cell"), v.alias("v")
+        )
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.avg(F.element_at("v", d + 1).cast("double")).alias(f"m{d}")
+                for d in range(dims)
+            ]
+        ).collect()
+        by_cell = {
+            int(r["cell"]): [float(r[f"m{d}"]) for d in range(dims)]
+            for r in means
+        }
+        centroids = [
+            _normalize(by_cell.get(i, centroids[i]))
+            for i in range(n_cells)
+        ]
+    return centroids
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    import math
+
+    norm = math.sqrt(sum(x * x for x in vec))
+    return [x / norm for x in vec] if norm > 0 else list(vec)
 
 
 def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:

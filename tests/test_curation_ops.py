@@ -355,3 +355,53 @@ def test_ivf_with_all_probes_equals_brute_force(spark):
     )
     assert all(len([r for r in pruned if r.query_id == qid]) <= 3
                for qid in range(4))
+
+
+def test_ivf_kmeans_training_improves_quantizer(spark):
+    """Spherical k-means must raise the corpus's mean best-cell cosine over
+    the seeded random init, and the trained quantizer must keep the IVF
+    invariant: probing every cell reproduces exact brute-force top-k."""
+    from ocr_spark.similarity import (
+        _cell_of, brute_force_topk, cosine, hyperplanes, ivf_search,
+        ivf_train_kmeans,
+    )
+
+    # three well-separated direction clusters + jitter
+    rows = []
+    for i in range(60):
+        base = [0.0] * 16
+        base[i % 3] = 1.0
+        base[(i % 3) + 4] = 0.5
+        jitter = [((i * 13 + d * 7) % 11 - 5) / 60.0 for d in range(16)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    df = _df(spark, rows, "vec_id bigint, embedding array<float>")
+
+    init = [
+        v for v in hyperplanes(4, dims=16, seed="ivf")
+    ]
+    trained = ivf_train_kmeans(df, n_cells=4, n_iters=4, dims=16)
+
+    def mean_best_cos(cents):
+        import math
+
+        normed = [
+            [x / math.sqrt(sum(y * y for y in c)) for x in c] for c in cents
+        ]
+        scored = df.select(
+            F.greatest(*[
+                cosine(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in c])).alias(f"c{i}")
+                for i, c in enumerate(normed)
+            ]).alias("best")
+        )
+        return scored.agg(F.avg("best")).collect()[0][0]
+
+    assert mean_best_cos(trained) > mean_best_cos(init) + 0.05
+
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(df, q, k=3).collect()}
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_search(df, q, k=3, n_probes=4,
+                                centroids=trained).collect()}
+    assert full == exact
