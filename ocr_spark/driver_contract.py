@@ -250,14 +250,25 @@ _DUCK_DOT = (
 
 
 def _duck_minhash_sig(sh: str, k: int = 8) -> list[str]:
-    """k permutations over the HASHED shingle set (h rendered as a decimal
-    string, matching Spark's bigint→string cast)."""
-    return [
-        f"coalesce(list_min(list_transform({sh}, "
-        f"h -> ('0x' || substr(md5(concat('{j}:', h)), 1, 15))::bigint)), "
-        f"('0x' || substr(md5('∅{j}'), 1, 15))::bigint)"
-        for j in range(k)
-    ]
+    """k affine permutations over the HASHED shingle set — the arithmetic
+    twin of dedup.minhash_signature's portable mode (same (a_j, b_j)
+    literals, same prime, same empty-set sentinels)."""
+    from ocr_spark.dedup import (
+        MINHASH_PRIME,
+        _driver_hash60,
+        minhash_coeffs,
+    )
+
+    out = []
+    for j, (a, b) in enumerate(minhash_coeffs(k)):
+        sentinel = (a * (_driver_hash60(f"∅{j}") & 0xFFFFFFFF) + b) \
+            % MINHASH_PRIME
+        out.append(
+            f"coalesce(list_min(list_transform({sh}, "
+            f"h -> ({a}::bigint * (h & 4294967295) + {b}::bigint) "
+            f"% {MINHASH_PRIME}::bigint)), {sentinel}::bigint)"
+        )
+    return out
 
 
 def _ducked(sql: str) -> str:
