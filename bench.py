@@ -112,6 +112,10 @@ def main() -> None:
         t0 = time.monotonic()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        # The minhash operators persist their shingle base (persist_base
+        # default); drop any cached data so one query's cache never
+        # occupies storage memory while later queries are timed.
+        spark.catalog.clearCache()
 
     # docs/sec for the flagship: corpus size == documents rowcount at SF
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()

@@ -89,11 +89,8 @@ def jaccard(a: Column, b: Column) -> Column:
 # derive from the driver-side md5 hash, baked as literals in both plans.
 MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
-
-def _driver_hash60(s: str) -> int:
-    import hashlib
-
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+# driver-side twin of portable_hash — single shared definition
+from ocr_spark.textstats import py_portable_hash as _driver_hash60
 
 
 def minhash_coeffs(k: int = DEFAULT_MINHASH_K) -> list[tuple[int, int]]:
@@ -152,13 +149,14 @@ def minhash_signature(
 
 def simhash_sig(toks: Column, bits: int = 16) -> Column:
     """``bits``-wide SimHash over distinct tokens (bigint, ≤ 60 bits — the
-    width of the portable hash).
+    width of the portable hash), as a pure expression tree.
 
     Classic bit-vote: each token hash votes +1/−1 per bit position; the
-    signature sets bits with positive vote.  16 bits is the compact
-    demo/signature width; pair generation at scale uses 60 (see
-    :func:`simhash_pairs` — block-key cardinality is what bounds the
-    bucket self-joins)."""
+    signature sets bits with positive vote.  One interpreted higher-order
+    ``aggregate`` per bit, so this form is only for NARROW signatures (the
+    16-bit dedup_simhash contract); wide signatures go through
+    :func:`simhash_from_features` (one codegen'd wide aggregate — what
+    :func:`simhash_pairs` uses at 60 bits)."""
     if not 1 <= bits <= 60:
         raise ValueError("simhash width must be in [1, 60] (portable hash)")
     hashes = F.transform(F.array_distinct(toks), lambda t: portable_hash(t))

@@ -1444,7 +1444,10 @@ QUALIFY rank_in_cust <= 3
 
 import os as _os
 
-_TRUTH_DIR = _os.path.abspath(
+# Repo-checkout default; overridable for deployments where ocr_spark ships
+# as a --py-files zip (fixtures/ is not in the zip — point this at an
+# unpacked copy if the DuckDB oracles are needed off-checkout).
+_TRUTH_DIR = _os.environ.get("OCR_SPARK_TRUTH_DIR") or _os.path.abspath(
     _os.path.join(_os.path.dirname(__file__), "..", "fixtures", "truth")
 )
 
@@ -1479,11 +1482,9 @@ def _spans_digest_col() -> Column:
     )
 
 
-_EXTRACT_FIELD_COLS = (
-    "tipo_credencial", "es_ine", "nombre", "curp", "clave_elector",
-    "fecha_nacimiento", "anio_registro", "seccion", "vigencia", "sexo",
-    "pais", "calle", "colonia", "estado", "numero", "codigo_postal",
-)
+# single source of truth for the field columns — tools/gen_truth.py builds
+# the truth parquet from the same tuple, so the two sides cannot drift
+from ocr_spark.extraction.fields import FIELD_ORDER as _EXTRACT_FIELD_COLS
 
 
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

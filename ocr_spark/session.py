@@ -44,11 +44,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    if master != "submit":
+    if master.startswith("local"):
         # Single-machine local mode only: delay scheduling just inserts 3 s
         # idle gaps at stage boundaries (no data locality to gain with one
-        # node).  On a real cluster (master="submit") the Spark default is
-        # kept — disabling locality there would de-localize the scans.
+        # node).  On any cluster master (spark://, yarn, k8s://, or the
+        # "submit" sentinel) the Spark default is kept — disabling locality
+        # there would de-localize every scan.
         builder = builder.config("spark.locality.wait", "0s")
     if shuffle_partitions is not None:
         builder = builder.config(

@@ -26,18 +26,13 @@ the oracle share them by construction.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_spark.textstats import py_portable_hash as _hash60
+
 DEFAULT_PLANES = 8
 DEFAULT_DIMS = 64
-
-
-def _hash60(s: str) -> int:
-    """Driver-side twin of textstats.portable_hash (md5 first 15 hex)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def hyperplanes(

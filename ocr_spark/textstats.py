@@ -50,6 +50,16 @@ def portable_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def py_portable_hash(s: str) -> int:
+    """Driver-side Python twin of :func:`portable_hash` — THE single
+    definition every driver-side constant derivation (hyperplanes, IVF
+    centroids, minhash coefficients, test oracles) must go through, so a
+    width/encoding change can never desynchronize one consumer."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def norm_text(text: Column) -> Column:
     """Canonical text form shared by dedup + fingerprinting."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

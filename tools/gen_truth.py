@@ -91,6 +91,10 @@ def gen_for_n(n_docs: int):
     for m in media_rows:
         content = m["content"]
         try:
+            # mirror multimodal.extract_media_meta exactly, including the
+            # null-content quarantine (n_bytes stays 0 for missing media)
+            if content is None:
+                raise ValueError("missing_media")
             payload = _decode_fake(bytes(content))
             lines = payload.get("lines") or []
             err = ""
@@ -103,7 +107,7 @@ def gen_for_n(n_docs: int):
             "width": m["width"],
             "height": m["height"],
             "n_lines": len(lines) if not err else 0,
-            "n_bytes": len(content),
+            "n_bytes": len(content) if content is not None else 0,
             "error": err,
         })
         if err:

@@ -46,6 +46,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = "/dev/shm/ocr_spark_bench_corpus"
 PARTS = 128
 RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "3"))
+MANUAL_MARKER = "<!-- MANUAL ADDENDA: preserved across --out regenerations -->"
 WORK_ITERS = 6000  # ≈3 ms/image on this core class
 
 GEN = r"""
@@ -164,6 +165,14 @@ def main() -> None:
         if os.path.dirname(out_path):
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
         li = profiles["light"]
+        # Preserve hand-written sections below the marker across
+        # regenerations (a previous --out rewrite silently clobbered the
+        # committed 200k-doc stress-run evidence).
+        addenda = ""
+        if os.path.exists(out_path):
+            prior = open(out_path).read()
+            if MANUAL_MARKER in prior:
+                addenda = MANUAL_MARKER + prior.split(MANUAL_MARKER, 1)[1]
         with open(out_path, "w") as f:
             f.write(f"""# Scaling evidence — extraction pipeline (N vs 4N parallelism)
 
@@ -228,7 +237,8 @@ itself is shuffle-minimal (one wide splice + salted media exchange).
 
 Reproduce: `python tools/scaling_bench.py {n_docs} --out BENCH/BASELINE.md`
 (generated {time.strftime('%Y-%m-%d')})
-""")
+
+{addenda}""")
         print(f"wrote {out_path}")
 
 
