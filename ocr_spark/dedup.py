@@ -405,6 +405,92 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(id) × (id_a, id_b)`` → ``(id, cluster_id)`` where ``cluster_id`` is
+    the minimum node id reachable in the undirected pair graph (singletons
+    label themselves).
+
+    Driver-looped Lloyd-style iteration: each round joins current labels
+    across the (both-direction) edge list, takes the per-node min, and
+    stops when no label changed — the number of rounds is the cluster
+    DIAMETER, which for near-dup clusters (cliquish by construction: LSH
+    pairs within a verify threshold) is 2-4, not O(n).  Each round is one
+    broadcast-or-shuffle join + one groupBy min; ``localCheckpoint``
+    truncates the lineage every round so the plan does not grow with the
+    iteration count (the classic iterative-DataFrame trap).  For
+    adversarially chain-shaped graphs at extreme scale the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") halves diameter per round; this min-label
+    form is the right cost shape for dedup graphs.
+    """
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        )
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float = 0.3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: MinHash+LSH pair edges →
+    connected components → ``(id, cluster_id, is_canonical)``.
+
+    The step downstream of every pair generator: a training-data pipeline
+    keeps ``is_canonical`` rows (the minimum doc id of each component) and
+    drops the rest.  Every doc appears exactly once; singletons are their
+    own canonical."""
+    edges = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col,
+        verify_threshold=verify_threshold, hash_mode=hash_mode,
+    ).select("id_a", "id_b")
+    nodes = df.select(F.col(id_col).alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        "id", "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash_block_widths(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     """(shift, width) per block, splitting ``bits`` as evenly as possible."""
     base, rem = divmod(bits, n_blocks)

@@ -737,7 +737,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(corpus, verify_threshold=0.3)
 
 
-def _sql_minhash() -> str:
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.dedup import dedup_clusters
+
+    return dedup_clusters(_near_corpus(spark, sf_dir), verify_threshold=0.3)
+
+
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``mh_pairs(id_a, id_b, jaccard_sim)`` — shared
+    by the minhash-pairs oracle and the cluster oracle's edge list."""
     sig = _duck_minhash_sig("sh")
     bands = ", ".join(
         f"md5(concat(sig[{b * 2 + 1}], ':', sig[{b * 2 + 2}])) AS band{b}"
@@ -747,8 +755,13 @@ def _sql_minhash() -> str:
         f"SELECT id, sh, {b} AS band_idx, band{b} AS band_hash FROM sigs"
         for b in range(4)
     )
-    return f"""
-WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+    jac = """CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
+       THEN 0.0
+       ELSE floor(len(list_intersect(sh_a, sh_b))::double /
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+             * 10000) / 10000
+  END"""
+    return f"""corpus AS ({_DUCK_NEAR_CORPUS}),
 s AS (SELECT doc_id AS id,
         {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
@@ -762,21 +775,35 @@ cand AS (
    AND l.id < r.id),
 j AS (
   SELECT c.id_a, c.id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM cand c JOIN s a ON a.id = c.id_a JOIN s b ON b.id = c.id_b)
-SELECT id_a, id_b,
-  CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
-       THEN 0.0
-       ELSE floor(len(list_intersect(sh_a, sh_b))::double /
-             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-             * 10000) / 10000
-  END AS jaccard_sim
-FROM j
-WHERE CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
-           THEN 0.0
-           ELSE floor(len(list_intersect(sh_a, sh_b))::double /
-                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-                 * 10000) / 10000
-      END >= 0.3
+  FROM cand c JOIN s a ON a.id = c.id_a JOIN s b ON b.id = c.id_b),
+mh_pairs AS (
+  SELECT id_a, id_b, {jac} AS jaccard_sim FROM j WHERE {jac} >= 0.3)"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT id_a, id_b, jaccard_sim FROM mh_pairs
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components over the minhash pair edges as a recursive
+    CTE: min reachable node id per node = the cluster label the Spark
+    side's min-label propagation converges to."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+nodes AS (SELECT doc_id AS id FROM corpus),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+reach(id, lab) AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lab) AS cluster_id, (id = min(lab)) AS is_canonical
+FROM reach GROUP BY id
 """
 
 
@@ -1644,6 +1671,7 @@ def registry() -> dict[str, Entry]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+        "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),

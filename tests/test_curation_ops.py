@@ -405,3 +405,39 @@ def test_ivf_kmeans_training_improves_quantizer(spark):
             for r in ivf_search(df, q, k=3, n_probes=4,
                                 centroids=trained).collect()}
     assert full == exact
+
+
+def test_connected_components_topologies(spark):
+    """Min-label propagation vs known components: a 6-node chain (needs
+    diameter iterations), a triangle, an isolated pair, and singletons."""
+    from ocr_spark.dedup import connected_components
+
+    edges = _df(spark, [
+        # chain 10-11-12-13-14-15 (edges listed high-to-low to stress
+        # propagation direction)
+        (14, 15), (13, 14), (12, 13), (11, 12), (10, 11),
+        # triangle 20-21-22
+        (20, 21), (21, 22), (20, 22),
+        # pair
+        (30, 31),
+    ], "id_a bigint, id_b bigint")
+    nodes = _df(spark, [(i,) for i in
+                        [10, 11, 12, 13, 14, 15, 20, 21, 22, 30, 31, 40, 41]],
+                "id bigint")
+    got = {r.id: r.cluster_id
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
+
+
+def test_dedup_clusters_canonical_per_component(spark):
+    from ocr_spark.dedup import dedup_clusters
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = _df(spark, [(1, text), (2, text), (3, other), (4, text)],
+             "doc_id bigint, text string")
+    rows = {r.id: (r.cluster_id, r.is_canonical)
+            for r in dedup_clusters(df, verify_threshold=0.9).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (3, True),
+                    4: (1, False)}
