@@ -82,3 +82,25 @@ def test_pipeline_media_salting_present(spark):
     plan = _plan(q_extract_pipeline(spark, SF))
     # the explicit salted repartition keys on doc_id + the xxhash salt
     assert "xxhash64" in plan
+
+
+def test_simhash_pairs_plan_bounded_and_codegen(spark):
+    """The 60-bit signature must be a hash-aggregate (codegen), not a
+    tree of interpreted higher-order aggregates, and the whole pair
+    pipeline stays within its designed exchanges (sig groupBy, block
+    join sides or broadcast, distinct)."""
+    from ocr_spark.driver_contract import q_dedup_simhash_pairs
+
+    plan = _plan(q_dedup_simhash_pairs(spark, SF))
+    assert "HashAggregate" in plan            # the wide vote aggregate
+    assert plan.count("Exchange (") <= 6, plan.count("Exchange (")
+
+
+def test_ngram_cap_plan_bounded(spark):
+    """bucket_cap adds one window pass; the operator must not pick up
+    incidental shuffles beyond window + join sides."""
+    from ocr_spark.driver_contract import q_dedup_ngram_jaccard
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, SF))
+    assert "Window" in plan                   # the sub-bucket row_number
+    assert plan.count("Exchange (") <= 6, plan.count("Exchange (")
