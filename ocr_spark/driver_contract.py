@@ -743,9 +743,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_near_corpus(spark, sf_dir), verify_threshold=0.3)
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(corpus_sql: str | None = None) -> str:
     """CTE chain ending in ``mh_pairs(id_a, id_b, jaccard_sim)`` — shared
-    by the minhash-pairs oracle and the cluster oracle's edge list."""
+    by the minhash-pairs oracle, the cluster oracle, and the curation
+    composite (which clusters the plain ``documents`` corpus)."""
     sig = _duck_minhash_sig("sh")
     bands = ", ".join(
         f"md5(concat(sig[{b * 2 + 1}], ':', sig[{b * 2 + 2}])) AS band{b}"
@@ -761,7 +762,7 @@ def _minhash_pairs_ctes() -> str:
              (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
              * 10000) / 10000
   END"""
-    return f"""corpus AS ({_DUCK_NEAR_CORPUS}),
+    return f"""corpus AS ({corpus_sql or _DUCK_NEAR_CORPUS}),
 s AS (SELECT doc_id AS id,
         {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))} AS sh
       FROM corpus),
@@ -1053,6 +1054,111 @@ pairs AS (
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
 SELECT id_a, id_b, cosine_sim, same_label
 FROM pairs WHERE cosine_sim >= 0.25
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: the canonical heavy-aggregation shape —
+    explode tokens → hash-aggregate with map-side partial counts → global
+    top-k with a fully deterministic tie-break."""
+    df = _docs_df(spark, sf_dir)
+    return (
+        df.select(F.explode(ts.tokens(F.col("text"))).alias("token"))
+        .select(F.lower("token").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT lower(token) AS token, count(*)::bigint AS n
+FROM (SELECT unnest({_DUCK_TOKENS.format(t='text')}) AS token
+      FROM documents)
+GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline — the operators working together the
+    way a training-data job uses them: language-ID + quality score per
+    document, near-dup cluster assignment over the plain corpus, and the
+    keep/drop decision (canonical member AND quality above threshold)."""
+    from ocr_spark.dedup import dedup_clusters
+
+    docs = _docs_df(spark, sf_dir).select("doc_id", "text")
+    stats = docs.select(
+        "doc_id",
+        ts.langid(F.col("text")).alias("pred_lang"),
+        ts.quality_score(F.col("text"), "en").alias("quality"),
+    )
+    clusters = dedup_clusters(docs, verify_threshold=0.3)
+    return (
+        stats.join(clusters, stats.doc_id == clusters.id)
+        .select(
+            "doc_id",
+            "pred_lang",
+            "quality",
+            "cluster_id",
+            (F.col("is_canonical") & (F.col("quality") >= 0.5)).alias("kept"),
+        )
+    )
+
+
+def _sql_curate_corpus() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    hits = {
+        lang: f"len(list_filter(tk, t -> list_contains({_SW_LIT[lang]}, "
+              f"lower(t))))"
+        for lang in ts.LANG_ORDER
+    }
+    sw = _SW_LIT["en"]
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes("SELECT doc_id, text FROM documents")},
+nodes AS (SELECT doc_id AS id FROM corpus),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+reach(id, lab) AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (
+  SELECT id, min(lab) AS cluster_id, (id = min(lab)) AS is_canonical
+  FROM reach GROUP BY id),
+t AS (SELECT doc_id, coalesce(text, '') AS txt, {toks} AS tk
+      FROM documents),
+h AS (SELECT doc_id, tk, txt, {hits['de']} AS h_de, {hits['en']} AS h_en,
+             {hits['es']} AS h_es, {hits['fr']} AS h_fr
+      FROM t),
+m AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END AS pred_lang,
+    len(tk)::bigint AS n_tokens,
+    CASE WHEN length(txt) = 0 THEN 0.0
+         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))::double
+                    / length(txt) * 10000) / 10000 END AS punct_ratio,
+    len(list_filter(tk, x -> list_contains({sw}, lower(x)))) AS sw_hits
+  FROM h),
+q AS (
+  SELECT doc_id, pred_lang,
+    floor((0.4 * least(n_tokens / 64.0, 1.0)
+        + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE sw_hits::double / n_tokens END) * 4.0, 1.0)
+        + 0.3 * greatest(0.0, 1.0 - punct_ratio * 2.0)) * 10000) / 10000
+      AS quality
+  FROM m)
+SELECT q.doc_id, q.pred_lang, q.quality, c.cluster_id,
+       (c.is_canonical AND q.quality >= 0.5) AS kept
+FROM q JOIN clusters c ON q.doc_id = c.id
 """
 
 
@@ -1681,6 +1787,8 @@ def registry() -> dict[str, Entry]:
         "langid": (q_langid, _sql_langid()),
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),
+        "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+        "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
         "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
