@@ -15,8 +15,11 @@ All shapes are chosen for the 100 TB case, tested at SF scale:
   :mod:`ocr_spark.similarity`) block the cosine check; brute force is the
   small-side fallback.
 
-Every numeric primitive is the portable md5-based hash from
-:mod:`ocr_spark.textstats`, so each operator has a replayable DuckDB oracle.
+Every numeric primitive is oracle-portable: base hashes are the md5-based
+60-bit hash from :mod:`ocr_spark.textstats`; MinHash permutations are an
+affine universal family over that hash (pure arithmetic) — so each
+operator has a replayable DuckDB oracle.  ``hash_mode='fast'`` swaps the
+base hash for JVM xxhash64 on the production path.
 """
 
 from __future__ import annotations
