@@ -1057,6 +1057,42 @@ FROM pairs WHERE cosine_sim >= 0.25
 """
 
 
+# PII-bearing input synthesized dialect-neutrally (documents text is clean)
+_PII_INPUT_SQL = f"""
+concat(substr(text, 1, 30),
+       ' mail user', cast(doc_id % 50 as int), '@example.com',
+       ' visit https://example.org/p/', cast(doc_id % 20 as int),
+       ' call +52 55 1234 56', {_two('doc_id % 100')},
+       ' host 10.0.', cast(doc_id % 200 as int), '.1 done')
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_INPUT_SQL).alias("raw")
+    )
+    return df.select(
+        "doc_id",
+        ts.scrub_pii(F.col("raw")).alias("scrubbed"),
+        *ts.pii_counts(F.col("raw")),
+    )
+
+
+def _sql_scrub_pii() -> str:
+    scrub = "raw"
+    for _name, pattern, token in ts.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(raw, '{pattern}'))::bigint AS {name}_n"
+        for name, pattern, _token in ts.PII_PATTERNS
+    )
+    return f"""
+WITH inp AS (SELECT doc_id, {_PII_INPUT_SQL} AS raw FROM documents)
+SELECT doc_id, {scrub} AS scrubbed, {counts}
+FROM inp
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k: the canonical heavy-aggregation shape —
     explode tokens → hash-aggregate with map-side partial counts → global
@@ -1788,6 +1824,7 @@ def registry() -> dict[str, Entry]:
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+        "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

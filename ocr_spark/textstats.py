@@ -140,6 +140,41 @@ def quality_score(text: Column, lang: str = "en") -> Column:
     )
 
 
+# PII scrubbing patterns — deliberately simple character-class regexes so
+# Java (Spark) and RE2 (DuckDB) agree exactly; each replaced with a typed
+# placeholder token so downstream tokenization stays stable.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    # literal space, not \s: Java's \s includes \x0B, RE2's does not
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, URLs, phone-like runs and IPv4s with placeholder
+    tokens — the standard pre-training scrub, as chained native
+    ``regexp_replace`` (one codegen pass per pattern, no UDF).  Pattern
+    order matters (URL before IP would leave host-embedded IPs; email
+    before phone keeps digits in addresses intact) and is part of the
+    contract."""
+    out = F.coalesce(text, F.lit(""))
+    for _name, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``<name>_n`` count column per PII pattern (pre-scrub counts)."""
+    t = F.coalesce(text, F.lit(""))
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+        .cast("bigint").alias(f"{name}_n")
+        for name, pattern, _token in PII_PATTERNS
+    ]
+
+
 def fingerprint(text: Column) -> Column:
     """Full-document fingerprint: md5 of the normalized text."""
     return F.md5(norm_text(text))

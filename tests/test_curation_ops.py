@@ -441,3 +441,22 @@ def test_dedup_clusters_canonical_per_component(spark):
             for r in dedup_clusters(df, verify_threshold=0.9).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (3, True),
                     4: (1, False)}
+
+
+def test_scrub_pii_replaces_each_kind(spark):
+    raw = ("write to a.b+c@x-mail.co.uk or see "
+           "https://ex.org/a?b=1 ring +1 (800) 555-0199 from 192.168.0.12 "
+           "but keep version 1.2 and year 2024")
+    df = _df(spark, [(1, raw)], "doc_id bigint, text string")
+    row = df.select(
+        ts.scrub_pii(F.col("text")).alias("s"), *ts.pii_counts(F.col("text"))
+    ).collect()[0]
+    assert "<EMAIL>" in row.s and "<URL>" in row.s
+    assert "<PHONE>" in row.s and "<IP>" in row.s
+    assert "a.b+c@x-mail.co.uk" not in row.s
+    assert "version 1.2" in row.s and "year 2024" in row.s
+    assert (row.email_n, row.url_n, row.phone_n, row.ipv4_n) == (1, 1, 1, 1)
+    # None-safe
+    df2 = _df(spark, [(2, None)], "doc_id bigint, text string")
+    assert df2.select(ts.scrub_pii(F.col("text")).alias("s")) \
+        .collect()[0].s == ""
