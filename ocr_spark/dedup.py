@@ -342,6 +342,28 @@ def minhash_lsh_pairs(
     cheaper per-row signature CPU; 'portable' is the DuckDB-replayable
     contract default (see HASH_MODES).
     """
+    pairs, _base = _minhash_lsh_pairs_with_base(
+        df, text_col, id_col, k, band_size, verify_threshold, shingle_n,
+        persist_base, hash_mode,
+    )
+    return pairs
+
+
+def _minhash_lsh_pairs_with_base(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_MINHASH_K,
+    band_size: int = 2,
+    verify_threshold: float = 0.3,
+    shingle_n: int = DEFAULT_SHINGLE,
+    persist_base: bool = True,
+    hash_mode: str = "portable",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Like :func:`minhash_lsh_pairs` but also returns the persisted
+    sketch base (or None) so a caller that fully materializes the pairs
+    (e.g. :func:`dedup_clusters`) can unpersist it instead of leaving the
+    CacheManager entry alive for the session."""
     if hash_mode not in HASH_MODES:
         raise ValueError(f"hash_mode must be one of {HASH_MODES}")
     toks = tokens(F.col(text_col))
@@ -396,7 +418,7 @@ def minhash_lsh_pairs(
         >= F.lit(verify_threshold)
         * F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
     )
-    return (
+    pairs = (
         cand.join(sh_a, on="id_a")
         .join(sh_b, on="id_b")
         .filter(ratio_ok)  # J ≤ min/max sizes — result-identical prefilter
@@ -406,6 +428,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_sim") >= verify_threshold)
     )
+    return pairs, (base if persist_base else None)
 
 
 def connected_components(
@@ -431,14 +454,18 @@ def connected_components(
     in MapReduce and Beyond") halves diameter per round; this min-label
     form is the right cost shape for dedup graphs.
     """
+    # Materialize the edge list ONCE — it is typically the output of an
+    # expensive pair generator (LSH band join + verify), and every
+    # iteration's action would otherwise re-execute that whole plan.
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(
             F.col("id_b").alias("src"), F.col("id_a").alias("dst")
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.src == labels.id)
@@ -464,7 +491,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silently-wrong labels (one component, several cluster ids) are
+        # worse than failing: the caller keeps duplicate documents and the
+        # recursive-closure oracle diverges.  max_iter bounds the cluster
+        # DIAMETER; hitting it means the graph is chain-shaped beyond the
+        # budget — raise it, or switch to large-star/small-star.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget)"
+        )
     return labels
 
 
@@ -482,12 +520,17 @@ def dedup_clusters(
     keeps ``is_canonical`` rows (the minimum doc id of each component) and
     drops the rest.  Every doc appears exactly once; singletons are their
     own canonical."""
-    edges = minhash_lsh_pairs(
+    pairs, base = _minhash_lsh_pairs_with_base(
         df, text_col=text_col, id_col=id_col,
         verify_threshold=verify_threshold, hash_mode=hash_mode,
-    ).select("id_a", "id_b")
+    )
+    edges = pairs.select("id_a", "id_b")
     nodes = df.select(F.col(id_col).alias("id"))
+    # connected_components localCheckpoints the edge list up front, so the
+    # sketch cache has served its purpose once the loop starts
     labels = connected_components(nodes, edges)
+    if base is not None:
+        base.unpersist()
     return labels.select(
         "id", "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),

@@ -734,16 +734,44 @@ WHERE CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir)
-    return minhash_lsh_pairs(corpus, verify_threshold=0.3)
+    return minhash_lsh_pairs(corpus, verify_threshold=MINHASH_T)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.dedup import dedup_clusters
 
-    return dedup_clusters(_near_corpus(spark, sf_dir), verify_threshold=0.3)
+    return dedup_clusters(
+        _near_corpus(spark, sf_dir), verify_threshold=MINHASH_T
+    )
 
 
-def _minhash_pairs_ctes(corpus_sql: str | None = None) -> str:
+# One verify threshold shared by every minhash-backed contract query AND
+# the oracle CTE builder — a Spark call site and its oracle can never
+# drift apart on it.
+MINHASH_T = 0.3
+
+# Shared DuckDB fragments for language-ID and quality scoring — used by
+# their own oracles and by the curation composite, so the formulas exist
+# exactly once.
+_DUCK_LANG_HITS = {
+    lang: f"len(list_filter(tk, t -> list_contains({_SW_LIT[lang]}, "
+          f"lower(t))))"
+    for lang in ts.LANG_ORDER
+}
+_LANGID_CASE = """CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END"""
+_QUALITY_FORMULA = """floor((0.4 * least(n_tokens / 64.0, 1.0)
+      + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE sw_hits::double / n_tokens END) * 4.0, 1.0)
+      + 0.3 * greatest(0.0, 1.0 - punct_ratio * 2.0)) * 10000) / 10000"""
+
+
+def _minhash_pairs_ctes(
+    corpus_sql: str | None = None, threshold: float = MINHASH_T
+) -> str:
     """CTE chain ending in ``mh_pairs(id_a, id_b, jaccard_sim)`` — shared
     by the minhash-pairs oracle, the cluster oracle, and the curation
     composite (which clusters the plain ``documents`` corpus)."""
@@ -778,7 +806,7 @@ j AS (
   SELECT c.id_a, c.id_b, a.sh AS sh_a, b.sh AS sh_b
   FROM cand c JOIN s a ON a.id = c.id_a JOIN s b ON b.id = c.id_b),
 mh_pairs AS (
-  SELECT id_a, id_b, {jac} AS jaccard_sim FROM j WHERE {jac} >= 0.3)"""
+  SELECT id_a, id_b, {jac} AS jaccard_sim FROM j WHERE {jac} >= {threshold})"""
 
 
 def _sql_minhash() -> str:
@@ -1131,7 +1159,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.langid(F.col("text")).alias("pred_lang"),
         ts.quality_score(F.col("text"), "en").alias("quality"),
     )
-    clusters = dedup_clusters(docs, verify_threshold=0.3)
+    clusters = dedup_clusters(docs, verify_threshold=MINHASH_T)
     return (
         stats.join(clusters, stats.doc_id == clusters.id)
         .select(
@@ -1146,11 +1174,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_curate_corpus() -> str:
     toks = _DUCK_TOKENS.format(t="text")
-    hits = {
-        lang: f"len(list_filter(tk, t -> list_contains({_SW_LIT[lang]}, "
-              f"lower(t))))"
-        for lang in ts.LANG_ORDER
-    }
+    hits = _DUCK_LANG_HITS
     sw = _SW_LIT["en"]
     return f"""
 WITH RECURSIVE {_minhash_pairs_ctes("SELECT doc_id, text FROM documents")},
@@ -1173,11 +1197,7 @@ h AS (SELECT doc_id, tk, txt, {hits['de']} AS h_de, {hits['en']} AS h_en,
       FROM t),
 m AS (
   SELECT doc_id,
-    CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
-         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-         WHEN h_es >= h_fr THEN 'es'
-         ELSE 'fr' END AS pred_lang,
+    {_LANGID_CASE} AS pred_lang,
     len(tk)::bigint AS n_tokens,
     CASE WHEN length(txt) = 0 THEN 0.0
          ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))::double
@@ -1186,11 +1206,7 @@ m AS (
   FROM h),
 q AS (
   SELECT doc_id, pred_lang,
-    floor((0.4 * least(n_tokens / 64.0, 1.0)
-        + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0
-                            ELSE sw_hits::double / n_tokens END) * 4.0, 1.0)
-        + 0.3 * greatest(0.0, 1.0 - punct_ratio * 2.0)) * 10000) / 10000
-      AS quality
+    {_QUALITY_FORMULA} AS quality
   FROM m)
 SELECT q.doc_id, q.pred_lang, q.quality, c.cluster_id,
        (c.is_canonical AND q.quality >= 0.5) AS kept
@@ -1209,22 +1225,13 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_langid() -> str:
     toks = _DUCK_TOKENS.format(t="text")
-    hits = {
-        lang: f"len(list_filter(tk, t -> list_contains({_SW_LIT[lang]}, "
-              f"lower(t))))"
-        for lang in ts.LANG_ORDER
-    }
+    h = _DUCK_LANG_HITS
     return f"""
 WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
-h AS (SELECT doc_id, lang, {hits['de']} AS h_de, {hits['en']} AS h_en,
-             {hits['es']} AS h_es, {hits['fr']} AS h_fr
+h AS (SELECT doc_id, lang, {h['de']} AS h_de, {h['en']} AS h_en,
+             {h['es']} AS h_es, {h['fr']} AS h_fr
       FROM t)
-SELECT doc_id, lang,
-  CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
-       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-       WHEN h_es >= h_fr THEN 'es'
-       ELSE 'fr' END AS pred_lang
+SELECT doc_id, lang, {_LANGID_CASE} AS pred_lang
 FROM h
 """
 
@@ -1258,11 +1265,7 @@ m AS (
     len(list_filter(tk, x -> list_contains({sw}, lower(x)))) AS sw_hits
   FROM t)
 SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio,
-  floor((0.4 * least(n_tokens / 64.0, 1.0)
-      + 0.3 * least((CASE WHEN n_tokens = 0 THEN 0.0
-                          ELSE sw_hits::double / n_tokens END) * 4.0, 1.0)
-      + 0.3 * greatest(0.0, 1.0 - punct_ratio * 2.0)) * 10000) / 10000
-    AS quality
+  {_QUALITY_FORMULA} AS quality
 FROM m
 """
 

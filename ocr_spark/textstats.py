@@ -145,7 +145,8 @@ def quality_score(text: Column, lang: str = "en") -> Column:
 # placeholder token so downstream tokenization stays stable.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://[^\s]+", "<URL>"),
+    # explicit class, not [^\s]: Java's \s includes \x0b, RE2's does not
+    ("url", r"https?://[^ \t\n\r\f\x0b]+", "<URL>"),
     # literal space, not \s: Java's \s includes \x0B, RE2's does not
     ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),

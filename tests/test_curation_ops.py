@@ -460,3 +460,16 @@ def test_scrub_pii_replaces_each_kind(spark):
     df2 = _df(spark, [(2, None)], "doc_id bigint, text string")
     assert df2.select(ts.scrub_pii(F.col("text")).alias("s")) \
         .collect()[0].s == ""
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter with labels still in flux must FAIL, not return
+    silently-wrong multi-label components."""
+    import pytest
+    from ocr_spark.dedup import connected_components
+
+    edges = _df(spark, [(i, i + 1) for i in range(10, 15)],
+                "id_a bigint, id_b bigint")
+    nodes = _df(spark, [(i,) for i in range(10, 16)], "id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
