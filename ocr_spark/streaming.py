@@ -1,21 +1,29 @@
-"""Incremental ingestion via Structured Streaming ``foreachBatch``.
+"""Structured-Streaming surface: incremental ingestion plus the two
+canonical streaming shapes a large-scale event pipeline needs.
 
-The reference has no streaming semantics (SURVEY.md §2.10 — strictly
-request/response), and the target is a batch pipeline; this module is the
-continuous-ingestion adapter the survey reserves for it: a file-source
-stream of ``documents_spans`` rows drives the IDENTICAL batch pipeline per
-micro-batch through ``foreachBatch``.  Output is partitioned by
-``batch_id`` and written with dynamic partition overwrite, so a micro-batch
-replayed after a crash (foreachBatch is at-least-once) overwrites its own
-partition instead of appending duplicates — effectively-once results on
-top of Spark's offset checkpointing.
-
-No stateful operators, watermarks or event-time windows are introduced —
-nothing in the operator inventory needs them; each document is complete
-within its row, so a micro-batch is just a small batch run.
+1. ``run_streaming_extraction`` — the continuous-ingestion adapter: a
+   file-source stream of ``documents_spans`` rows drives the IDENTICAL
+   batch pipeline per micro-batch through ``foreachBatch`` (the reference
+   has no streaming semantics — SURVEY.md §2.10 — so each document is
+   complete within its row and a micro-batch is just a small batch run).
+   Output partitioned by ``batch_id`` with dynamic overwrite →
+   effectively-once on top of the offset checkpoint.
+2. ``stream_windowed_counts`` — watermarked event-time tumbling-window
+   aggregation in APPEND mode: a window row is emitted exactly once, when
+   the watermark passes its end; data later than the watermark is dropped
+   by the engine.  The streaming twin of the batch ``events_hourly``
+   contract query.
+3. ``sessionize_stream`` — custom stateful operator via
+   ``applyInPandasWithState``: per-user gap-based sessionization with
+   event-time timeouts (state = the open session; closed sessions are
+   emitted in-batch on a gap, or by timeout when the watermark passes
+   ``session_end + gap``).  The streaming twin of the batch
+   ``events_sessions`` contract query.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +31,8 @@ from pyspark.sql import functions as F
 from ocr_spark.config import PipelineConfig
 from ocr_spark.fixtures import SPANS_SCHEMA_DDL
 from ocr_spark.pipeline import run_extraction
+
+EVENTS_STREAM_DDL = "user_id bigint, ts timestamp, event_type string, value double"
 
 
 def run_streaming_extraction(
@@ -65,6 +75,150 @@ def run_streaming_extraction(
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window counts/sums over an event file stream.
+
+    APPEND output mode: a window's single final row is emitted when the
+    watermark (max event time − ``watermark``) passes the window end, and
+    events arriving later than the watermark are dropped by the engine —
+    the standard late-data contract.  State per open window is bounded by
+    the watermark horizon.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_DDL)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+SESSION_OUT_DDL = (
+    "user_id bigint, session_start double, session_end double, "
+    "n_events bigint"
+)
+SESSION_STATE_DDL = "start double, end double, n bigint"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_s: float = 1800.0,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Gap-based per-user sessionization as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState`` + event-time timeout).
+
+    State per user is the one open session ``(start, end, n)``.  Within a
+    batch, events are merged in event-time order; a gap > ``gap_s`` closes
+    the current session (emitted immediately).  The still-open session is
+    kept in state with an event-time timeout at ``end + gap_s``: when the
+    watermark passes it, the timed-out invocation emits the final session
+    and clears the state — so every session is emitted exactly once, by
+    gap or by timeout.  Events later than the watermark may arrive after
+    their session closed; the checkpointed state cannot reopen it (the
+    same contract as the windowed aggregation).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        user = key[0]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user, "session_start": start,
+                  "session_end": end, "n_events": n}]
+            )
+            return
+
+        ts = sorted(
+            t.timestamp() for pdf in pdfs for t in pdf["ts"] if t is not None
+        )
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for t in ts:
+            if start is None:
+                start = end = t
+                n = 1
+            elif t - end > gap_s:
+                closed.append((start, end, n))
+                start = end = t
+                n = 1
+            else:
+                end = max(end, t)
+                n += 1
+        if start is not None:
+            state.update((float(start), float(end), int(n)))
+            # fire when the watermark passes the session's close horizon
+            state.setTimeoutTimestamp(int((end + gap_s) * 1000))
+        if closed:
+            yield pd.DataFrame(
+                [{"user_id": user, "session_start": s, "session_end": e,
+                  "n_events": c} for s, e, c in closed]
+            )
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_DDL)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -52,3 +52,95 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q2 = run_streaming_extraction(spark, inp, media_df, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1 == N_DOCS
+
+
+def _events_df(spark, rows):
+    """rows: (user_id, epoch_s, event_type, value) → events stream schema."""
+    from ocr_spark.streaming import EVENTS_STREAM_DDL
+
+    return spark.createDataFrame(
+        [(u, s, k, v) for u, s, k, v in rows],
+        "user_id bigint, s bigint, event_type string, value double",
+    ).selectExpr(
+        "user_id", "timestamp_seconds(s) AS ts", "event_type", "value"
+    )
+
+
+def test_windowed_counts_append_and_late_drop(spark, tmp_path):
+    """APPEND-mode watermarked windows: finalized windows emit exactly
+    once when the watermark passes; a later-than-watermark event is
+    dropped (no duplicate or updated row for its window)."""
+    from ocr_spark.streaming import stream_windowed_counts
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    H = 3600
+    f1 = _events_df(spark, [
+        (1, 0 * H + 10, "a", 1.0), (1, 0 * H + 20, "a", 2.0),
+        (1, 1 * H + 10, "a", 1.0),
+        (2, 2 * H + 5, "b", 4.0), (2, 2 * H + 6, "b", 1.0),
+        (2, 2 * H + 7, "b", 1.0),
+        (9, 10 * H, "a", 0.0),     # watermark driver → wm = 8h
+    ])
+    f1.coalesce(1).write.mode("append").parquet(inp)
+    q = stream_windowed_counts(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {(r.window_start.hour, r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {(0, "a"): (2, 3.0), (1, "a"): (1, 1.0),
+                    (2, "b"): (3, 6.0)}
+
+    # late event for hour 1 (far behind the 8h watermark) + an hour-9
+    # event whose window is not yet finalized
+    f2 = _events_df(spark, [(1, 1 * H + 30, "a", 99.0),
+                            (3, 9 * H + 10, "a", 1.0)])
+    f2.coalesce(1).write.mode("append").parquet(inp)
+    q = stream_windowed_counts(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    got2 = {(r.window_start.hour, r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == got1  # late row dropped, open window unemitted
+
+
+def test_sessionize_stream_stateful_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes a
+    session immediately; the open session survives restarts in the state
+    store and is closed by the event-time timeout once the watermark
+    passes end+gap (availableNow runs a trailing no-data batch that fires
+    newly-eligible timeouts) — each session emitted exactly once.
+
+    Timestamps sit well above epoch 0: a row whose event time equals the
+    initial watermark (0) is dropped by the stateful operator's late-row
+    filter."""
+    from ocr_spark.streaming import sessionize_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    B = 100000
+
+    def drain():
+        q = sessionize_stream(spark, inp, out, ckpt,
+                              gap_s=1800.0, watermark="10 minutes")
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    f1 = _events_df(spark, [
+        (7, B + 0, "a", 0.0), (7, B + 10, "a", 0.0),        # session A
+        (7, B + 5000, "a", 0.0), (7, B + 5010, "a", 0.0),   # session B (open)
+        (8, B + 100, "a", 0.0),                              # session C
+    ])
+    f1.coalesce(1).write.mode("append").parquet(inp)
+    # drain 1: A closes in-batch on the gap; the trailing no-data batch
+    # advances the watermark to B+5010-600, past C's timeout (B+1900) →
+    # C emits too.  Session B (timeout B+6810) stays open.
+    assert drain() == [(7, B + 0.0, B + 10.0, 2),
+                       (8, B + 100.0, B + 100.0, 1)]
+
+    # drain 2: the new event advances the watermark past B's timeout →
+    # B emits exactly once; the driver's own session stays open.
+    f2 = _events_df(spark, [(9, B + 20000, "a", 0.0)])
+    f2.coalesce(1).write.mode("append").parquet(inp)
+    assert drain() == [(7, B + 0.0, B + 10.0, 2),
+                       (7, B + 5000.0, B + 5010.0, 2),
+                       (8, B + 100.0, B + 100.0, 1)]
