@@ -281,27 +281,87 @@ def lsh_ann_pairs(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
     min_cosine: float = 0.6,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Bucketed ANN candidate pairs verified by exact cosine.
 
-    Narrow bucket assignment → join on bucket → cosine only inside buckets.
-    Output: (id_a, id_b, cosine_sim) with id_a < id_b.
+    Narrow bucket assignment → join on (table, bucket) → cosine only
+    inside buckets.  Output: (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    ``n_tables`` > 1 is the recall lever: a pair at angle θ collides in
+    one table of p planes with probability (1−θ/π)^p; T independent
+    tables raise that to 1−(1−(1−θ/π)^p)^T while multiplying candidate
+    work by ≤ T.  Tables are independent seeded plane sets; candidates
+    are deduped as id pairs BEFORE the cosine verify, so a pair colliding
+    in several tables is verified once.  T=1 keeps the original
+    single-table shape (the oracle-checked contract configuration).
     """
-    planes = planes or hyperplanes()
-    base = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    left = base.alias("l")
-    right = base.alias("r")
+    base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if n_tables <= 1:
+        planes = planes or hyperplanes()
+        base = corpus.select(
+            *base_cols, lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        )
+        left = base.alias("l")
+        right = base.alias("r")
+        cand = (
+            left.join(right, on="bucket")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("va"),
+                F.col("r.v").alias("vb"),
+            )
+        )
+    else:
+        if planes is not None:
+            raise ValueError(
+                "pass either explicit planes (single table) or n_tables"
+            )
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col(vec_col),
+                    hyperplanes(DEFAULT_PLANES, seed=f"lsh/t{t}"),
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        banded = corpus.select(
+            F.col(id_col).alias("id"), F.explode(tables).alias("b")
+        ).select("id", "b.tbl", "b.bucket")
+        # id pairs only through the multi-table join + distinct (the
+        # vectors join back afterwards, keyed by the deduped pair set —
+        # same discipline as the MinHash band join)
+        pair_ids = (
+            banded.alias("l")
+            .join(banded.alias("r"), on=["tbl", "bucket"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .distinct()
+        )
+        vecs = corpus.select(*base_cols)
+        cand = (
+            pair_ids.join(
+                vecs.select(F.col("id").alias("id_a"),
+                            F.col("v").alias("va")),
+                on="id_a",
+            )
+            .join(
+                vecs.select(F.col("id").alias("id_b"),
+                            F.col("v").alias("vb")),
+                on="id_b",
+            )
+        )
     return (
-        left.join(right, on="bucket")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            cosine(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )

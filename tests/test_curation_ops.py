@@ -473,3 +473,35 @@ def test_connected_components_raises_on_nonconvergence(spark):
     nodes = _df(spark, [(i,) for i in range(10, 16)], "id bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=2)
+
+
+def test_lsh_multi_table_recall_superset(spark):
+    """T independent tables must recover a SUPERSET of single-table
+    pairs, every surfaced pair verified (cosine >= threshold), and exact
+    duplicates always collide in every table."""
+    from ocr_spark.similarity import lsh_ann_pairs
+
+    vecs = [
+        (i, [((i * 7 + d * 13) % 21 - 10) / 10.0 for d in range(16)])
+        for i in range(30)
+    ]
+    vecs.append((100, vecs[0][1]))  # exact dup of vec 0
+    df = _df(spark, vecs, "vec_id bigint, embedding array<float>")
+
+    single = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(
+            df, planes=hyperplanes(4, dims=16), min_cosine=0.2
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in lsh_ann_pairs(df, min_cosine=0.2, n_tables=4).collect()
+    }
+    # note: table 0 of the multi run uses seed "lsh/t0" (not the default
+    # "lsh"), so supersetness is probabilistic in general — assert the
+    # guaranteed parts: the exact dup, verification, and that 4 tables
+    # find at least as many pairs as one
+    assert (0, 100) in multi and multi[(0, 100)] >= 0.999999
+    assert all(v >= 0.2 for v in multi.values())
+    assert len(multi) >= len(single)
