@@ -282,6 +282,7 @@ def lsh_ann_pairs(
     planes: list[list[float]] | None = None,
     min_cosine: float = 0.6,
     n_tables: int = 1,
+    dims: int = DEFAULT_DIMS,
 ) -> DataFrame:
     """Bucketed ANN candidate pairs verified by exact cosine.
 
@@ -295,6 +296,12 @@ def lsh_ann_pairs(
     are deduped as id pairs BEFORE the cosine verify, so a pair colliding
     in several tables is verified once.  T=1 keeps the original
     single-table shape (the oracle-checked contract configuration).
+
+    ``dims`` MUST match the embedding width when ``n_tables`` > 1 (for a
+    single table pass matching ``planes`` instead): ``zip_with``
+    null-pads a length mismatch, every sign bit falls to '0', and the
+    bucketing silently degenerates to one global bucket — an all-pairs
+    cross join at scale.
     """
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
@@ -319,12 +326,18 @@ def lsh_ann_pairs(
             raise ValueError(
                 "pass either explicit planes (single table) or n_tables"
             )
+        # table 0 reuses the default single-table plane set, so the
+        # multi-table candidate set is a GUARANTEED superset of the
+        # single-table one (and n_tables=1 ≡ the default single table)
         tables = F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
                 lsh_bucket(
                     F.col(vec_col),
-                    hyperplanes(DEFAULT_PLANES, seed=f"lsh/t{t}"),
+                    hyperplanes(
+                        DEFAULT_PLANES, dims=dims,
+                        seed="lsh" if t == 0 else f"lsh/t{t}",
+                    ),
                 ).alias("bucket"),
             )
             for t in range(n_tables)

@@ -35,6 +35,20 @@ from ocr_spark.pipeline import run_extraction
 EVENTS_STREAM_DDL = "user_id bigint, ts timestamp, event_type string, value double"
 
 
+def _start_append_stream(df, out_dir: str, checkpoint_dir: str,
+                         available_now: bool):
+    """Shared parquet APPEND writer (one place for the write contract)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -116,15 +130,7 @@ def stream_windowed_counts(
             "total_value",
         )
     )
-    writer = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_append_stream(agg, out_dir, checkpoint_dir, available_now)
 
 
 SESSION_OUT_DDL = (
@@ -132,6 +138,25 @@ SESSION_OUT_DDL = (
     "n_events bigint"
 )
 SESSION_STATE_DDL = "start double, end double, n bigint"
+
+
+def merge_session_intervals(
+    ivals: list[tuple[float, float, int]], gap_s: float
+) -> list[tuple[float, float, int]]:
+    """Merge (start, end, n) intervals whose gap is ≤ ``gap_s``, in start
+    order.  Shared by the stateful stream (where one interval is the
+    checkpointed open session and the rest are the batch's events) so
+    out-of-order-but-within-watermark events merge correctly — including
+    ones EARLIER than the open session's start (they lower it, or form
+    their own earlier session when the backward gap exceeds ``gap_s``)."""
+    merged: list[tuple[float, float, int]] = []
+    for s, e, c in sorted(ivals):
+        if merged and s - merged[-1][1] <= gap_s:
+            ms, me, mc = merged[-1]
+            merged[-1] = (ms, max(me, e), mc + c)
+        else:
+            merged.append((s, e, c))
+    return merged
 
 
 def sessionize_stream(
@@ -159,6 +184,18 @@ def sessionize_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # The stateful function reads event times via pandas .timestamp(),
+    # which treats the tz-naive values Arrow delivers as UTC — only
+    # correct when the session renders timestamps in UTC (get_spark pins
+    # this).  Enforce rather than silently shift every session by the
+    # JVM's tz offset (and trip the timeout-below-watermark check).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in ("UTC", "GMT", "ETC/UTC", "Z"):
+        raise ValueError(
+            f"sessionize_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); see ocr_spark.session.get_spark"
+        )
+
     def sessionize(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
@@ -172,30 +209,20 @@ def sessionize_stream(
             )
             return
 
-        ts = sorted(
-            t.timestamp() for pdf in pdfs for t in pdf["ts"] if t is not None
-        )
+        ivals = [
+            (t.timestamp(), t.timestamp(), 1)
+            for pdf in pdfs for t in pdf["ts"] if t is not None
+        ]
         if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = None
-            n = 0
-        closed = []
-        for t in ts:
-            if start is None:
-                start = end = t
-                n = 1
-            elif t - end > gap_s:
-                closed.append((start, end, n))
-                start = end = t
-                n = 1
-            else:
-                end = max(end, t)
-                n += 1
-        if start is not None:
-            state.update((float(start), float(end), int(n)))
-            # fire when the watermark passes the session's close horizon
-            state.setTimeoutTimestamp(int((end + gap_s) * 1000))
+            s0, e0, n0 = state.get
+            ivals.append((float(s0), float(e0), int(n0)))
+        merged = merge_session_intervals(ivals, gap_s)
+        if not merged:
+            return
+        *closed, (start, end, n) = merged
+        state.update((float(start), float(end), int(n)))
+        # fire when the watermark passes the open session's close horizon
+        state.setTimeoutTimestamp(int((end + gap_s) * 1000))
         if closed:
             yield pd.DataFrame(
                 [{"user_id": user, "session_start": s, "session_end": e,
@@ -214,12 +241,5 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    writer = (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_append_stream(sessions, out_dir, checkpoint_dir,
+                                available_now)

@@ -476,32 +476,73 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
 
 def test_lsh_multi_table_recall_superset(spark):
-    """T independent tables must recover a SUPERSET of single-table
-    pairs, every surfaced pair verified (cosine >= threshold), and exact
-    duplicates always collide in every table."""
+    """T independent tables must actually BUCKET (not degenerate to one
+    global bucket — the dims-mismatch footgun), recover the exact-dup
+    pair, verify every surfaced pair, beat single-table recall, and
+    still prune (fewer pairs than the brute-force set at the threshold)."""
+    import math
+
     from ocr_spark.similarity import lsh_ann_pairs
 
     vecs = [
-        (i, [((i * 7 + d * 13) % 21 - 10) / 10.0 for d in range(16)])
+        (i, [((i * 37 + d * 101) % 97 - 48) / 48.0 for d in range(16)])
         for i in range(30)
     ]
     vecs.append((100, vecs[0][1]))  # exact dup of vec 0
     df = _df(spark, vecs, "vec_id bigint, embedding array<float>")
 
+    # single table = the multi run's table 0 (same seed/planes), so the
+    # multi candidate set is a guaranteed superset
     single = {
         (r.id_a, r.id_b)
         for r in lsh_ann_pairs(
-            df, planes=hyperplanes(4, dims=16), min_cosine=0.2
+            df, planes=hyperplanes(8, dims=16), min_cosine=0.2
         ).collect()
     }
     multi = {
         (r.id_a, r.id_b): r.cosine_sim
-        for r in lsh_ann_pairs(df, min_cosine=0.2, n_tables=4).collect()
+        for r in lsh_ann_pairs(
+            df, min_cosine=0.2, n_tables=4, dims=16
+        ).collect()
     }
-    # note: table 0 of the multi run uses seed "lsh/t0" (not the default
-    # "lsh"), so supersetness is probabilistic in general — assert the
-    # guaranteed parts: the exact dup, verification, and that 4 tables
-    # find at least as many pairs as one
     assert (0, 100) in multi and multi[(0, 100)] >= 0.999999
     assert all(v >= 0.2 for v in multi.values())
-    assert len(multi) >= len(single)
+    assert set(single) <= set(multi)  # table-0 superset guarantee
+
+    # prove the bucketing is real: the multi-table candidate set prunes —
+    # strictly fewer pairs than exhaustive cosine at the same threshold
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    by_id = dict(vecs)
+    brute = {
+        (a, b)
+        for a in by_id for b in by_id
+        if a < b and cos(by_id[a], by_id[b]) >= 0.2
+    }
+    assert set(multi) <= brute
+    assert len(multi) < len(brute), "no pruning: bucketing degenerated"
+
+
+def test_merge_session_intervals_out_of_order():
+    """Pure-function check of the stateful stream's merge: within-gap
+    out-of-order events lower session_start; events earlier than the
+    open session by more than the gap become their own earlier session."""
+    from ocr_spark.streaming import merge_session_intervals
+
+    open_sess = (1000.0, 1200.0, 3)
+    # within-gap earlier event lowers the start
+    got = merge_session_intervals([open_sess, (900.0, 900.0, 1)], 300.0)
+    assert got == [(900.0, 1200.0, 4)]
+    # beyond-gap earlier event forms its own (already-closed) session
+    got = merge_session_intervals([open_sess, (100.0, 100.0, 1)], 300.0)
+    assert got == [(100.0, 100.0, 1), (1000.0, 1200.0, 3)]
+    # chain merge across three pieces
+    got = merge_session_intervals(
+        [(0.0, 0.0, 1), (250.0, 250.0, 1), (450.0, 450.0, 1)], 300.0
+    )
+    assert got == [(0.0, 450.0, 3)]
+    assert merge_session_intervals([], 300.0) == []
