@@ -431,6 +431,64 @@ def _minhash_lsh_pairs_with_base(
     return pairs, (base if persist_base else None)
 
 
+def drop_frequent_lines(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.3,
+) -> DataFrame:
+    """Corpus-frequency line filtering (the CCNet/RefinedWeb-style
+    line-level dedup): drop every line whose DOCUMENT frequency exceeds
+    ``max_doc_frac`` of the corpus — boilerplate headers/footers/cookie
+    banners repeat across documents, content lines do not.
+
+    Shape: posexplode lines (narrow) → doc-frequency per line (one
+    groupBy-line shuffle with partial aggregation on (line, id) distinct)
+    → join the frequency back on the line key → re-assemble each
+    document's surviving lines in original order (one groupBy-id
+    shuffle).  The corpus size joins in as a broadcast 1-row aggregate.
+    Output: ``(id, kept_lines, n_lines_in, n_lines_kept)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(lines_col).alias("lines")
+    )
+    exploded = base.select(
+        "id", F.posexplode("lines").alias("pos", "line")
+    )
+    doc_freq = exploded.groupBy("line").agg(
+        F.count_distinct("id").alias("doc_freq")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        exploded.join(doc_freq, on="line")
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("doc_freq").cast("double")
+            < F.lit(max_doc_frac) * F.col("n_docs").cast("double")
+        )
+    )
+    survivors = kept.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ).alias("kept_lines"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = base.select("id", F.size("lines").alias("n_lines_in"))
+    return (
+        totals.join(survivors, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("kept_lines"), F.array().cast("array<string>")
+            ).alias("kept_lines"),
+            F.col("n_lines_in").cast("bigint").alias("n_lines_in"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0))
+            .cast("bigint").alias("n_lines_kept"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1085,6 +1085,83 @@ FROM pairs WHERE cosine_sim >= 0.25
 """
 
 
+_BOILER_LINE = "corpus wide boilerplate header line"
+_SEMI_LINE = "semi boilerplate shared by half"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup over synthesized per-doc lines: every
+    doc gets a universal boilerplate header (must drop), even docs get a
+    half-corpus line (must drop at max_doc_frac=0.3), and the 8-token
+    content chunks are unique (must survive in order)."""
+    from ocr_spark.dedup import drop_frequent_lines
+
+    df = _docs_df(spark, sf_dir)
+    tk = ts.tokens(F.col("text"))
+    idx = F.sequence(
+        F.lit(1), F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
+    )
+    chunks = F.when(
+        F.size(tk) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(tk, (i - 1) * 8 + 1, 8), " "),
+        )
+    )
+    lines = F.concat(
+        F.array(F.lit(_BOILER_LINE)),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit(_SEMI_LINE))
+        ).otherwise(F.array().cast("array<string>")),
+        chunks,
+    )
+    out = drop_frequent_lines(
+        df.select("doc_id", lines.alias("lines")), max_doc_frac=0.3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("kept_lines", "\x1f").alias("kept_joined"),
+        "n_lines_in",
+        "n_lines_kept",
+    )
+
+
+def _sql_line_dedup() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+l AS (SELECT doc_id,
+        list_concat(list_concat(
+          ['{_BOILER_LINE}'],
+          CASE WHEN doc_id % 2 = 0 THEN ['{_SEMI_LINE}']
+               ELSE []::varchar[] END),
+          CASE WHEN len(tk) = 0 THEN []::varchar[]
+               ELSE list_transform(
+                 generate_series(1, cast(ceil(len(tk) / 8.0) as int)),
+                 i -> array_to_string(
+                   list_slice(tk, (i - 1) * 8 + 1, i * 8), ' '))
+          END) AS lines
+      FROM t),
+e AS (SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos
+      FROM l),
+f AS (SELECT line, count(DISTINCT doc_id) AS doc_freq FROM e GROUP BY line),
+n AS (SELECT count(*) AS n_docs FROM l),
+k AS (SELECT e.doc_id, e.pos, e.line
+      FROM e JOIN f USING (line), n
+      WHERE f.doc_freq < 0.3 * n.n_docs),
+agg AS (SELECT doc_id,
+          array_to_string(list(line ORDER BY pos), chr(31)) AS kept_joined,
+          count(*)::bigint AS n_lines_kept
+        FROM k GROUP BY doc_id)
+SELECT l.doc_id, coalesce(agg.kept_joined, '') AS kept_joined,
+       len(l.lines)::bigint AS n_lines_in,
+       coalesce(agg.n_lines_kept, 0)::bigint AS n_lines_kept
+FROM l LEFT JOIN agg USING (doc_id)
+"""
+
+
 # PII-bearing input synthesized dialect-neutrally (documents text is clean)
 _PII_INPUT_SQL = f"""
 concat(substr(text, 1, 30),
@@ -1828,6 +1905,7 @@ def registry() -> dict[str, Entry]:
         "fingerprint": (q_fingerprint, _sql_fingerprint()),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
+        "line_dedup": (q_line_dedup, _sql_line_dedup()),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

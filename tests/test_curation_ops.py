@@ -546,3 +546,26 @@ def test_merge_session_intervals_out_of_order():
     )
     assert got == [(0.0, 450.0, 3)]
     assert merge_session_intervals([], 300.0) == []
+
+
+def test_drop_frequent_lines_semantics(spark):
+    """Universal boilerplate drops, half-corpus lines drop below the
+    0.3 threshold, unique content survives in original order; a doc of
+    only boilerplate keeps an empty (not null) line list."""
+    from ocr_spark.dedup import drop_frequent_lines
+
+    rows = []
+    for i in range(10):
+        lines = ["BOILER EVERYWHERE"]
+        if i % 2 == 0:
+            lines.append("HALF SHARED")
+        lines += [f"unique {i} a", f"unique {i} b"]
+        rows.append((i, lines))
+    rows.append((99, ["BOILER EVERYWHERE"]))  # boilerplate-only doc
+    df = _df(spark, rows, "doc_id bigint, lines array<string>")
+    got = {r.id: (list(r.kept_lines), r.n_lines_in, r.n_lines_kept)
+           for r in drop_frequent_lines(df, max_doc_frac=0.3).collect()}
+    assert got[0] == (["unique 0 a", "unique 0 b"], 4, 2)
+    assert got[1] == (["unique 1 a", "unique 1 b"], 3, 2)
+    assert got[99] == ([], 1, 0)
+    assert len(got) == 11
