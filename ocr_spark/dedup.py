@@ -442,25 +442,32 @@ def drop_frequent_lines(
     ``max_doc_frac`` of the corpus — boilerplate headers/footers/cookie
     banners repeat across documents, content lines do not.
 
-    Shape: posexplode lines (narrow) → doc-frequency per line (one
-    groupBy-line shuffle with partial aggregation on (line, id) distinct)
-    → join the frequency back on the line key → re-assemble each
-    document's surviving lines in original order (one groupBy-id
-    shuffle).  The corpus size joins in as a broadcast 1-row aggregate.
-    Output: ``(id, kept_lines, n_lines_in, n_lines_kept)``.
+    Shape: posexplode lines (narrow) → doc-frequency per LINE HASH (one
+    groupBy shuffle keyed by the 60-bit portable hash, not the raw line
+    string — bigint keys shuffle a fraction of the bytes and compare
+    cheaper; a collision merely merges two lines' frequencies, which at
+    60 bits is negligible against a boilerplate threshold) → join the
+    frequency back on the hash → re-assemble each document's surviving
+    lines in original order (one groupBy-id shuffle).  The corpus size
+    joins in as a broadcast 1-row aggregate.  Skew note: a corpus-wide
+    boilerplate line is a hot join key by construction; its frequency
+    row is on the (small, usually broadcast) aggregate side, and AQE
+    skew-join splits the residual case when the frequency table grows to
+    sort-merge size.  Output: ``(id, kept_lines, n_lines_in,
+    n_lines_kept)``.
     """
     base = df.select(
         F.col(id_col).alias("id"), F.col(lines_col).alias("lines")
     )
     exploded = base.select(
         "id", F.posexplode("lines").alias("pos", "line")
-    )
-    doc_freq = exploded.groupBy("line").agg(
+    ).withColumn("line_h", portable_hash(F.col("line")))
+    doc_freq = exploded.groupBy("line_h").agg(
         F.count_distinct("id").alias("doc_freq")
     )
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
-        exploded.join(doc_freq, on="line")
+        exploded.join(doc_freq, on="line_h")
         .join(F.broadcast(n_docs))
         .filter(
             F.col("doc_freq").cast("double")

@@ -1146,10 +1146,14 @@ l AS (SELECT doc_id,
 e AS (SELECT doc_id, unnest(lines) AS line,
              generate_subscripts(lines, 1) AS pos
       FROM l),
-f AS (SELECT line, count(DISTINCT doc_id) AS doc_freq FROM e GROUP BY line),
+e2 AS (SELECT doc_id, pos, line,
+              {_DUCK_HASH.format(x='line')} AS line_h
+       FROM e),
+f AS (SELECT line_h, count(DISTINCT doc_id) AS doc_freq
+      FROM e2 GROUP BY line_h),
 n AS (SELECT count(*) AS n_docs FROM l),
-k AS (SELECT e.doc_id, e.pos, e.line
-      FROM e JOIN f USING (line), n
+k AS (SELECT e2.doc_id, e2.pos, e2.line
+      FROM e2 JOIN f USING (line_h), n
       WHERE f.doc_freq < 0.3 * n.n_docs),
 agg AS (SELECT doc_id,
           array_to_string(list(line ORDER BY pos), chr(31)) AS kept_joined,
