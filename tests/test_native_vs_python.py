@@ -34,6 +34,20 @@ from ocr_spark.extraction.classify import document_blob
 from ocr_spark.fixtures import gen_generic_lines, gen_ine_lines
 
 
+# Fuzz alphabet = realistic OCR output (Latin letters incl. accents,
+# digits, the punctuation the extractors key on).  Deliberately NOT
+# arbitrary unicode: Java regex \d/\b are ASCII-oriented while the
+# reference's Python patterns are unicode-aware, so e.g. Arabic-Indic
+# digits match the Python twins but not the native ones — a known,
+# accepted boundary (the authoritative pipeline path is the pinned
+# Python UDF; the native twins serve contract queries over this
+# alphabet).
+_FUZZ_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÉÍÓÚÜÑabcdefghij"
+    "0123456789 /-.,:()#HMX\t"
+)
+
+
 @pytest.fixture(scope="module")
 def corpora():
     out = []
@@ -43,6 +57,16 @@ def corpora():
         if k % 7 == 0:
             lines = lines + ["", "  ", "0378", "31/05/1993", "2021-2031"]
         out.append(lines)
+    # adversarial fuzz corpora: random strings over the OCR alphabet —
+    # nothing fixture-shaped, so regex-semantic divergences between the
+    # JVM and Python layers have nowhere to hide
+    for k in range(250):
+        rng = Random(f"native-fuzz/{k}")
+        out.append([
+            "".join(rng.choice(_FUZZ_ALPHABET)
+                    for _ in range(rng.randint(0, 40)))
+            for _ in range(rng.randint(0, 10))
+        ])
     return out
 
 
