@@ -436,11 +436,15 @@ def drop_frequent_lines(
     lines_col: str = "lines",
     id_col: str = "doc_id",
     max_doc_frac: float = 0.3,
+    persist_exploded: bool = True,
 ) -> DataFrame:
     """Corpus-frequency line filtering (the CCNet/RefinedWeb-style
-    line-level dedup): drop every line whose DOCUMENT frequency exceeds
-    ``max_doc_frac`` of the corpus — boilerplate headers/footers/cookie
-    banners repeat across documents, content lines do not.
+    line-level dedup): keep only lines whose DOCUMENT frequency is
+    strictly below ``max_doc_frac`` of the corpus (a line at exactly the
+    threshold is dropped) — boilerplate headers/footers/cookie banners
+    repeat across documents, content lines do not.  NULL lines arrays
+    count as empty; NULL line elements are excluded up front (from both
+    the counts and the output).
 
     Shape: posexplode lines (narrow) → doc-frequency per LINE HASH (one
     groupBy shuffle keyed by the 60-bit portable hash, not the raw line
@@ -453,15 +457,28 @@ def drop_frequent_lines(
     boilerplate line is a hot join key by construction; its frequency
     row is on the (small, usually broadcast) aggregate side, and AQE
     skew-join splits the residual case when the frequency table grows to
-    sort-merge size.  Output: ``(id, kept_lines, n_lines_in,
+    sort-merge size.  ``persist_exploded`` caches the hashed explode
+    (it feeds both the frequency build side and the probe side — without
+    it the dominant explode+hash cost is paid twice); like the minhash
+    sketch, the cache entry lives until the session clears it, so
+    repeated callers in one long session should pass False or
+    ``clearCache()``.  Output: ``(id, kept_lines, n_lines_in,
     n_lines_kept)``.
     """
     base = df.select(
-        F.col(id_col).alias("id"), F.col(lines_col).alias("lines")
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.coalesce(
+                F.col(lines_col), F.array().cast("array<string>")
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("lines"),
     )
     exploded = base.select(
         "id", F.posexplode("lines").alias("pos", "line")
     ).withColumn("line_h", portable_hash(F.col("line")))
+    if persist_exploded:
+        exploded = exploded.persist()
     doc_freq = exploded.groupBy("line_h").agg(
         F.count_distinct("id").alias("doc_freq")
     )

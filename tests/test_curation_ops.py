@@ -562,10 +562,15 @@ def test_drop_frequent_lines_semantics(spark):
         lines += [f"unique {i} a", f"unique {i} b"]
         rows.append((i, lines))
     rows.append((99, ["BOILER EVERYWHERE"]))  # boilerplate-only doc
+    rows.append((50, ["x one off line", None]))  # null line element
+    rows.append((51, None))                      # null lines array
     df = _df(spark, rows, "doc_id bigint, lines array<string>")
     got = {r.id: (list(r.kept_lines), r.n_lines_in, r.n_lines_kept)
            for r in drop_frequent_lines(df, max_doc_frac=0.3).collect()}
     assert got[0] == (["unique 0 a", "unique 0 b"], 4, 2)
     assert got[1] == (["unique 1 a", "unique 1 b"], 3, 2)
     assert got[99] == ([], 1, 0)
-    assert len(got) == 11
+    # nulls: element excluded from counts AND output; null array == empty
+    assert got[50] == (["x one off line"], 1, 1)
+    assert got[51] == ([], 0, 0)
+    assert len(got) == 13

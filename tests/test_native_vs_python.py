@@ -36,12 +36,14 @@ from ocr_spark.fixtures import gen_generic_lines, gen_ine_lines
 
 # Fuzz alphabet = realistic OCR output (Latin letters incl. accents,
 # digits, the punctuation the extractors key on).  Deliberately NOT
-# arbitrary unicode: Java regex \d/\b are ASCII-oriented while the
-# reference's Python patterns are unicode-aware, so e.g. Arabic-Indic
-# digits match the Python twins but not the native ones — a known,
-# accepted boundary (the authoritative pipeline path is the pinned
-# Python UDF; the native twins serve contract queries over this
-# alphabet).
+# arbitrary unicode: Java regex \d and \w are ASCII-only (Java's \b is
+# Unicode-aware — verified empirically) while the reference's Python
+# patterns are unicode-aware throughout, so e.g. Arabic-Indic digits
+# match the Python twins but not the native ones — a known, accepted
+# boundary (the authoritative pipeline path is the pinned Python UDF;
+# the native twins serve contract queries over this alphabet).  Do NOT
+# "fix" native.py with (?U): that would change \d/\w semantics and
+# break real contract parity.
 _FUZZ_ALPHABET = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÉÍÓÚÜÑabcdefghij"
     "0123456789 /-.,:()#HMX\t"
