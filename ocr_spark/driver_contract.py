@@ -1530,6 +1530,58 @@ GROUP BY 1, event_type
 """
 
 
+# ------------------------------------------------- streaming (drained)
+#
+# The two Structured-Streaming operators (watermarked tumbling-window agg,
+# stateful sessionization) go under the SAME hard oracle gate as their
+# batch twins: the contract query drains the stream with availableNow into
+# parquet (ocr_spark.streaming.drain_* — a sentinel row drives the final
+# watermark past every real window/session, so APPEND mode finalizes
+# everything) and returns the read-back result shaped exactly like the
+# batch query, checked against the identical batch SQL oracle.
+
+def _stream_workdir(name: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"ocrspark_{name}_")
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming import drain_windowed_counts
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        # session tz is UTC, so NTZ → LTZ preserves the wall clock and the
+        # streamed window starts render identically to the batch twin's
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+    )
+    got = drain_windowed_counts(spark, ev, _stream_workdir("hourly"))
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.streaming import drain_sessions
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+    )
+    got = drain_sessions(spark, ev, _stream_workdir("sessions"))
+    # roll the per-session rows up to the batch twin's per-user shape
+    return got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 (JSON ingest): parse the events ``props`` JSON column natively
     (`get_json_object` → Catalyst JSON path, no UDF) and aggregate."""
@@ -1916,6 +1968,12 @@ def registry() -> dict[str, Entry]:
         "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        # streaming twins, drained availableNow and checked against the
+        # IDENTICAL batch oracles (batch-stream equivalence under the gate)
+        "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY),
+        "events_sessions_stream": (
+            q_events_sessions_stream, SQL_EVENTS_SESSIONS,
+        ),
         "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
         "curp_state_join": (q_curp_state_join, _sql_curp_state_join()),
         "supplier_by_region": (q_supplier_by_region, SQL_SUPPLIER_BY_REGION),

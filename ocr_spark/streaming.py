@@ -121,7 +121,10 @@ def stream_windowed_counts(
         stream.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # exact decimal sum → double: deterministic across row orders,
+            # so the streamed result hash-matches its batch twin
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -137,7 +140,10 @@ SESSION_OUT_DDL = (
     "user_id bigint, session_start double, session_end double, "
     "n_events bigint"
 )
-SESSION_STATE_DDL = "start double, end double, n bigint"
+# Parallel arrays of buffered sessions (start, end, n) — the LAST may be
+# open; earlier ones are gap-closed but still reopenable (end+gap above the
+# watermark) so they stay in state until the watermark passes end+gap.
+SESSION_STATE_DDL = "ss array<double>, es array<double>, ns array<bigint>"
 
 
 def merge_session_intervals(
@@ -171,15 +177,19 @@ def sessionize_stream(
     """Gap-based per-user sessionization as a CUSTOM STATEFUL operator
     (``applyInPandasWithState`` + event-time timeout).
 
-    State per user is the one open session ``(start, end, n)``.  Within a
-    batch, events are merged in event-time order; a gap > ``gap_s`` closes
-    the current session (emitted immediately).  The still-open session is
-    kept in state with an event-time timeout at ``end + gap_s``: when the
-    watermark passes it, the timed-out invocation emits the final session
-    and clears the state — so every session is emitted exactly once, by
-    gap or by timeout.  Events later than the watermark may arrive after
-    their session closed; the checkpointed state cannot reopen it (the
-    same contract as the windowed aggregation).
+    State per user is the LIST of sessions not yet finalized: the open one
+    plus any gap-closed sessions whose ``end + gap_s`` is still above the
+    watermark (a within-watermark out-of-order event arriving in a later
+    batch may fall inside such a session's span or gap, so emitting it
+    early would split what the batch ``events_sessions`` twin merges into
+    one).  Each invocation merges the batch's events with every buffered
+    interval, emits exactly the sessions with ``end + gap_s`` ≤ the
+    current watermark (no in-order event can ever reopen them), and keeps
+    the rest in state with an event-time timeout at the earliest
+    still-buffered ``end + gap_s`` — so every session is emitted exactly
+    once, and only when it is final w.r.t. the watermark contract.
+    Events LATER than the watermark are dropped by the engine's late-row
+    filter (the same contract as the windowed aggregation).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -200,33 +210,42 @@ def sessionize_stream(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         user = key[0]
-        if state.hasTimedOut:
-            start, end, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [{"user_id": user, "session_start": start,
-                  "session_end": end, "n_events": n}]
-            )
-            return
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_s = wm_ms / 1000.0
 
-        ivals = [
-            (t.timestamp(), t.timestamp(), 1)
-            for pdf in pdfs for t in pdf["ts"] if t is not None
-        ]
+        ivals: list[tuple[float, float, int]] = []
+        if not state.hasTimedOut:
+            ivals = [
+                (t.timestamp(), t.timestamp(), 1)
+                for pdf in pdfs for t in pdf["ts"] if t is not None
+            ]
         if state.exists:
-            s0, e0, n0 = state.get
-            ivals.append((float(s0), float(e0), int(n0)))
+            ss, es, ns = state.get
+            ivals.extend(
+                (float(s), float(e), int(n))
+                for s, e, n in zip(ss, es, ns)
+            )
         merged = merge_session_intervals(ivals, gap_s)
-        if not merged:
-            return
-        *closed, (start, end, n) = merged
-        state.update((float(start), float(end), int(n)))
-        # fire when the watermark passes the open session's close horizon
-        state.setTimeoutTimestamp(int((end + gap_s) * 1000))
-        if closed:
+        # final ⇔ no in-order (≤ watermark) event can extend or bridge it
+        emit = [iv for iv in merged if iv[1] + gap_s <= wm_s]
+        keep = [iv for iv in merged if iv[1] + gap_s > wm_s]
+        if keep:
+            state.update((
+                [s for s, _, _ in keep],
+                [e for _, e, _ in keep],
+                [int(n) for _, _, n in keep],
+            ))
+            # fire when the watermark passes the earliest close horizon;
+            # ms floor could land on the watermark itself, which Spark
+            # rejects — clamp to wm+1
+            t_ms = int(min(e + gap_s for _, e, _ in keep) * 1000)
+            state.setTimeoutTimestamp(max(t_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if emit:
             yield pd.DataFrame(
                 [{"user_id": user, "session_start": s, "session_end": e,
-                  "n_events": c} for s, e, c in closed]
+                  "n_events": c} for s, e, c in emit]
             )
 
     stream = (
@@ -243,3 +262,91 @@ def sessionize_stream(
     )
     return _start_append_stream(sessions, out_dir, checkpoint_dir,
                                 available_now)
+
+
+# --------------------------------------------------------------------------
+# Batch-equivalence drains: run the streaming operator over a finite event
+# set and return the full finalized result as a batch DataFrame.  APPEND
+# mode only emits rows once the watermark passes their horizon, so a
+# sentinel row placed far past the real data drives the final watermark
+# beyond every real window/session; the sentinel's own (never-finalized)
+# group is filtered out of the read-back.  This is how the streaming
+# operators go under the same hard oracle gate as their batch twins.
+# --------------------------------------------------------------------------
+
+STREAM_SENTINEL_EVENT_TYPE = "\x00__watermark_driver__"
+STREAM_SENTINEL_USER = -987654321
+
+# Stateful stages inherit spark.sql.shuffle.partitions at FIRST start and
+# bake it into the checkpoint; a fresh small drain with the 200-partition
+# default pays ~200 state-store + python-worker invocations per batch for
+# a handful of keys.  The drains run on fresh checkpoints, so pin a count
+# sized for the drained data and restore the session value afterwards.
+DRAIN_STATE_PARTITIONS = 32
+
+
+class _shuffle_partitions:
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _sentinel_row(spark, events: DataFrame, lead_s: float,
+                  event_type: str = "a", user_id: int = 1) -> DataFrame:
+    """One row ``lead_s`` seconds past the max event time (one-scalar
+    driver read — not a data-cardinality collect)."""
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    return spark.createDataFrame(
+        [(user_id, max_ts, event_type, 0.0)], EVENTS_STREAM_DDL
+    ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {int(lead_s)} SECOND"))
+
+
+def drain_windowed_counts(
+    spark: SparkSession, events: DataFrame, work_dir: str,
+    window: str = "1 hour", watermark: str = "2 hours",
+    watermark_s: float = 7200.0,
+) -> DataFrame:
+    """Drain ``stream_windowed_counts`` over ``events`` (columns per
+    ``EVENTS_STREAM_DDL``) until every real window is finalized; return
+    the emitted rows.  The sentinel event type's own rows are excluded."""
+    inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
+    lead = watermark_s + 2 * 3600 + 3600  # wm delay + window + slack
+    sent = _sentinel_row(spark, events, lead,
+                         event_type=STREAM_SENTINEL_EVENT_TYPE)
+    events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
+    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+        q = stream_windowed_counts(spark, inp, out, ckpt, window=window,
+                                   watermark=watermark, available_now=True)
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != STREAM_SENTINEL_EVENT_TYPE)
+    )
+
+
+def drain_sessions(
+    spark: SparkSession, events: DataFrame, work_dir: str,
+    gap_s: float = 1800.0, watermark: str = "10 minutes",
+    watermark_s: float = 600.0,
+) -> DataFrame:
+    """Drain ``sessionize_stream`` over ``events`` until every real
+    session's ``end + gap`` is behind the watermark; return the emitted
+    sessions.  The sentinel user's own (still-open) session is excluded."""
+    inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
+    lead = watermark_s + gap_s + 3600
+    sent = _sentinel_row(spark, events, lead, user_id=STREAM_SENTINEL_USER)
+    events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
+    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+        q = sessionize_stream(spark, inp, out, ckpt, gap_s=gap_s,
+                              watermark=watermark, available_now=True)
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != STREAM_SENTINEL_USER)
+    )

@@ -101,6 +101,42 @@ def test_windowed_counts_append_and_late_drop(spark, tmp_path):
     assert got2 == got1  # late row dropped, open window unemitted
 
 
+def test_sessionize_buffers_reopenable_sessions_across_batches(
+    spark, tmp_path
+):
+    """A gap-closed session whose end+gap is still ABOVE the watermark must
+    stay buffered in state: a within-watermark out-of-order event arriving
+    in a LATER batch can bridge the gap, and the stream must then emit the
+    single merged session the batch twin would produce (not the split
+    pair an eager in-batch emission would have locked in)."""
+    from ocr_spark.streaming import sessionize_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    B = 100000
+
+    def drain():
+        q = sessionize_stream(spark, inp, out, ckpt,
+                              gap_s=1800.0, watermark="2 hours")
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # gap 2000 > 1800 splits these in-batch, but end+gap is above the
+    # watermark → both stay buffered, nothing emitted
+    f1 = _events_df(spark, [(7, B, "a", 0.0), (7, B + 2000, "a", 0.0)])
+    f1.coalesce(1).write.mode("append").parquet(inp)
+    assert drain() == []
+
+    # the bridging event (within watermark) merges everything into ONE
+    # session; the far-future event drives the watermark past its close
+    f2 = _events_df(spark, [(7, B + 1000, "a", 0.0),
+                            (1, B + 20000, "a", 0.0)])
+    f2.coalesce(1).write.mode("append").parquet(inp)
+    assert drain() == [(7, float(B), float(B + 2000), 3)]
+
+
 def test_sessionize_stream_stateful_gap_and_timeout(spark, tmp_path):
     """applyInPandasWithState sessionization: in-batch gap closes a
     session immediately; the open session survives restarts in the state
