@@ -52,6 +52,7 @@ from ocr_spark.similarity import (
     hyperplanes,
     ivf_centroids,
     ivf_search,
+    ivf_train_kmeans,
     lsh_ann_pairs,
 )
 
@@ -980,6 +981,53 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 """
 
 
+# T=3 tables × 4 planes: the multi-table RECALL LEVER under the hard gate
+# (table 0 reuses the single-table seed, so this candidate set is a strict
+# superset of ann_lsh_pairs' — asserted by test_curation_ops).
+def q_ann_lsh_pairs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["embeddings"])
+    return lsh_ann_pairs(
+        spark.table("embeddings"), min_cosine=0.25,
+        n_tables=3, dims=64, n_planes=4,
+    )
+
+
+def _sql_ann_lsh_multi(n_tables: int = 3, n_planes: int = 4) -> str:
+    def bucket_for(seed: str) -> str:
+        bits = []
+        for plane in hyperplanes(n_planes, dims=64, seed=seed):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
+            dot = _DUCK_DOT.format(a="embedding", b=lit)
+            bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+        return "concat(" + ", ".join(bits) + ")"
+
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, "
+        f"{bucket_for('lsh' if t == 0 else f'lsh/t{t}')} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    )
+    pair_dot = _DUCK_DOT.format(a="va.embedding", b="vb.embedding")
+    norm_a = _DUCK_DOT.format(a="va.embedding", b="va.embedding")
+    norm_b = _DUCK_DOT.format(a="vb.embedding", b="vb.embedding")
+    return f"""
+WITH b AS ({banded}),
+pid AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+   AND l.id < r.id),
+pairs AS (
+  SELECT id_a, id_b,
+    CASE WHEN sqrt({norm_a}) = 0 OR sqrt({norm_b}) = 0 THEN 0.0
+         ELSE floor({pair_dot} / (sqrt({norm_a}) * sqrt({norm_b}))
+               * 1000000) / 1000000
+    END AS cosine_sim
+  FROM pid JOIN embeddings va ON pid.id_a = va.vec_id
+           JOIN embeddings vb ON pid.id_b = vb.vec_id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
+"""
+
+
 # -------------------------------------------------------- textstats family
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,6 +1074,36 @@ scored AS (
 SELECT query_id, neighbor_id, cosine_sim FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine_sim DESC, neighbor_id ASC) <= {k}
+"""
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED coarse quantizer under the hard gate: spherical k-means
+    (integer-quantized centroid sums — bit-deterministic across
+    partitionings) runs live on the embeddings table, then the identical
+    probe/search path as `ann_ivf_topk`.  Oracle = precomputed truth from
+    the bit-exact Python twin (tests/oracle_ivf.py), keyed by a content
+    fingerprint of the embeddings table (see tools/gen_truth.py)."""
+    _register(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = ivf_train_kmeans(emb, n_cells=8, n_iters=3, dims=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(emb, queries, k=5, n_probes=2, centroids=cents)
+
+
+def _sql_ann_ivf_trained() -> str:
+    # fingerprint twin: tools/gen_truth.py::embeddings_fingerprint
+    return f"""
+WITH k AS (
+  SELECT md5(string_agg(
+           cast(vec_id AS varchar) || ':' ||
+           cast(cast(floor(embedding[1]::double * 1000000.0) AS bigint)
+                AS varchar),
+           ',' ORDER BY vec_id)) AS ck
+  FROM embeddings)
+SELECT query_id, neighbor_id, cosine_sim
+FROM read_parquet('{_TRUTH_DIR}/ann_ivf_trained.parquet') t, k
+WHERE t.corpus_key = k.ck
 """
 
 
@@ -1954,8 +2032,10 @@ def registry() -> dict[str, Entry]:
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
+        "ann_lsh_pairs_multi": (q_ann_lsh_pairs_multi, _sql_ann_lsh_multi()),
         "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
         "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf()),
+        "ann_ivf_trained": (q_ann_ivf_trained, _sql_ann_ivf_trained()),
         "langid": (q_langid, _sql_langid()),
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),

@@ -118,6 +118,24 @@ def ivf_centroids(
     return hyperplanes(n_cells, dims, seed)
 
 
+# Member vectors are quantized to integer micro-units before the centroid
+# mean: bigint sums are EXACT and order-independent, so training is
+# bit-deterministic across partitionings, shuffle orders, AND engines (the
+# pure-Python oracle twin replays the identical arithmetic).  The 1e-6
+# quantization error is noise against unit-norm vectors; the driver-side
+# exact division holds while |per-dim sum| < 2^53 micro-units (~10^9 rows
+# of unit-scale components per cell — repartition the mean into per-cell
+# partial sums combined as Python ints beyond that).
+UNIT_SCALE = 1e6
+
+
+def centroid_from_unit_sums(sums: list[int], n: int) -> list[float]:
+    """Unit-normalized mean from exact micro-unit sums (shared by the
+    Spark trainer and the plain-Python oracle twin — keep single-sourced).
+    """
+    return _normalize([s / n / UNIT_SCALE for s in sums])
+
+
 def ivf_train_kmeans(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -131,15 +149,16 @@ def ivf_train_kmeans(
     Lloyd iterations as plain DataFrame aggregations: assign each vector to
     its argmax-dot centroid (the same ``_cell_of`` expression the index
     uses), then recompute each centroid as the per-dimension mean of its
-    members (``dims`` codegen'd avg aggregates over one groupBy(cell)
-    shuffle) and re-normalize to unit length — with unit centroids,
-    argmax-dot ≡ argmax-cosine, so training and probing optimize the same
-    objective.  Centroids live on the driver between iterations
-    (n_cells × dims floats — broadcast as plan literals, never shuffled),
-    so the per-iteration cost is ONE pass + one tiny shuffle regardless of
-    corpus size.  Init = the deterministic seeded centroids, so training is
-    reproducible up to float summation order; empty cells keep their
-    previous centroid.
+    members (``dims`` codegen'd integer-sum aggregates over one
+    groupBy(cell) shuffle — see ``UNIT_SCALE`` for why integer) and
+    re-normalize to unit length — with unit centroids, argmax-dot ≡
+    argmax-cosine, so training and probing optimize the same objective.
+    Centroids live on the driver between iterations (n_cells × dims floats
+    — broadcast as plan literals, never shuffled), so the per-iteration
+    cost is ONE pass + one tiny shuffle regardless of corpus size.  Init =
+    the deterministic seeded centroids and sums are exact integers, so
+    training is bit-reproducible regardless of partitioning; empty cells
+    keep their previous centroid.
     """
     centroids = [
         _normalize(c) for c in hyperplanes(n_cells, dims, seed)
@@ -149,19 +168,26 @@ def ivf_train_kmeans(
         assigned = corpus.select(
             _cell_of(v, centroids).alias("cell"), v.alias("v")
         )
-        means = assigned.groupBy("cell").agg(
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
             *[
-                F.avg(F.element_at("v", d + 1).cast("double")).alias(f"m{d}")
+                F.sum(
+                    F.floor(
+                        F.element_at("v", d + 1).cast("double")
+                        * F.lit(UNIT_SCALE)
+                    ).cast("bigint")
+                ).alias(f"s{d}")
                 for d in range(dims)
             ]
         ).collect()
         by_cell = {
-            int(r["cell"]): [float(r[f"m{d}"]) for d in range(dims)]
-            for r in means
+            int(r["cell"]): centroid_from_unit_sums(
+                [int(r[f"s{d}"]) for d in range(dims)], int(r["n"])
+            )
+            for r in sums
         }
         centroids = [
-            _normalize(by_cell.get(i, centroids[i]))
-            for i in range(n_cells)
+            by_cell.get(i, centroids[i]) for i in range(n_cells)
         ]
     return centroids
 
@@ -275,6 +301,26 @@ def lsh_bucket(
     return F.concat(*bits)
 
 
+def _guarded_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """``lsh_bucket`` that FAILS FAST on a vector/plane width mismatch.
+
+    ``zip_with`` null-pads a length mismatch, every sign bit falls to '0',
+    and the bucketing silently degenerates to one global bucket — an
+    all-pairs cross join at scale.  The guard lives inside the bucket
+    expression itself (not a droppable side column), so Catalyst cannot
+    prune it away."""
+    dims = len(planes[0])
+    return F.when(
+        F.size(vec) == dims, lsh_bucket(vec, planes)
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"lsh bucket: embedding width "),
+            F.size(vec).cast("string"),
+            F.lit(f" != plane width {dims}"),
+        ))
+    )
+
+
 def lsh_ann_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -283,6 +329,7 @@ def lsh_ann_pairs(
     min_cosine: float = 0.6,
     n_tables: int = 1,
     dims: int = DEFAULT_DIMS,
+    n_planes: int = DEFAULT_PLANES,
 ) -> DataFrame:
     """Bucketed ANN candidate pairs verified by exact cosine.
 
@@ -298,16 +345,21 @@ def lsh_ann_pairs(
     single-table shape (the oracle-checked contract configuration).
 
     ``dims`` MUST match the embedding width when ``n_tables`` > 1 (for a
-    single table pass matching ``planes`` instead): ``zip_with``
-    null-pads a length mismatch, every sign bit falls to '0', and the
-    bucketing silently degenerates to one global bucket — an all-pairs
-    cross join at scale.
+    single table pass matching ``planes`` instead); a mismatch would
+    silently degenerate the bucketing to one global bucket (an all-pairs
+    cross join at scale), so the bucket expression raises at runtime on
+    the first mismatched row (see :func:`_guarded_bucket`).
+    ``n_planes`` is the per-table selectivity knob in the multi-table
+    path; table 0 always reuses the default seed so the multi-table
+    candidate set is a superset of the single-table one at equal
+    ``n_planes``.
     """
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
         planes = planes or hyperplanes()
         base = corpus.select(
-            *base_cols, lsh_bucket(F.col(vec_col), planes).alias("bucket")
+            *base_cols,
+            _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
         )
         left = base.alias("l")
         right = base.alias("r")
@@ -332,10 +384,10 @@ def lsh_ann_pairs(
         tables = F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket(
+                _guarded_bucket(
                     F.col(vec_col),
                     hyperplanes(
-                        DEFAULT_PLANES, dims=dims,
+                        n_planes, dims=dims,
                         seed="lsh" if t == 0 else f"lsh/t{t}",
                     ),
                 ).alias("bucket"),

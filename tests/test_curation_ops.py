@@ -7,6 +7,7 @@ import hashlib
 import re
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark import textstats as ts
@@ -407,6 +408,47 @@ def test_ivf_kmeans_training_improves_quantizer(spark):
     assert full == exact
 
 
+def test_ivf_training_bit_matches_python_twin(spark):
+    """Spark k-means training and the trained-probe search must reproduce
+    the plain-Python twin BIT-FOR-BIT: centroid sums are exact integers
+    (order-independent) and every float op is the same IEEE double op, so
+    equality here is ==, not approx.  This is the determinism the
+    precomputed-truth oracle for `ann_ivf_trained` stands on — and it must
+    hold across partitionings (checked at 1 and 7 partitions)."""
+    from ocr_spark.similarity import ivf_search, ivf_train_kmeans
+    from tests.oracle_ivf import ivf_topk_local, ivf_train_local
+
+    rows = [
+        (i, [((i * 37 + d * 101) % 97 - 48) / 48.0 for d in range(16)])
+        for i in range(50)
+    ]
+    df = _df(spark, rows, "vec_id bigint, embedding array<float>")
+    # float32 round-trip: the twin must see the values Spark sees
+    vecs32 = {
+        r.vec_id: [float(x) for x in r.embedding] for r in df.collect()
+    }
+    local_cents = ivf_train_local(
+        [vecs32[i] for i in sorted(vecs32)], n_cells=4, n_iters=3, dims=16
+    )
+    for parts in (1, 7):
+        spark_cents = ivf_train_kmeans(
+            df.repartition(parts), n_cells=4, n_iters=3, dims=16
+        )
+        assert spark_cents == local_cents
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in ivf_search(
+            df, df.filter(F.col("vec_id") < 3), k=3, n_probes=2,
+            centroids=local_cents,
+        ).collect()
+    )
+    want = sorted(
+        ivf_topk_local(vecs32, [0, 1, 2], local_cents, k=3, n_probes=2)
+    )
+    assert got == want
+
+
 def test_connected_components_topologies(spark):
     """Min-label propagation vs known components: a 6-node chain (needs
     diameter iterations), a triangle, an isolated pair, and singletons."""
@@ -525,6 +567,25 @@ def test_lsh_multi_table_recall_superset(spark):
     }
     assert set(multi) <= brute
     assert len(multi) < len(brute), "no pruning: bucketing degenerated"
+
+
+def test_lsh_dims_mismatch_fails_fast(spark):
+    """A vector/plane width mismatch must raise at runtime, not silently
+    degenerate every bucket to all-zero sign bits (one global bucket =
+    all-pairs cross join at scale)."""
+    from ocr_spark.similarity import lsh_ann_pairs
+
+    df = _df(
+        spark,
+        [(1, [0.1] * 16), (2, [0.2] * 16)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="width"):
+        lsh_ann_pairs(df, min_cosine=0.0, n_tables=2, dims=32).collect()
+    with pytest.raises(Exception, match="width"):
+        lsh_ann_pairs(
+            df, planes=hyperplanes(4, dims=8), min_cosine=0.0
+        ).collect()
 
 
 def test_merge_session_intervals_out_of_order():

@@ -38,6 +38,7 @@ from ocr_spark.extraction.fields import FIELD_ORDER  # noqa: E402
 from ocr_spark.fixtures import build_corpus  # noqa: E402
 from ocr_spark.multimodal import _decode_fake  # noqa: E402
 from tests.oracle import expected_document  # noqa: E402
+from tests.oracle_ivf import ivf_topk_local, ivf_train_local  # noqa: E402
 
 TRUTH_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures", "truth")
 SEED = 42
@@ -125,6 +126,67 @@ def gen_for_n(n_docs: int):
     return extract, meta, frames
 
 
+# --------------------------------------------------------- trained IVF ANN
+#
+# The trained coarse quantizer depends on the embeddings TABLE CONTENT (the
+# driver's testdata), not on (seed, n_docs) — and the sf0.001/sf0.01 tables
+# have equal counts but different values, so truth rows are keyed by a
+# content fingerprint: md5 over 'vec_id:floor(embedding[1]*1e6)' joined by
+# ',' in vec_id order.  The DuckDB oracle recomputes the same fingerprint
+# from its embeddings view (driver_contract._sql_ann_ivf_trained), so a
+# regenerated testdata set fails LOUDLY (0 oracle rows) instead of
+# comparing against stale truth.  Training/search arithmetic is the
+# bit-exact Python twin (tests/oracle_ivf.py).
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+IVF_CELLS, IVF_ITERS, IVF_DIMS = 8, 3, 64
+IVF_K, IVF_PROBES, IVF_N_QUERIES = 5, 2, 10
+
+
+def embeddings_fingerprint(ids: list[int], vecs: list[list[float]]) -> str:
+    import math
+
+    parts = [
+        f"{vid}:{math.floor(float(v[0]) * 1000000.0)}"
+        for vid, v in sorted(zip(ids, vecs))
+    ]
+    return hashlib.md5(",".join(parts).encode("utf-8")).hexdigest()
+
+
+def gen_ivf_trained() -> list[dict]:
+    rows: list[dict] = []
+    seen: set[str] = set()
+    for d in sorted(os.listdir(TESTDATA_ROOT)):
+        path = os.path.join(TESTDATA_ROOT, d, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        table = pq.read_table(path)
+        ids = table.column("vec_id").to_pylist()
+        vecs = [
+            [float(x) for x in v]
+            for v in table.column("embedding").to_pylist()
+        ]
+        key = embeddings_fingerprint(ids, vecs)
+        if key in seen:
+            continue
+        seen.add(key)
+        by_id = dict(zip(ids, vecs))
+        cents = ivf_train_local(
+            [by_id[i] for i in sorted(by_id)],
+            n_cells=IVF_CELLS, n_iters=IVF_ITERS, dims=IVF_DIMS,
+        )
+        qids = sorted(i for i in by_id if i < IVF_N_QUERIES)
+        for qid, nid, sim in ivf_topk_local(
+            by_id, qids, cents, k=IVF_K, n_probes=IVF_PROBES
+        ):
+            rows.append({
+                "corpus_key": key, "query_id": qid,
+                "neighbor_id": nid, "cosine_sim": sim,
+            })
+        print(f"ivf truth: {d} key={key[:12]} n_vecs={len(ids)}")
+    return rows
+
+
 def _write(name: str, rows: list[dict], schema: pa.Schema) -> None:
     table = pa.Table.from_pylist(rows, schema=schema)
     out = os.path.join(TRUTH_DIR, f"{name}.parquet")
@@ -164,6 +226,12 @@ def main() -> None:
         ("error", pa.string()),
     ])
     _write("frame_sample", frames_all, frame_schema)
+
+    ivf_schema = pa.schema([
+        ("corpus_key", pa.string()), ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()), ("cosine_sim", pa.float64()),
+    ])
+    _write("ann_ivf_trained", gen_ivf_trained(), ivf_schema)
 
 
 if __name__ == "__main__":
