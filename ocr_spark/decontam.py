@@ -1,0 +1,94 @@
+"""Eval-set decontamination: flag training documents that overlap a
+benchmark/eval set by hashed word n-grams.
+
+The standard training-data hygiene operator (the curation-suite sibling of
+dedup/PII-scrub): any document sharing ≥ ``min_overlap`` distinct n-grams
+with any eval document is contamination — it would leak benchmark answers
+into the training corpus.
+
+Shape for 100 TB: eval sets are small by definition (10^4–10^6 grams), so
+the hashed eval grams are **broadcast** — the corpus side never shuffles
+its grams.  Per doc: distinct-shingle hashes (narrow, reuses
+:func:`ocr_spark.dedup.shingle_hashes`), a broadcast-hash-join against the
+eval grams, and one groupBy(doc_id) over the MATCHED grams only (tiny —
+contamination is rare).  No O(corpus × eval) pair blowup, no corpus-side
+gram shuffle.  For an eval set too big to broadcast, pre-bucket both sides
+on ``gram_hash % B`` and run the same join shuffled — the operator shape
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.dedup import DEFAULT_SHINGLE, shingle_hashes
+from ocr_spark.textstats import tokens
+
+
+def eval_gram_table(
+    eval_set: DataFrame,
+    n: int = DEFAULT_SHINGLE,
+    hash_mode: str = "portable",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(eval_id, g) distinct hashed n-grams of the eval set — the small
+    side; precompute + cache it when decontaminating many corpora."""
+    return (
+        eval_set.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(
+                shingle_hashes(tokens(F.col(text_col)), n, hash_mode)
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = DEFAULT_SHINGLE,
+    min_overlap: int = 1,
+    hash_mode: str = "portable",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Per-document eval-set overlap: (doc_id, n_matched_grams,
+    n_eval_hit, contaminated).
+
+    ``n_matched_grams`` = distinct doc n-grams also present in ANY eval
+    document; ``n_eval_hit`` = distinct eval documents sharing ≥ 1 gram;
+    ``contaminated`` = n_matched_grams ≥ ``min_overlap``.  Filter the
+    corpus with ``~contaminated`` to decontaminate.  Raise ``n`` (8–13
+    words is typical for benchmark decontamination) and ``min_overlap``
+    to trade recall for precision on boilerplate-heavy corpora.
+    """
+    eg = eval_gram_table(eval_set, n, hash_mode, eval_id_col, text_col)
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            shingle_hashes(tokens(F.col(text_col)), n, hash_mode)
+        ).alias("g"),
+    )
+    hits = (
+        dg.join(F.broadcast(eg), on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_matched_grams"),
+            F.countDistinct("eval_id").alias("n_eval_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matched_grams", F.lit(0)).alias("n_matched_grams"),
+            F.coalesce("n_eval_hit", F.lit(0)).alias("n_eval_hit"),
+            (F.coalesce("n_matched_grams", F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )

@@ -917,6 +917,43 @@ SELECT id, ({votes})::bigint AS simhash FROM h
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination: the fixture eval set is every 17th
+    document (so eval members must flag themselves, and overlap-by-shared-
+    sentences shows up in non-members), min_overlap=2 exercises the
+    threshold rather than any-hit."""
+    from ocr_spark.decontam import decontaminate
+
+    docs = _docs_df(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return decontaminate(docs, eval_set, min_overlap=2)
+
+
+SQL_DECONTAMINATE = f"""
+WITH eg AS (
+  SELECT DISTINCT doc_id AS eval_id, unnest(
+    {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))}) AS g
+  FROM documents WHERE doc_id % 17 = 0),
+dg AS (
+  SELECT doc_id, unnest(
+    {_DUCK_SHINGLE_HASHES.format(tk=_DUCK_TOKENS.format(t='text'))}) AS g
+  FROM documents),
+hits AS (
+  SELECT dg.doc_id,
+         count(DISTINCT dg.g)::bigint AS n_matched_grams,
+         count(DISTINCT eg.eval_id)::bigint AS n_eval_hit
+  FROM dg JOIN eg ON dg.g = eg.g
+  GROUP BY dg.doc_id)
+SELECT d.doc_id,
+  coalesce(h.n_matched_grams, 0)::bigint AS n_matched_grams,
+  coalesce(h.n_eval_hit, 0)::bigint AS n_eval_hit,
+  (coalesce(h.n_matched_grams, 0) >= 2) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 # ------------------------------------------------------- similarity family
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,6 +2079,7 @@ def registry() -> dict[str, Entry]:
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
         "line_dedup": (q_line_dedup, _sql_line_dedup()),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

@@ -569,6 +569,40 @@ def test_lsh_multi_table_recall_superset(spark):
     assert len(multi) < len(brute), "no pruning: bucketing degenerated"
 
 
+def test_decontaminate_flags_eval_overlap(spark):
+    """Docs sharing ≥ min_overlap distinct n-grams with the eval set are
+    contaminated; partial overlap below the threshold and disjoint docs
+    are kept; n_eval_hit counts distinct eval members."""
+    from ocr_spark.decontam import decontaminate
+
+    docs = _df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),   # = eval A
+        (2, "quick brown fox sighted near the river bank today"),  # 1 gram
+        (3, "completely unrelated text about spark shuffles here"),
+        (4, "the quick brown fox jumps again and again today"),   # 2 grams
+    ], "doc_id bigint, text string")
+    eval_set = _df(spark, [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "jumps over the lazy dog every single morning"),
+    ], "eval_id bigint, text string")
+
+    got = {
+        r.doc_id: (r.n_matched_grams, r.n_eval_hit, r.contaminated)
+        for r in decontaminate(docs, eval_set, min_overlap=2).collect()
+    }
+    assert got[1][2] and got[1][0] >= 6 and got[1][1] == 2
+    assert got[2] == (1, 1, False)   # below min_overlap
+    assert got[3] == (0, 0, False)   # disjoint
+    assert got[4][2] and got[4][1] == 1
+
+    # min_overlap=1 flags the single-gram doc too
+    got1 = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, eval_set, min_overlap=1).collect()
+    }
+    assert got1 == {1: True, 2: True, 3: False, 4: True}
+
+
 def test_lsh_dims_mismatch_fails_fast(spark):
     """A vector/plane width mismatch must raise at runtime, not silently
     degenerate every bucket to all-zero sign bits (one global bucket =
