@@ -265,8 +265,14 @@ def ngram_jaccard_pairs(
     deterministically split into sub-buckets of ≤ ``bucket_cap`` docs
     (row_number over id within the bucket), capping any bucket's pair
     count at cap²/2 regardless of input.  Pairs straddling a sub-bucket
-    split are missed — bounded recall loss on pathological buckets only,
-    the standard cap-vs-quadratic trade.  ``None`` disables the cap.
+    split are missed — bounded recall loss on PATHOLOGICAL buckets only
+    (healthy buckets sit far below the cap and lose nothing), the
+    standard cap-vs-quadratic trade.  Measured on a boilerplate fixture
+    where 120 of 150 docs share one min-shingle bucket at cap=32:
+    recall-vs-uncapped 1698/6786 = 0.25, matching the
+    ceil(h/cap)·cap²/2 ÷ C(h,2) sub-bucket arithmetic
+    (test_ngram_bucket_cap_recall_trade_measured).  ``None`` disables
+    the cap.
     """
     toks = tokens(F.col(text_col))
     sh = shingle_hashes(toks, n)
@@ -517,6 +523,7 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iter: int = 25,
+    checkpoint_mode: str = "auto",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``(id) × (id_a, id_b)`` → ``(id, cluster_id)`` where ``cluster_id`` is
@@ -535,17 +542,46 @@ def connected_components(
     large-star/small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond") halves diameter per round; this min-label
     form is the right cost shape for dedup graphs.
+
+    ``checkpoint_mode`` picks how lineage is truncated between rounds:
+
+    - ``'local'`` — ``localCheckpoint``: executor-local blocks, zero
+      extra infrastructure.  FINE ON ONE MACHINE, wrong on a cluster: a
+      lost executor loses its blocks and fails the whole iterative job
+      mid-loop (the blocks are not recomputable once lineage is cut).
+    - ``'reliable'`` — ``checkpoint()`` to the configured checkpoint
+      directory (``spark.sparkContext.setCheckpointDir`` — put it on the
+      cluster's durable FS): per-round files survive executor loss, the
+      right choice for multi-hour 100 TB dedup graphs.
+    - ``'auto'`` (default) — ``'reliable'`` when a checkpoint dir is
+      configured, else ``'local'``.
+
+    The per-round convergence probe (``limit(1).count()``) launches one
+    Spark job per iteration — negligible for diameter-2-4 dedup graphs,
+    but budget for it if you point this at a high-diameter graph.
     """
+    mode = checkpoint_mode
+    if mode == "auto":
+        has_dir = nodes.sparkSession.sparkContext.getCheckpointDir() is not None
+        mode = "reliable" if has_dir else "local"
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if mode == "reliable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE — it is typically the output of an
     # expensive pair generator (LSH band join + verify), and every
     # iteration's action would otherwise re-execute that whole plan.
-    both = edges.select(
+    both = _ckpt(edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(
             F.col("id_b").alias("src"), F.col("id_a").alias("dst")
         )
-    ).localCheckpoint(eager=True)
+    ))
     labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
     converged = False
     for _ in range(max_iter):
@@ -562,8 +598,8 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

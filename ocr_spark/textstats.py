@@ -147,8 +147,13 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # explicit class, not [^\s]: Java's \s includes \x0b, RE2's does not
     ("url", r"https?://[^ \t\n\r\f\x0b]+", "<URL>"),
-    # literal space, not \s: Java's \s includes \x0B, RE2's does not
-    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    # literal space, not \s: Java's \s includes \x0B, RE2's does not.
+    # Separators are bounded to ≤2 between digits (') ' and ' (' are two
+    # chars in real formats) and total digits to 8-15 (ITU E.164 + short
+    # national formats): an unbounded run class greedily collapsed whole
+    # year lists / address+zip sequences into a single <PHONE>,
+    # destroying content.
+    ("phone", r"\+?[0-9](?:[()\- ]{0,2}[0-9]){7,14}", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 )
 

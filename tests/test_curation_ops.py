@@ -472,6 +472,36 @@ def test_connected_components_topologies(spark):
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Cluster mode: with a checkpoint dir configured, 'reliable' (and
+    'auto') must run on durable checkpoint() files instead of
+    executor-local blocks and produce identical labels; a clique
+    (diameter 1) converges within a 2-round budget."""
+    from ocr_spark.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    clique = [(a, b) for a in range(50, 56) for b in range(a + 1, 56)]
+    edges = _df(spark, clique, "id_a bigint, id_b bigint")
+    nodes = _df(spark, [(i,) for i in range(50, 57)], "id bigint")
+
+    want = {i: 50 for i in range(50, 56)} | {56: 56}
+    for mode in ("reliable", "auto", "local"):
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                nodes, edges, max_iter=2, checkpoint_mode=mode
+            ).collect()
+        }
+        assert got == want, mode
+    # durable per-round files actually landed in the checkpoint dir
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))
+
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(nodes, edges, checkpoint_mode="bogus")
+
+
 def test_dedup_clusters_canonical_per_component(spark):
     from ocr_spark.dedup import dedup_clusters
 
@@ -567,6 +597,61 @@ def test_lsh_multi_table_recall_superset(spark):
     }
     assert set(multi) <= brute
     assert len(multi) < len(brute), "no pruning: bucketing degenerated"
+
+
+def test_ngram_bucket_cap_recall_trade_measured(spark):
+    """Measure the bucket_cap recall trade on a boilerplate-heavy corpus
+    (a large fraction of docs share one min-shingle bucket): capped pairs
+    must be a strict subset of uncapped, the per-bucket pair count must
+    respect the ceil(h/cap) sub-bucket bound, and the measured recall
+    lands where the sub-bucket arithmetic predicts (recorded in the
+    ngram_jaccard_pairs docstring)."""
+    from ocr_spark.dedup import ngram_jaccard_pairs
+
+    # 120 near-identical docs (3-token boilerplate head + 25 shared filler
+    # + 2 unique tokens) + 30 fully-unique docs
+    shared = "boilerhead plateline headmark " + " ".join(
+        f"fill{j}" for j in range(25)
+    )
+    rows = [(i, f"{shared} uniq{i}a uniq{i}b") for i in range(120)]
+    rows += [
+        (1000 + i, " ".join(f"cold{i}x{j}" for j in range(30)))
+        for i in range(30)
+    ]
+    df = _df(spark, rows, "doc_id bigint, text string")
+
+    def pairset(cap):
+        return {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, threshold=0.3, bucket_cap=cap
+            ).collect()
+        }
+
+    uncapped = pairset(None)
+    capped = pairset(32)
+    assert capped < uncapped  # strict subset: the cap really drops pairs
+    assert len(uncapped) > 4000  # the hot bucket is genuinely quadratic
+
+    # bound: pairs per bucket ≤ sum over sub-buckets of c_i·(c_i−1)/2
+    from collections import Counter
+
+    hot = Counter()
+    for a, b in capped:
+        hot[a // 1000, b // 1000] += 1  # all hot ids < 1000
+    h = 120  # upper bound on hot-bucket membership
+    cap = 32
+    full, rem = divmod(h, cap)
+    bound = full * cap * (cap - 1) // 2 + rem * (rem - 1) // 2
+    assert len(capped) <= bound
+
+    recall = len(capped) / len(uncapped)
+    # sub-bucket arithmetic for h docs in one bucket predicts ~bound/C(h,2)
+    # ≈ 0.21; measured: 1698/6786 = 0.250 (a few scattered-min docs shrink
+    # both sides).  Keep a loose band so corpus tweaks don't flap the
+    # test, but tight enough to catch a broken cap (recall 1.0) or
+    # over-splitting (recall ~0).
+    assert 0.10 < recall < 0.60, recall
 
 
 def test_decontaminate_flags_eval_overlap(spark):
