@@ -18,8 +18,12 @@ All shapes are chosen for the 100 TB case, tested at SF scale:
 Every numeric primitive is oracle-portable: base hashes are the md5-based
 60-bit hash from :mod:`ocr_spark.textstats`; MinHash permutations are an
 affine universal family over that hash (pure arithmetic) — so each
-operator has a replayable DuckDB oracle.  ``hash_mode='fast'`` swaps the
-base hash for JVM xxhash64 on the production path.
+operator has a replayable DuckDB oracle.  (An xxhash64 ``hash_mode='fast'``
+twin existed through round 2; once the permutations went affine, A/B
+measurement showed the base-hash choice is immaterial — base stage 0.78 s
+portable vs 0.77 s fast at sf0.1/64 partitions, end-to-end within VM
+noise — so the second code path was removed rather than carried
+unjustified.)
 """
 
 from __future__ import annotations
@@ -31,17 +35,6 @@ from ocr_spark.textstats import norm_text, portable_hash, tokens, trunc4
 
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASH_K = 8  # permutations; banded 2-per-band → 4 bands
-
-# Hash modes for the sketch primitives:
-# - 'portable': md5-derived 60-bit (textstats.portable_hash) — replayable in
-#   the DuckDB oracles, the contract-query default;
-# - 'fast': JVM xxhash64 — no string md5/concat per element, several-fold
-#   cheaper signature CPU, same operator shapes.  Production path; has no
-#   cross-engine oracle (DuckDB has no xxhash64), so it is verified by the
-#   pytest differential against the portable path's PAIRS (both modes must
-#   recover the same duplicate structure on the fixture corpus).
-HASH_MODES = ("portable", "fast")
-
 
 # --------------------------------------------------------------- primitives
 
@@ -64,14 +57,20 @@ def shingles(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
 def shingle_hashes(
     toks: Column, n: int = DEFAULT_SHINGLE, hash_mode: str = "portable"
 ) -> Column:
-    """Distinct 60/64-bit hashes of the shingle set.  All pairwise work
+    """Distinct 60-bit hashes of the shingle set.  All pairwise work
     (Jaccard intersects, band joins) runs on these instead of the shingle
     strings: bigint compares are ~2x faster and shuffle ~5x fewer bytes.
-    ``hash_mode`` picks md5-portable (oracle-replayable) vs xxhash64 (fast);
-    collision probability over per-doc sets is negligible at either width."""
+    The md5-portable hash is also the oracle-replayable one; an xxhash64
+    variant measured indistinguishable (see module docstring), so there is
+    one hash.  ``hash_mode`` is accepted for source compatibility but only
+    'portable' remains."""
+    if hash_mode != "portable":
+        raise ValueError(
+            "hash_mode='fast' was removed: measured indistinguishable from "
+            "portable once MinHash permutations went affine (see dedup.py "
+            "module docstring)"
+        )
     sh = shingles(toks, n)
-    if hash_mode == "fast":
-        return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     return F.array_distinct(F.transform(sh, portable_hash))
 
 
@@ -108,45 +107,38 @@ def minhash_coeffs(k: int = DEFAULT_MINHASH_K) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    sh_hashes: Column, k: int = DEFAULT_MINHASH_K, hash_mode: str = "portable"
+    sh_hashes: Column, k: int = DEFAULT_MINHASH_K
 ) -> Column:
     """Array of k min-hashes over the hashed shingle set; empty set → a
     deterministic per-permutation sentinel so empty docs still band.
 
-    'portable' applies the affine family above (oracle-replayable
-    arithmetic); 'fast' re-hashes with ``xxhash64(h, j)`` — both are pure
-    per-element expressions with no string building."""
-    if hash_mode == "fast":
-        sigs = [
-            F.coalesce(
-                F.array_min(
-                    F.transform(sh_hashes, lambda h: F.xxhash64(h, F.lit(j)))
-                ),
-                F.xxhash64(F.lit("∅"), F.lit(j)),
-            ).alias(f"mh{j}")
-            for j in range(k)
-        ]
-    else:
-        def make_perm(a: int, b: int):
-            return lambda h: F.pmod(
-                F.lit(a).cast("bigint")
-                * h.bitwiseAND(F.lit(0xFFFFFFFF).cast("bigint"))
-                + F.lit(b).cast("bigint"),
-                F.lit(MINHASH_PRIME).cast("bigint"),
-            )
+    The affine family above is the fastest form here as well as the
+    portable one: transform lambdas are interpreted per element, so
+    per-permutation cost is dominated by expression evaluation, and the
+    two multiplies + pmod beat a per-element ``xxhash64(h, j)`` invocation
+    (the round-2 xxhash64 permutations measured SLOWER end-to-end than
+    the affine arithmetic — 14.7 s vs 13.4 s in BENCH_r02)."""
 
-        sigs = []
-        for j, (a, b) in enumerate(minhash_coeffs(k)):
-            perm = make_perm(a, b)
-            sigs.append(
-                F.coalesce(
-                    F.array_min(F.transform(sh_hashes, perm)),
-                    F.lit(
-                        (a * (_driver_hash60(f"∅{j}") & 0xFFFFFFFF) + b)
-                        % MINHASH_PRIME
-                    ).cast("bigint"),
-                ).alias(f"mh{j}")
-            )
+    def make_perm(a: int, b: int):
+        return lambda h: F.pmod(
+            F.lit(a).cast("bigint")
+            * h.bitwiseAND(F.lit(0xFFFFFFFF).cast("bigint"))
+            + F.lit(b).cast("bigint"),
+            F.lit(MINHASH_PRIME).cast("bigint"),
+        )
+
+    sigs = []
+    for j, (a, b) in enumerate(minhash_coeffs(k)):
+        perm = make_perm(a, b)
+        sigs.append(
+            F.coalesce(
+                F.array_min(F.transform(sh_hashes, perm)),
+                F.lit(
+                    (a * (_driver_hash60(f"∅{j}") & 0xFFFFFFFF) + b)
+                    % MINHASH_PRIME
+                ).cast("bigint"),
+            ).alias(f"mh{j}")
+        )
     return F.array(*sigs)
 
 
@@ -328,7 +320,6 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.3,
     shingle_n: int = DEFAULT_SHINGLE,
     persist_base: bool = True,
-    hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -343,14 +334,12 @@ def minhash_lsh_pairs(
     skew); the shingle arrays move over the wire exactly twice, keyed by the
     (small) candidate pair set.
 
-    ``hash_mode='fast'`` swaps every md5-based primitive (shingle hash,
-    permutations, band key) for JVM xxhash64 — identical plan shape, much
-    cheaper per-row signature CPU; 'portable' is the DuckDB-replayable
-    contract default (see HASH_MODES).
+    All hash primitives are the md5-portable family (the only mode — see
+    the module docstring for why the xxhash64 twin was removed).
     """
     pairs, _base = _minhash_lsh_pairs_with_base(
         df, text_col, id_col, k, band_size, verify_threshold, shingle_n,
-        persist_base, hash_mode,
+        persist_base,
     )
     return pairs
 
@@ -364,16 +353,13 @@ def _minhash_lsh_pairs_with_base(
     verify_threshold: float = 0.3,
     shingle_n: int = DEFAULT_SHINGLE,
     persist_base: bool = True,
-    hash_mode: str = "portable",
 ) -> tuple[DataFrame, DataFrame | None]:
     """Like :func:`minhash_lsh_pairs` but also returns the persisted
     sketch base (or None) so a caller that fully materializes the pairs
     (e.g. :func:`dedup_clusters`) can unpersist it instead of leaving the
     CacheManager entry alive for the session."""
-    if hash_mode not in HASH_MODES:
-        raise ValueError(f"hash_mode must be one of {HASH_MODES}")
     toks = tokens(F.col(text_col))
-    sh = shingle_hashes(toks, shingle_n, hash_mode)
+    sh = shingle_hashes(toks, shingle_n)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     # The hashed-shingle base feeds banding AND both sides of the verify
     # join; persisting it avoids recomputing tokenize+shingle+hash three
@@ -385,7 +371,7 @@ def _minhash_lsh_pairs_with_base(
     if persist_base:
         base = base.persist()
     sig_df = base.withColumn(
-        "sig", minhash_signature(F.col("sh"), k, hash_mode)
+        "sig", minhash_signature(F.col("sh"), k)
     )
 
     n_bands = k // band_size
@@ -393,8 +379,6 @@ def _minhash_lsh_pairs_with_base(
 
     def band_hash(b: int) -> Column:
         members = [sig[b * band_size + j] for j in range(band_size)]
-        if hash_mode == "fast":
-            return F.xxhash64(*members).cast("string")
         return F.md5(
             F.concat_ws(":", *[m.cast("string") for m in members])
         )
@@ -629,7 +613,6 @@ def dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify_threshold: float = 0.3,
-    hash_mode: str = "portable",
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: MinHash+LSH pair edges →
     connected components → ``(id, cluster_id, is_canonical)``.
@@ -640,7 +623,7 @@ def dedup_clusters(
     own canonical."""
     pairs, base = _minhash_lsh_pairs_with_base(
         df, text_col=text_col, id_col=id_col,
-        verify_threshold=verify_threshold, hash_mode=hash_mode,
+        verify_threshold=verify_threshold,
     )
     edges = pairs.select("id_a", "id_b")
     nodes = df.select(F.col(id_col).alias("id"))

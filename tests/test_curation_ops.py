@@ -176,34 +176,15 @@ def test_ngram_bucket_cap_bounds_hot_buckets(spark):
     assert len(pairs) <= max_pairs_if_capped
 
 
-def test_minhash_fast_mode_matches_portable_on_exact_dups(spark):
-    """hash_mode='fast' (xxhash64) must recover the same duplicate
-    structure: exact-dup pairs are found in BOTH modes with identical
-    jaccard (signatures of identical shingle sets always collide,
-    whatever the hash), and every fast-mode pair is a true near-dup."""
-    text = " ".join(f"tok{i}" for i in range(30))
-    near = " ".join(f"tok{i}" for i in range(28)) + " q1 q2"
-    other = " ".join(f"zzz{i}" for i in range(30))
-    df = _df(spark, [(1, text), (2, text), (3, other), (4, near)],
-             "doc_id bigint, text string")
-    portable = {
-        (r.id_a, r.id_b): r.jaccard_sim
-        for r in minhash_lsh_pairs(
-            df, verify_threshold=0.3, hash_mode="portable"
-        ).collect()
-    }
-    fast = {
-        (r.id_a, r.id_b): r.jaccard_sim
-        for r in minhash_lsh_pairs(
-            df, verify_threshold=0.3, hash_mode="fast"
-        ).collect()
-    }
-    assert fast[(1, 2)] == portable[(1, 2)] == 1.0
-    # jaccard over hashed shingle sets is hash-independent (injective on
-    # this corpus), so any pair surfaced by both modes agrees exactly
-    for pair in set(fast) & set(portable):
-        assert fast[pair] == portable[pair]
-    assert (3, 4) not in fast and (1, 3) not in fast
+def test_shingle_hash_fast_mode_removed_loudly(spark):
+    """hash_mode='fast' was removed after A/B measurement showed it
+    indistinguishable from portable (dedup.py module docstring); a caller
+    still passing it must get a clear error, not silent portable."""
+    from ocr_spark.dedup import shingle_hashes
+    from ocr_spark.textstats import tokens
+
+    with pytest.raises(ValueError, match="removed"):
+        shingle_hashes(tokens(F.lit("a b c d")), 3, "fast")
 
 
 # ------------------------------------------------------------- similarity
