@@ -917,6 +917,77 @@ SELECT id, ({votes})::bigint AS simhash FROM h
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.repetition_stats(_docs_df(spark, sf_dir))
+
+
+def _sql_repetition_stats() -> str:
+    toks2 = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(toks) - 1, 0)),"
+        " i -> concat(toks[i], ' ', toks[i+1])))"
+    )
+    toks3 = _DUCK_SHINGLES.format(tk="toks")
+
+    def dup_frac(n: int, distinct: str) -> str:
+        return (
+            f"CASE WHEN len(toks) - {n - 1} <= 0 THEN 0.0 ELSE "
+            f"floor((1.0 - len({distinct})::double / "
+            f"(len(toks) - {n - 1})::double) * 10000.0) / 10000.0 END"
+        )
+
+    return f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKENS.format(t='text')} AS toks
+            FROM documents),
+grams AS (
+  SELECT doc_id, len(toks)::bigint AS n_tokens,
+    {dup_frac(2, toks2)} AS dup_2gram_frac,
+    {dup_frac(3, toks3)} AS dup_3gram_frac
+  FROM tk),
+tc AS (
+  SELECT doc_id,
+    floor((max(c)::double / sum(c)::double) * 10000.0) / 10000.0
+      AS top_token_frac
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id)
+SELECT g.doc_id, g.n_tokens,
+  coalesce(tc.top_token_frac, 0.0) AS top_token_frac,
+  g.dup_2gram_frac, g.dup_3gram_frac,
+  (coalesce(tc.top_token_frac, 0.0) > 0.20 OR g.dup_3gram_frac > 0.30)
+    AS repetitive
+FROM grams g LEFT JOIN tc ON g.doc_id = tc.doc_id
+"""
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup under the gate: every event is fed
+    TWICE; the stream must emit each exactly once (first occurrence), so
+    the drained result equals the batch DISTINCT of the events table."""
+    from ocr_spark.streaming import drain_dedup_exact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    doubled = ev.unionByName(ev)
+    got = drain_dedup_exact(spark, doubled, _stream_workdir("dedup"))
+    return got.select(
+        "event_id", "user_id",
+        F.col("ts").cast("double").alias("ts_epoch"),
+        "event_type", "value",
+    )
+
+
+SQL_EVENTS_DEDUP_STREAM = """
+SELECT DISTINCT event_id, user_id, epoch(ts) AS ts_epoch,
+       event_type, value
+FROM events
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination: the fixture eval set is every 17th
     document (so eval members must flag themselves, and overlap-by-shared-
@@ -2080,6 +2151,7 @@ def registry() -> dict[str, Entry]:
         "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
         "line_dedup": (q_line_dedup, _sql_line_dedup()),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
@@ -2091,6 +2163,9 @@ def registry() -> dict[str, Entry]:
         "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY),
         "events_sessions_stream": (
             q_events_sessions_stream, SQL_EVENTS_SESSIONS,
+        ),
+        "events_dedup_stream": (
+            q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM,
         ),
         "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
         "curp_state_join": (q_curp_state_join, _sql_curp_state_join()),

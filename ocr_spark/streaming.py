@@ -136,6 +136,43 @@ def stream_windowed_counts(
     return _start_append_stream(agg, out_dir, checkpoint_dir, available_now)
 
 
+EVENTS_DEDUP_DDL = (
+    "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+    "value double"
+)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Stateful streaming EXACT-DEDUP: emit the first occurrence of each
+    key, drop later copies — the streaming twin of batch ``dedup_exact`` /
+    ``SELECT DISTINCT``.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes the key's event time + the
+    watermark delay, so state is bounded by the duplicate-arrival horizon
+    instead of growing with the full key cardinality (the plain
+    ``dropDuplicates`` trap on unbounded streams).  A duplicate arriving
+    after its key's state was evicted is re-emitted — the standard
+    bounded-state contract; size ``watermark`` to the real replay window.
+    First occurrences are emitted immediately (no finalization wait)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DEDUP_DDL)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(list(key_cols))
+    return _start_append_stream(deduped, out_dir, checkpoint_dir,
+                                available_now)
+
+
 SESSION_OUT_DDL = (
     "user_id bigint, session_start double, session_end double, "
     "n_events bigint"
@@ -328,6 +365,22 @@ def drain_windowed_counts(
         spark.read.parquet(out)
         .filter(F.col("event_type") != STREAM_SENTINEL_EVENT_TYPE)
     )
+
+
+def drain_dedup_exact(
+    spark: SparkSession, events: DataFrame, work_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain ``stream_dedup_exact`` over ``events`` (columns per
+    ``EVENTS_DEDUP_DDL``, duplicates included) and return the emitted
+    first-occurrences.  No sentinel needed: dedup emits immediately."""
+    inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
+    events.coalesce(1).write.mode("overwrite").parquet(inp)
+    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+        q = stream_dedup_exact(spark, inp, out, ckpt, key_cols=key_cols,
+                               watermark=watermark, available_now=True)
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
 
 
 def drain_sessions(

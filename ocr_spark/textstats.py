@@ -181,6 +181,77 @@ def pii_counts(text: Column) -> list[Column]:
     ]
 
 
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality heuristics): highly repetitive
+    documents (keyword stuffing, templated spam, decode loops) are
+    low-value training data even when every individual line looks fine.
+
+    Output per doc: ``n_tokens``, ``top_token_frac`` (occurrences of the
+    most frequent token / total tokens), ``dup_2gram_frac`` /
+    ``dup_3gram_frac`` (1 − distinct/total word n-grams), and
+    ``repetitive`` (top_token_frac > 0.20 or dup_3gram_frac > 0.30 — the
+    Gopher-shaped cut, tune per corpus).  All fractions floor-truncated
+    to 4 digits (cross-engine, see trunc4).
+
+    Shape for scale: the n-gram fractions are pure array expressions (no
+    shuffle); the token-frequency max uses the standard explode →
+    groupBy(doc, token) → groupBy(doc) two-level aggregation —
+    whole-stage codegen with map-side partial counts, shuffling only
+    (doc_id, token, count) rows, never texts.  Spark lacks a per-array
+    mode() primitive; an HOF emulation would be O(tokens × distinct)
+    interpreted per row, strictly worse."""
+    from ocr_spark.dedup import shingles
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    def dup_frac(n: int) -> Column:
+        total = F.size("toks") - (n - 1)
+        distinct = F.size(shingles(F.col("toks"), n))
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            trunc4(
+                F.lit(1.0)
+                - distinct.cast("double") / total.cast("double")
+            )
+        )
+
+    grams = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    tok_counts = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_c"),
+        )
+        .select(
+            "doc_id",
+            trunc4(
+                F.col("top_c").cast("double")
+                / F.col("total_c").cast("double")
+            ).alias("top_token_frac"),
+        )
+    )
+    out = grams.join(tok_counts, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_token_frac") > 0.20) | (F.col("dup_3gram_frac") > 0.30),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Full-document fingerprint: md5 of the normalized text."""
     return F.md5(norm_text(text))

@@ -176,6 +176,36 @@ def test_ngram_bucket_cap_bounds_hot_buckets(spark):
     assert len(pairs) <= max_pairs_if_capped
 
 
+def test_repetition_stats_known_values(spark):
+    """Gopher repetition signals vs hand-computed truth: a stuffed doc is
+    flagged, a varied doc is not, degenerate docs get zeros."""
+    docs = _df(spark, [
+        (1, "spam spam spam spam eggs"),                    # top=4/5
+        (2, "a b c d e f g h i j"),                          # all unique
+        (3, "x y x y x y x y"),                              # dup 2/3-grams
+        (4, ""),                                             # empty
+        (5, "solo"),                                         # 1 token
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in ts.repetition_stats(docs).collect()}
+
+    assert got[1].n_tokens == 5
+    assert got[1].top_token_frac == 0.8 and got[1].repetitive
+    # "spam spam" appears 3× among 4 bigrams → distinct 2/4 → dup 0.5
+    assert got[1].dup_2gram_frac == 0.5
+
+    assert got[2].top_token_frac == 0.1
+    assert got[2].dup_2gram_frac == 0.0 and not got[2].repetitive
+
+    # 7 bigrams, 2 distinct → 1 - 2/7 = 0.7142...; 6 trigrams, 2 distinct
+    assert got[3].dup_2gram_frac == 0.7142
+    assert got[3].dup_3gram_frac == 0.6666 and got[3].repetitive
+
+    assert got[4].n_tokens == 0 and got[4].top_token_frac == 0.0
+    assert not got[4].repetitive
+    assert got[5].top_token_frac == 1.0 and got[5].dup_2gram_frac == 0.0
+    assert got[5].repetitive  # single-token doc: 100% one token
+
+
 def test_shingle_hash_fast_mode_removed_loudly(spark):
     """hash_mode='fast' was removed after A/B measurement showed it
     indistinguishable from portable (dedup.py module docstring); a caller

@@ -101,6 +101,58 @@ def test_windowed_counts_append_and_late_drop(spark, tmp_path):
     assert got2 == got1  # late row dropped, open window unemitted
 
 
+def _dedup_events_df(spark, rows):
+    """rows: (event_id, user_id, epoch_s) → EVENTS_DEDUP_DDL shape."""
+    return spark.createDataFrame(
+        [(e, u, s, "a", 0.0) for e, u, s in rows],
+        "event_id bigint, user_id bigint, s bigint, event_type string, "
+        "value double",
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_seconds(s) AS ts",
+        "event_type", "value"
+    )
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are dropped (in-batch AND cross-batch); once the watermark
+    evicts a key's state, a much-later copy is re-emitted — the
+    documented bounded-state contract."""
+    from ocr_spark.streaming import stream_dedup_exact
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    B = 100000
+
+    def drain():
+        q = stream_dedup_exact(spark, inp, out, ckpt,
+                               watermark="2 hours")
+        q.awaitTermination(120)
+        return sorted(
+            (r.event_id, int(r.ts.timestamp()))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # key 1 duplicated in-batch; key 9 drives the watermark high enough
+    # to evict key 1's state (1000+7200 < 50000-7200) but keep key 2's
+    f1 = _dedup_events_df(spark, [
+        (1, 7, B + 1000), (1, 7, B + 1000),
+        (2, 7, B + 44000),
+        (9, 8, B + 50000),
+    ])
+    f1.coalesce(1).write.mode("append").parquet(inp)
+    assert drain() == [(1, B + 1000), (2, B + 44000), (9, B + 50000)]
+
+    # batch 2: key 2's duplicate is still within its state horizon →
+    # dropped; key 1's state was evicted → its late copy re-emits
+    f2 = _dedup_events_df(spark, [
+        (2, 7, B + 44500),
+        (1, 7, B + 51000),
+    ])
+    f2.coalesce(1).write.mode("append").parquet(inp)
+    assert drain() == [(1, B + 1000), (1, B + 51000),
+                       (2, B + 44000), (9, B + 50000)]
+
+
 def test_sessionize_buffers_reopenable_sessions_across_batches(
     spark, tmp_path
 ):
