@@ -29,7 +29,6 @@ from ocr_spark.textstats import tokens
 def eval_gram_table(
     eval_set: DataFrame,
     n: int = DEFAULT_SHINGLE,
-    hash_mode: str = "portable",
     eval_id_col: str = "eval_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -39,7 +38,7 @@ def eval_gram_table(
         eval_set.select(
             F.col(eval_id_col).alias("eval_id"),
             F.explode(
-                shingle_hashes(tokens(F.col(text_col)), n, hash_mode)
+                shingle_hashes(tokens(F.col(text_col)), n)
             ).alias("g"),
         )
         .distinct()
@@ -51,7 +50,6 @@ def decontaminate(
     eval_set: DataFrame,
     n: int = DEFAULT_SHINGLE,
     min_overlap: int = 1,
-    hash_mode: str = "portable",
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_id_col: str = "eval_id",
@@ -66,11 +64,11 @@ def decontaminate(
     words is typical for benchmark decontamination) and ``min_overlap``
     to trade recall for precision on boilerplate-heavy corpora.
     """
-    eg = eval_gram_table(eval_set, n, hash_mode, eval_id_col, text_col)
+    eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
     dg = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            shingle_hashes(tokens(F.col(text_col)), n, hash_mode)
+            shingle_hashes(tokens(F.col(text_col)), n)
         ).alias("g"),
     )
     hits = (

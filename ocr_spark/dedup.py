@@ -536,7 +536,12 @@ def connected_components(
     - ``'reliable'`` — ``checkpoint()`` to the configured checkpoint
       directory (``spark.sparkContext.setCheckpointDir`` — put it on the
       cluster's durable FS): per-round files survive executor loss, the
-      right choice for multi-hour 100 TB dedup graphs.
+      right choice for multi-hour 100 TB dedup graphs.  The DataFrame is
+      persisted around the checkpoint so the round's join computes ONCE
+      (Spark's reliable checkpoint otherwise recomputes every partition
+      in the checkpoint-writing job).  Checkpoint files accumulate per
+      round until application exit unless
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
     - ``'auto'`` (default) — ``'reliable'`` when a checkpoint dir is
       configured, else ``'local'``.
 
@@ -553,7 +558,10 @@ def connected_components(
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if mode == "reliable":
-            return df.checkpoint(eager=True)
+            cached = df.persist()
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
         return df.localCheckpoint(eager=True)
 
     # Materialize the edge list ONCE — it is typically the output of an

@@ -1727,9 +1727,23 @@ GROUP BY 1, event_type
 # batch query, checked against the identical batch SQL oracle.
 
 def _stream_workdir(name: str) -> str:
+    """Fresh work dir for a stream drain, under one fixed parent whose
+    STALE entries (> 1 h old) are pruned first — repeated contract runs
+    must not accumulate unbounded drained parquet + checkpoint data."""
+    import shutil
     import tempfile
+    import time as _time
 
-    return tempfile.mkdtemp(prefix=f"ocrspark_{name}_")
+    parent = _os.path.join(tempfile.gettempdir(), "ocrspark_stream_contract")
+    _os.makedirs(parent, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for entry in _os.scandir(parent):
+        try:
+            if entry.is_dir() and entry.stat().st_mtime < cutoff:
+                shutil.rmtree(entry.path, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=parent)
 
 
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,16 +308,22 @@ def _guarded_bucket(vec: Column, planes: list[list[float]]) -> Column:
     and the bucketing silently degenerates to one global bucket — an
     all-pairs cross join at scale.  The guard lives inside the bucket
     expression itself (not a droppable side column), so Catalyst cannot
-    prune it away."""
+    prune it away.  A NULL embedding keeps its pre-guard behavior: NULL
+    bucket → the row drops out of the equi-join (it is a missing vector,
+    not a width bug)."""
     dims = len(planes[0])
-    return F.when(
-        F.size(vec) == dims, lsh_bucket(vec, planes)
-    ).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"lsh bucket: embedding width "),
-            F.size(vec).cast("string"),
-            F.lit(f" != plane width {dims}"),
-        ))
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("string"))
+        .when(F.size(vec) == dims, lsh_bucket(vec, planes))
+        .otherwise(
+            # vec is non-null here, so size() is non-null and the message
+            # cannot null-propagate through concat
+            F.raise_error(F.concat(
+                F.lit("lsh bucket: embedding width "),
+                F.size(vec).cast("string"),
+                F.lit(f" != plane width {dims}"),
+            ))
+        )
     )
 
 
@@ -356,7 +362,7 @@ def lsh_ann_pairs(
     """
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
-        planes = planes or hyperplanes()
+        planes = planes or hyperplanes(n_planes)
         base = corpus.select(
             *base_cols,
             _guarded_bucket(F.col(vec_col), planes).alias("bucket"),

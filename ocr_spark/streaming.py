@@ -1,5 +1,5 @@
-"""Structured-Streaming surface: incremental ingestion plus the two
-canonical streaming shapes a large-scale event pipeline needs.
+"""Structured-Streaming surface: incremental ingestion plus the canonical
+streaming shapes a large-scale event pipeline needs.
 
 1. ``run_streaming_extraction`` — the continuous-ingestion adapter: a
    file-source stream of ``documents_spans`` rows drives the IDENTICAL
@@ -15,10 +15,20 @@ canonical streaming shapes a large-scale event pipeline needs.
    contract query.
 3. ``sessionize_stream`` — custom stateful operator via
    ``applyInPandasWithState``: per-user gap-based sessionization with
-   event-time timeouts (state = the open session; closed sessions are
-   emitted in-batch on a gap, or by timeout when the watermark passes
-   ``session_end + gap``).  The streaming twin of the batch
-   ``events_sessions`` contract query.
+   event-time timeouts.  State buffers EVERY not-yet-final session (the
+   open one plus gap-closed ones still reopenable by a within-watermark
+   event); a session is emitted exactly once, when the watermark
+   guarantees no in-order event can extend or bridge it.  The streaming
+   twin of the batch ``events_sessions`` contract query.
+4. ``stream_dedup_exact`` — bounded-state streaming exact-dedup via
+   ``dropDuplicatesWithinWatermark``: first occurrence per key emitted
+   once, state evicted at the watermark horizon.  The streaming twin of
+   ``SELECT DISTINCT`` / batch ``dedup_exact``.
+
+The ``drain_*`` helpers run each operator over a finite input with
+``availableNow`` and return the finalized result as a batch DataFrame —
+that is how the streaming operators sit under the same hard DuckDB oracle
+gate as their batch twins (driver_contract ``events_*_stream`` rows).
 """
 
 from __future__ import annotations
@@ -263,9 +273,13 @@ def sessionize_stream(
                 for s, e, n in zip(ss, es, ns)
             )
         merged = merge_session_intervals(ivals, gap_s)
-        # final ⇔ no in-order (≤ watermark) event can extend or bridge it
-        emit = [iv for iv in merged if iv[1] + gap_s <= wm_s]
-        keep = [iv for iv in merged if iv[1] + gap_s > wm_s]
+        # final ⇔ no in-order event can extend or bridge it.  STRICT <:
+        # the engine's late filter drops rows with ts < watermark but
+        # ADMITS ts == watermark, and an event at exactly end+gap == wm
+        # would merge in the batch twin — emitting at equality would
+        # split that session.
+        emit = [iv for iv in merged if iv[1] + gap_s < wm_s]
+        keep = [iv for iv in merged if iv[1] + gap_s >= wm_s]
         if keep:
             state.update((
                 [s for s, _, _ in keep],
@@ -334,6 +348,26 @@ class _shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+_INTERVAL_UNITS = {
+    "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
+    "hour": 3600.0, "hours": 3600.0, "day": 86400.0, "days": 86400.0,
+}
+
+
+def interval_seconds(interval: str) -> float:
+    """Seconds of a simple ``'<n> <unit>'`` interval string (the subset
+    the drains accept).  Single source for the sentinel-lead arithmetic —
+    a hand-duplicated seconds parameter silently desynchronizing from the
+    string left the last windows unfinalized."""
+    parts = interval.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unsupported interval {interval!r}: use '<n> "
+            f"second(s)|minute(s)|hour(s)|day(s)'"
+        )
+    return float(parts[0]) * _INTERVAL_UNITS[parts[1].lower()]
+
+
 def _sentinel_row(spark, events: DataFrame, lead_s: float,
                   event_type: str = "a", user_id: int = 1) -> DataFrame:
     """One row ``lead_s`` seconds past the max event time (one-scalar
@@ -347,13 +381,14 @@ def _sentinel_row(spark, events: DataFrame, lead_s: float,
 def drain_windowed_counts(
     spark: SparkSession, events: DataFrame, work_dir: str,
     window: str = "1 hour", watermark: str = "2 hours",
-    watermark_s: float = 7200.0,
 ) -> DataFrame:
     """Drain ``stream_windowed_counts`` over ``events`` (columns per
     ``EVENTS_STREAM_DDL``) until every real window is finalized; return
     the emitted rows.  The sentinel event type's own rows are excluded."""
     inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
-    lead = watermark_s + 2 * 3600 + 3600  # wm delay + window + slack
+    # wm delay + window + slack, derived from the ACTUAL parameters so a
+    # non-default window/watermark cannot leave the last windows unemitted
+    lead = interval_seconds(watermark) + interval_seconds(window) + 3600
     sent = _sentinel_row(spark, events, lead,
                          event_type=STREAM_SENTINEL_EVENT_TYPE)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
@@ -386,13 +421,12 @@ def drain_dedup_exact(
 def drain_sessions(
     spark: SparkSession, events: DataFrame, work_dir: str,
     gap_s: float = 1800.0, watermark: str = "10 minutes",
-    watermark_s: float = 600.0,
 ) -> DataFrame:
     """Drain ``sessionize_stream`` over ``events`` until every real
     session's ``end + gap`` is behind the watermark; return the emitted
     sessions.  The sentinel user's own (still-open) session is excluded."""
     inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
-    lead = watermark_s + gap_s + 3600
+    lead = interval_seconds(watermark) + gap_s + 3600
     sent = _sentinel_row(spark, events, lead, user_id=STREAM_SENTINEL_USER)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
     with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):

@@ -4,7 +4,7 @@ import pytest
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from ocr_spark.session import get_spark
 
     session = get_spark(
@@ -12,6 +12,13 @@ def spark():
         master="local[4]",
         shuffle_partitions=8,
         extra_conf={"spark.default.parallelism": "4"},
+    )
+    # Checkpoint dir set ONCE for the whole session so behavior that
+    # auto-detects it (connected_components checkpoint_mode='auto') is
+    # deterministic regardless of test execution order; tests wanting the
+    # localCheckpoint path pass checkpoint_mode='local' explicitly.
+    session.sparkContext.setCheckpointDir(
+        str(tmp_path_factory.mktemp("spark-ckpt"))
     )
     yield session
     session.stop()

@@ -483,14 +483,18 @@ def test_connected_components_topologies(spark):
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
 
 
-def test_connected_components_reliable_checkpoint(spark, tmp_path):
-    """Cluster mode: with a checkpoint dir configured, 'reliable' (and
-    'auto') must run on durable checkpoint() files instead of
-    executor-local blocks and produce identical labels; a clique
-    (diameter 1) converges within a 2-round budget."""
+def test_connected_components_reliable_checkpoint(spark):
+    """Cluster mode: with a checkpoint dir configured (conftest sets one
+    session-wide), 'reliable' (and 'auto') must run on durable
+    checkpoint() files instead of executor-local blocks and produce
+    identical labels; a clique (diameter 1) converges within a 2-round
+    budget."""
+    import os
+
     from ocr_spark.dedup import connected_components
 
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None  # conftest contract
     clique = [(a, b) for a in range(50, 56) for b in range(a + 1, 56)]
     edges = _df(spark, clique, "id_a bigint, id_b bigint")
     nodes = _df(spark, [(i,) for i in range(50, 57)], "id bigint")
@@ -505,9 +509,8 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         }
         assert got == want, mode
     # durable per-round files actually landed in the checkpoint dir
-    import os
-
-    assert any(os.scandir(str(tmp_path / "ckpt")))
+    local_dir = ckpt_dir.removeprefix("file:")
+    assert any(os.scandir(local_dir))
 
     with pytest.raises(ValueError, match="checkpoint_mode"):
         connected_components(nodes, edges, checkpoint_mode="bogus")
@@ -645,11 +648,6 @@ def test_ngram_bucket_cap_recall_trade_measured(spark):
     assert len(uncapped) > 4000  # the hot bucket is genuinely quadratic
 
     # bound: pairs per bucket ≤ sum over sub-buckets of c_i·(c_i−1)/2
-    from collections import Counter
-
-    hot = Counter()
-    for a, b in capped:
-        hot[a // 1000, b // 1000] += 1  # all hot ids < 1000
     h = 120  # upper bound on hot-bucket membership
     cap = 32
     full, rem = divmod(h, cap)
@@ -716,6 +714,21 @@ def test_lsh_dims_mismatch_fails_fast(spark):
         lsh_ann_pairs(
             df, planes=hyperplanes(4, dims=8), min_cosine=0.0
         ).collect()
+
+    # a NULL embedding is a missing vector, not a width bug: it must NOT
+    # trip the guard, and the row silently drops out of the bucket join
+    withnull = _df(
+        spark,
+        [(1, [0.1] * 16), (2, [0.1] * 16), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(
+            withnull, min_cosine=0.0, n_tables=2, dims=16
+        ).collect()
+    }
+    assert got == {(1, 2)}
 
 
 def test_merge_session_intervals_out_of_order():
