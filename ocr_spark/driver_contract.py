@@ -293,7 +293,9 @@ def _cards_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["documents"])
-    return spark.table("documents")
+    # _spread: the sf tables are single-row-group files (one-partition
+    # scans); widen before the per-row text work — see _spread's docstring
+    return _spread(spark.table("documents"))
 
 
 def q_normalize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +662,30 @@ SELECT doc_id, text, lang FROM documents
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a NARROW scan before expensive per-row work.
+
+    A single-row-group parquet file scans as ONE partition no matter how
+    many cores the session has (row groups are the split granularity), so
+    every narrow stage downstream — shingling, hashing, winnowing — runs
+    on one core while 31 idle: measured 11.7 s vs 0.8 s for the shingle
+    stage at sf0.1.  Repartition ONLY when the scan is narrower than the
+    session's parallelism; at production scale the scan has thousands of
+    row groups, the condition is false, and no shuffle is added."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _emb_df(spark: SparkSession) -> DataFrame:
+    """Embeddings table, widened (_spread): the sf files are single
+    row groups, and the hyperplane/centroid dot folds are interpreted
+    per-row CPU that must not run on one core."""
+    return _spread(spark.table("embeddings"))
+
+
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ word-dropped copies (every 7th token removed)."""
     _register(spark, sf_dir, ["documents"])
@@ -673,7 +699,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped.alias("text"),
         "lang",
     )
-    return base.unionByName(mutated)
+    return _spread(base.unionByName(mutated))
 
 
 _DUCK_NEAR_CORPUS = f"""
@@ -855,7 +881,11 @@ def _simhash_pair_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(text, ' ', '  ')").alias("text"),
         "lang",
     )
-    return base.unionByName(doubled)
+    # explicit repartition, not _spread: the union of the (already wide)
+    # base with the 1-partition doubled scan passes _spread's width test,
+    # but the doubled branch's 5000 docs would still shingle in ONE task
+    out = base.unionByName(doubled)
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,7 +1059,7 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings")
+    emb = _emb_df(spark)
     queries = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(emb, queries, k=5)
 
@@ -1058,7 +1088,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["embeddings"])
     return lsh_ann_pairs(
-        spark.table("embeddings"), planes=hyperplanes(4), min_cosine=0.25
+        _emb_df(spark), planes=hyperplanes(4), min_cosine=0.25
     )
 
 
@@ -1095,7 +1125,7 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 def q_ann_lsh_pairs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["embeddings"])
     return lsh_ann_pairs(
-        spark.table("embeddings"), min_cosine=0.25,
+        _emb_df(spark), min_cosine=0.25,
         n_tables=3, dims=64, n_planes=4,
     )
 
@@ -1143,7 +1173,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     closest inverted-file cells per query (vs the brute-force baseline in
     ann_cosine_topk)."""
     _register(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings")
+    emb = _emb_df(spark)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(emb, queries, k=5, n_probes=2)
 
@@ -1193,7 +1223,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit-exact Python twin (tests/oracle_ivf.py), keyed by a content
     fingerprint of the embeddings table (see tools/gen_truth.py)."""
     _register(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings")
+    emb = _emb_df(spark)
     cents = ivf_train_kmeans(emb, n_cells=8, n_iters=3, dims=64)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(emb, queries, k=5, n_probes=2, centroids=cents)
@@ -1221,7 +1251,7 @@ def q_embed_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verify, annotated with cluster-label agreement."""
     _register(spark, sf_dir, ["documents", "embeddings"])
     docs = spark.table("documents").select("doc_id", "lang")
-    emb = spark.table("embeddings")
+    emb = _emb_df(spark)
     joined = docs.join(
         emb, docs.doc_id == emb.vec_id
     ).select("doc_id", "embedding", "label")

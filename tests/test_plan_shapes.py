@@ -93,7 +93,11 @@ def test_simhash_pairs_plan_bounded_and_codegen(spark):
 
     plan = _plan(q_dedup_simhash_pairs(spark, SF))
     assert "HashAggregate" in plan            # the wide vote aggregate
-    assert plan.count("Exchange (") <= 6, plan.count("Exchange (")
+    # designed exchanges (sig groupBy, block join sides or broadcast,
+    # distinct) + ONE deliberate input-spread repartition (the sf corpus
+    # scans as a single partition — _simhash_pair_corpus widens it before
+    # the per-row shingle/signature work)
+    assert plan.count("Exchange (") <= 7, plan.count("Exchange (")
 
 
 def test_ngram_cap_plan_bounded(spark):
