@@ -1,0 +1,103 @@
+"""Corpus-assembly operators: deterministic sampling and sequence packing.
+
+The last mile of a training-data pipeline, after curation: pick a
+reproducible subset (per-language mixture weights) and pack documents
+into fixed-token-budget training sequences.
+
+Scale shapes:
+
+- **Sampling** is a pure narrow filter on a hash of the document id — no
+  shuffle, no RNG state, trivially reproducible across reruns, engines,
+  and partitionings (the classic hash-mod-threshold sample; Spark's
+  ``df.sample`` is seed-dependent on partitioning and NOT oracle-safe).
+- **Packing** needs a running token total, which is inherently
+  sequential — so it runs PER SHARD: documents hash into ``n_shards``
+  independent shards, and each shard packs with one window cumsum
+  (shuffle by shard + in-partition sort).  Shards are the parallelism
+  unit: at 100 TB use thousands of shards sized so one shard's rows fit
+  an executor; each training sequence then concatenates one (shard, bin)
+  group.  Bins overshoot their budget by at most one document (greedy
+  next-fit), the standard packing trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.textstats import portable_hash, token_count
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    A row is kept iff ``hash(salt/id) mod 10^6 < fraction · 10^6`` for
+    its stratum's fraction — so membership is a pure function of the id
+    (stable under reruns/repartitioning, and the DuckDB oracle replays
+    it exactly).  Strata absent from ``fractions`` get
+    ``default_fraction``.  Fractions are exact at the 1e-6 granularity.
+    """
+    bucket = portable_hash(
+        F.concat(F.lit(f"{salt}/"), F.col(id_col).cast("string"))
+    ) % F.lit(1000000)
+    frac = None
+    for name, p in fractions.items():
+        thr = F.lit(int(round(p * 1000000)))
+        cond = F.col(stratum_col) == name
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    thr_col = (
+        frac.otherwise(F.lit(int(round(default_fraction * 1000000))))
+        if frac is not None
+        else F.lit(int(round(default_fraction * 1000000)))
+    )
+    return df.filter(bucket < thr_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a (shard, bin) training sequence by greedy
+    next-fit packing of whitespace token counts.
+
+    Within a shard (documents ordered by id), a document goes to bin
+    ``floor(tokens_before / target_tokens)`` — bin boundaries therefore
+    land within one document of each target multiple, so every closed
+    bin's total lies in ``[target − max_doc, target + max_doc]`` (a bin
+    that follows an overshooting document starts correspondingly late).
+    Output: (doc_id, shard, bin, n_tokens, cum_tokens) where
+    ``cum_tokens`` includes this document.
+    """
+    shard = F.pmod(
+        portable_hash(F.col(id_col).cast("string")), F.lit(n_shards)
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(
+            (cum - F.col("n_tokens")) / F.lit(target_tokens)
+        ).cast("bigint").alias("bin"),
+        "n_tokens",
+        cum.alias("cum_tokens"),
+    )

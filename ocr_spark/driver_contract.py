@@ -947,6 +947,56 @@ SELECT id, ({votes})::bigint AS simhash FROM h
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod mixture sampling (en 50% / es 25% / rest
+    10%) — membership is a pure function of doc_id, replayed exactly by
+    the oracle (df.sample would be partitioning-dependent)."""
+    from ocr_spark.assembly import stratified_sample
+
+    docs = _docs_df(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.5, "es": 0.25}, default_fraction=0.1
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample/' || cast(doc_id AS varchar)), 1, 15))
+        ::bigint % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                  ELSE 100000 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 512-token bins across 8
+    hash shards (per-shard window cumsum — the parallelism unit)."""
+    from ocr_spark.assembly import pack_sequences
+
+    return pack_sequences(
+        _docs_df(spark, sf_dir), target_tokens=512, n_shards=8
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH b AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 8)
+      ::int AS shard,
+    len({_DUCK_TOKENS.format(t='text')})::bigint AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+      ::bigint AS cum_tokens
+  FROM b)
+SELECT doc_id, shard,
+  floor((cum_tokens - n_tokens) / 512.0)::bigint AS bin,
+  n_tokens, cum_tokens
+FROM c
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.repetition_stats(_docs_df(spark, sf_dir))
 
@@ -2196,6 +2246,8 @@ def registry() -> dict[str, Entry]:
         "line_dedup": (q_line_dedup, _sql_line_dedup()),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),

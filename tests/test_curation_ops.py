@@ -176,6 +176,74 @@ def test_ngram_bucket_cap_bounds_hot_buckets(spark):
     assert len(pairs) <= max_pairs_if_capped
 
 
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """Hash-mod sampling: membership is a pure function of (salt, id) —
+    identical across repartitionings — and per-stratum keep rates land
+    near the requested fractions on a large-ish input."""
+    from ocr_spark.assembly import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "es") for i in range(4000)]
+    df = _df(spark, rows, "doc_id bigint, lang string")
+    fr = {"en": 0.5, "es": 0.1}
+
+    kept1 = {r.doc_id for r in stratified_sample(df, fr).collect()}
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(13), fr).collect()
+    }
+    assert kept1 == kept2  # partitioning-independent
+
+    en = sum(1 for i in kept1 if i % 2 == 0) / 2000
+    es = sum(1 for i in kept1 if i % 2 == 1) / 2000
+    assert abs(en - 0.5) < 0.05 and abs(es - 0.1) < 0.03
+
+    # default_fraction=0 drops unknown strata entirely
+    df2 = _df(spark, [(1, "zz")], "doc_id bigint, lang string")
+    assert stratified_sample(df2, fr).count() == 0
+
+    # different salt → different (still deterministic) subset
+    kept3 = {
+        r.doc_id for r in stratified_sample(df, fr, salt="v2").collect()
+    }
+    assert kept3 != kept1
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy next-fit: every closed (shard, bin)'s total lies within
+    one document of the token target (boundaries land within one doc of
+    each target multiple); cum_tokens is the in-shard running total in
+    doc_id order; every doc is assigned exactly once."""
+    from ocr_spark.assembly import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in (range(5 + i % 20))))
+            for i in range(300)]
+    df = _df(spark, rows, "doc_id bigint, text string")
+    target = 100
+    got = pack_sequences(df, target_tokens=target, n_shards=4).collect()
+    assert len(got) == 300 and len({r.doc_id for r in got}) == 300
+
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in members:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+            # bin = tokens before this doc // target
+            assert r.bin == (r.cum_tokens - r.n_tokens) // target
+        bins: dict[int, int] = {}
+        for r in members:
+            bins[r.bin] = bins.get(r.bin, 0) + r.n_tokens
+        max_doc = max(r.n_tokens for r in members)
+        last = max(bins)
+        for b, tot in bins.items():
+            if b != last:
+                assert tot >= target - max_doc  # within one doc of target
+            assert tot <= target + max_doc      # overshoot ≤ one doc
+
+
 def test_repetition_stats_known_values(spark):
     """Gopher repetition signals vs hand-computed truth: a stuffed doc is
     flagged, a varied doc is not, degenerate docs get zeros."""
