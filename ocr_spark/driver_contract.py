@@ -1807,16 +1807,22 @@ GROUP BY 1, event_type
 # batch query, checked against the identical batch SQL oracle.
 
 def _stream_workdir(name: str) -> str:
-    """Fresh work dir for a stream drain, under one fixed parent whose
-    STALE entries (> 1 h old) are pruned first — repeated contract runs
-    must not accumulate unbounded drained parquet + checkpoint data."""
+    """Fresh work dir for a stream drain, under a PER-USER parent whose
+    stale entries (> 6 h old) are pruned first — repeated contract runs
+    must not accumulate unbounded drained parquet + checkpoint data.
+    Per-uid parent: a fixed shared path would be unwritable for the
+    second user on a multi-user host.  The 6 h cutoff is ~400× a drain's
+    lifetime, so pruning cannot race a concurrently live run."""
     import shutil
     import tempfile
     import time as _time
 
-    parent = _os.path.join(tempfile.gettempdir(), "ocrspark_stream_contract")
+    uid = _os.getuid() if hasattr(_os, "getuid") else "u"
+    parent = _os.path.join(
+        tempfile.gettempdir(), f"ocrspark_stream_contract_{uid}"
+    )
     _os.makedirs(parent, exist_ok=True)
-    cutoff = _time.time() - 3600
+    cutoff = _time.time() - 6 * 3600
     for entry in _os.scandir(parent):
         try:
             if entry.is_dir() and entry.stat().st_mtime < cutoff:

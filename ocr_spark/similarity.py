@@ -362,7 +362,7 @@ def lsh_ann_pairs(
     """
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
-        planes = planes or hyperplanes(n_planes)
+        planes = planes or hyperplanes(n_planes, dims=dims)
         base = corpus.select(
             *base_cols,
             _guarded_bucket(F.col(vec_col), planes).alias("bucket"),

@@ -273,11 +273,12 @@ def sessionize_stream(
                 for s, e, n in zip(ss, es, ns)
             )
         merged = merge_session_intervals(ivals, gap_s)
-        # final ⇔ no in-order event can extend or bridge it.  STRICT <:
-        # the engine's late filter drops rows with ts < watermark but
-        # ADMITS ts == watermark, and an event at exactly end+gap == wm
-        # would merge in the batch twin — emitting at equality would
-        # split that session.
+        # final ⇔ no in-order event can extend or bridge it.  Measured on
+        # this engine (see test_sessionize_*): the stateful late filter
+        # admits only ts STRICTLY ABOVE the watermark, so even at
+        # end+gap == wm no admissible event can merge — both < and <=
+        # are correct here; strict < is kept as the conservative boundary
+        # that stays correct even if the engine filter admitted equality.
         emit = [iv for iv in merged if iv[1] + gap_s < wm_s]
         keep = [iv for iv in merged if iv[1] + gap_s >= wm_s]
         if keep:
@@ -368,6 +369,18 @@ def interval_seconds(interval: str) -> float:
     return float(parts[0]) * _INTERVAL_UNITS[parts[1].lower()]
 
 
+def _await_drain(query, timeout_s: int) -> None:
+    """awaitTermination returns False on timeout WITHOUT raising; reading
+    the output directory of a still-running drain would return a partial
+    result that surfaces as a confusing oracle mismatch downstream —
+    fail loudly and stop the straggler instead."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"stream drain did not finish within {timeout_s}s"
+        )
+
+
 def _sentinel_row(spark, events: DataFrame, lead_s: float,
                   event_type: str = "a", user_id: int = 1) -> DataFrame:
     """One row ``lead_s`` seconds past the max event time (one-scalar
@@ -395,7 +408,7 @@ def drain_windowed_counts(
     with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
         q = stream_windowed_counts(spark, inp, out, ckpt, window=window,
                                    watermark=watermark, available_now=True)
-        q.awaitTermination(300)
+        _await_drain(q, 300)
     return (
         spark.read.parquet(out)
         .filter(F.col("event_type") != STREAM_SENTINEL_EVENT_TYPE)
@@ -414,7 +427,7 @@ def drain_dedup_exact(
     with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
         q = stream_dedup_exact(spark, inp, out, ckpt, key_cols=key_cols,
                                watermark=watermark, available_now=True)
-        q.awaitTermination(300)
+        _await_drain(q, 300)
     return spark.read.parquet(out)
 
 
@@ -432,7 +445,7 @@ def drain_sessions(
     with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
         q = sessionize_stream(spark, inp, out, ckpt, gap_s=gap_s,
                               watermark=watermark, available_now=True)
-        q.awaitTermination(300)
+        _await_drain(q, 300)
     return (
         spark.read.parquet(out)
         .filter(F.col("user_id") != STREAM_SENTINEL_USER)

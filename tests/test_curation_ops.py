@@ -563,11 +563,19 @@ def test_connected_components_reliable_checkpoint(spark):
 
     ckpt_dir = spark.sparkContext.getCheckpointDir()
     assert ckpt_dir is not None  # conftest contract
+    local_dir = ckpt_dir.removeprefix("file:")
+
+    def n_ckpt_rdd_dirs() -> int:
+        # getCheckpointDir already points inside the per-context uuid dir;
+        # each reliable checkpoint materializes one rdd-N child
+        return len([e for e in os.scandir(local_dir) if e.is_dir()])
+
     clique = [(a, b) for a in range(50, 56) for b in range(a + 1, 56)]
     edges = _df(spark, clique, "id_a bigint, id_b bigint")
     nodes = _df(spark, [(i,) for i in range(50, 57)], "id bigint")
 
     want = {i: 50 for i in range(50, 56)} | {56: 56}
+    before = n_ckpt_rdd_dirs()
     for mode in ("reliable", "auto", "local"):
         got = {
             r.id: r.cluster_id
@@ -576,9 +584,10 @@ def test_connected_components_reliable_checkpoint(spark):
             ).collect()
         }
         assert got == want, mode
-    # durable per-round files actually landed in the checkpoint dir
-    local_dir = ckpt_dir.removeprefix("file:")
-    assert any(os.scandir(local_dir))
+    # THESE runs produced durable per-round files (not just some earlier
+    # auto-mode test — the conftest checkpoint dir is session-shared):
+    # reliable + auto = 2 runs × (edges + ≥2 label rounds) ≥ 6 new rdd dirs
+    assert n_ckpt_rdd_dirs() >= before + 6
 
     with pytest.raises(ValueError, match="checkpoint_mode"):
         connected_components(nodes, edges, checkpoint_mode="bogus")
