@@ -1495,9 +1495,12 @@ LIMIT 50
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation pipeline — the operators working together the
-    way a training-data job uses them: language-ID + quality score per
-    document, near-dup cluster assignment over the plain corpus, and the
-    keep/drop decision (canonical member AND quality above threshold)."""
+    way a training-data job uses them: language-ID + quality score +
+    Gopher repetition gate per document, eval-set decontamination,
+    near-dup cluster assignment, and the keep/drop decision (canonical
+    member AND quality above threshold AND not repetitive AND not
+    contaminated)."""
+    from ocr_spark.decontam import decontaminate
     from ocr_spark.dedup import dedup_clusters
 
     docs = _docs_df(spark, sf_dir).select("doc_id", "text")
@@ -1507,14 +1510,30 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.quality_score(F.col("text"), "en").alias("quality"),
     )
     clusters = dedup_clusters(docs, verify_threshold=MINHASH_T)
+    rep = ts.repetition_stats(docs).select("doc_id", "repetitive")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    cont = decontaminate(docs, eval_set, min_overlap=2).select(
+        "doc_id", "contaminated"
+    )
     return (
         stats.join(clusters, stats.doc_id == clusters.id)
+        .join(rep, on="doc_id")
+        .join(cont, on="doc_id")
         .select(
             "doc_id",
             "pred_lang",
             "quality",
             "cluster_id",
-            (F.col("is_canonical") & (F.col("quality") >= 0.5)).alias("kept"),
+            "repetitive",
+            "contaminated",
+            (
+                F.col("is_canonical")
+                & (F.col("quality") >= 0.5)
+                & ~F.col("repetitive")
+                & ~F.col("contaminated")
+            ).alias("kept"),
         )
     )
 
@@ -1554,10 +1573,44 @@ m AS (
 q AS (
   SELECT doc_id, pred_lang,
     {_QUALITY_FORMULA} AS quality
-  FROM m)
+  FROM m),
+rg AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) - 2 <= 0 THEN 0.0 ELSE
+      floor((1.0 - len({_DUCK_SHINGLES.format(tk='tk')})::double /
+             (len(tk) - 2)::double) * 10000.0) / 10000.0 END AS dup3
+  FROM t),
+rtc AS (
+  SELECT doc_id,
+    floor((max(c)::double / sum(c)::double) * 10000.0) / 10000.0 AS ttf
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+rep AS (
+  SELECT rg.doc_id,
+    (coalesce(rtc.ttf, 0.0) > 0.20 OR rg.dup3 > 0.30) AS repetitive
+  FROM rg LEFT JOIN rtc ON rg.doc_id = rtc.doc_id),
+eg AS (
+  SELECT DISTINCT doc_id AS eval_id, unnest(
+    {_DUCK_SHINGLE_HASHES.format(tk='tk')}) AS g
+  FROM t WHERE doc_id % 17 = 0),
+dg AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLE_HASHES.format(tk='tk')}) AS g
+  FROM t),
+chit AS (
+  SELECT dg.doc_id, count(DISTINCT dg.g)::bigint AS nm
+  FROM dg JOIN eg ON dg.g = eg.g GROUP BY dg.doc_id),
+cont AS (
+  SELECT d.doc_id, (coalesce(chit.nm, 0) >= 2) AS contaminated
+  FROM documents d LEFT JOIN chit ON d.doc_id = chit.doc_id)
 SELECT q.doc_id, q.pred_lang, q.quality, c.cluster_id,
-       (c.is_canonical AND q.quality >= 0.5) AS kept
+       r.repetitive, co.contaminated,
+       (c.is_canonical AND q.quality >= 0.5
+        AND NOT r.repetitive AND NOT co.contaminated) AS kept
 FROM q JOIN clusters c ON q.doc_id = c.id
+JOIN rep r ON q.doc_id = r.doc_id
+JOIN cont co ON q.doc_id = co.doc_id
 """
 
 
