@@ -106,3 +106,56 @@ def test_boilerplate_output_is_collapsed_and_total(text):
     if "<" not in text:
         # plain text passes through modulo whitespace normalization
         assert out == re.sub(r"\s+", " ", text).strip()
+
+
+# ------------------------------------------------- round-3 operator props
+
+ivals_st = st.lists(
+    st.tuples(
+        st.floats(0, 1e6, allow_nan=False, width=32),
+        st.floats(0, 1e3, allow_nan=False, width=32),
+        st.integers(1, 5),
+    ).map(lambda t: (t[0], t[0] + t[1], t[2])),
+    max_size=12,
+)
+
+
+@given(ivals_st, st.floats(0.1, 1e4, allow_nan=False))
+@settings(deadline=None)
+def test_merge_session_intervals_properties(ivals, gap):
+    """Output intervals are disjoint with gaps > gap, sorted, conserve
+    the event count, span the input range, and the merge is idempotent."""
+    from ocr_spark.streaming import merge_session_intervals
+
+    merged = merge_session_intervals(ivals, gap)
+    assert sum(c for _, _, c in merged) == sum(c for _, _, c in ivals)
+    for (s1, e1, _), (s2, _, _) in zip(merged, merged[1:]):
+        assert s1 <= s2 and s2 - e1 > gap
+    for s, e, _ in merged:
+        assert s <= e
+    if ivals:
+        assert merged[0][0] == min(s for s, _, _ in ivals)
+        assert merged[-1][1] == max(e for _, e, _ in ivals)
+    assert merge_session_intervals(merged, gap) == merged
+
+
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=60),
+       st.integers(10, 200))
+def test_next_fit_bin_arithmetic(token_counts, target):
+    """The floor(tokens_before/target) bin rule (assembly.pack_sequences)
+    yields monotone bins whose closed totals are within one document of
+    the target — the documented packing contract, checked shard-locally
+    in plain Python."""
+    before = 0
+    bins: dict[int, int] = {}
+    for n in token_counts:
+        b = before // target
+        bins[b] = bins.get(b, 0) + n
+        before += n
+    max_doc = max(token_counts)
+    last = max(bins)
+    for b, tot in bins.items():
+        if b != last:
+            assert tot >= target - max_doc
+        assert tot <= target + max_doc
+    assert sorted(bins) == list(bins)  # insertion order == ascending
