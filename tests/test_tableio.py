@@ -55,3 +55,46 @@ def test_backend_selector():
                       ParquetManifestIO)
     with pytest.raises(ValueError):
         get_table_io("csvpile")
+
+
+def test_json_ingest_quarantines_corrupt_records(spark, tmp_path):
+    """S3 ingest robustness: PERMISSIVE JSON reads surface malformed rows
+    in the corrupt-record column instead of failing the whole job (the
+    quarantine pattern a 100 TB ingest needs — one bad producer must not
+    kill the run), while FAILFAST raises for strict pipelines.
+
+    Gotcha pinned here: since Spark 2.3 a query may not reference ONLY
+    the corrupt-record column of a raw JSON scan — cache the parsed
+    frame first."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "events.jsonl"
+    p.write_text("\n".join([
+        '{"user_id": 1, "value": 2.0}',
+        '{"user_id": 2, "value": }',
+        "not json at all",
+        '{"user_id": 3, "value": 4.5}',
+    ]))
+    schema = "user_id bigint, value double, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+        .cache()
+    )
+    try:
+        good = df.filter(F.col("_corrupt").isNull())
+        bad = df.filter(F.col("_corrupt").isNotNull())
+        assert {r.user_id for r in good.collect()} == {1, 3}
+        assert bad.count() == 2
+
+        with pytest.raises(Exception, match="[Mm]alformed"):
+            (
+                spark.read.schema("user_id bigint, value double")
+                .option("mode", "FAILFAST")
+                .json(str(p))
+                .collect()
+            )
+    finally:
+        df.unpersist()
