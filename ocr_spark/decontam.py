@@ -22,13 +22,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_spark.dedup import DEFAULT_SHINGLE, shingle_hashes
+from ocr_spark.dedup import shingle_hashes
 from ocr_spark.textstats import tokens
+
+# Decontamination-appropriate defaults, NOT the dedup shingle width: 8-13
+# word grams are the typical benchmark-decontamination window (GPT-3 used
+# 13-grams, PaLM 8-grams) and ≥2 distinct shared grams avoids flagging a
+# document for one incidentally common phrase.  Dedup keeps its own 3-gram
+# default (DEFAULT_SHINGLE) — similarity and leakage are different tasks.
+DEFAULT_DECONTAM_NGRAM = 8
+DEFAULT_MIN_OVERLAP = 2
 
 
 def eval_gram_table(
     eval_set: DataFrame,
-    n: int = DEFAULT_SHINGLE,
+    n: int = DEFAULT_DECONTAM_NGRAM,
     eval_id_col: str = "eval_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -48,8 +56,8 @@ def eval_gram_table(
 def decontaminate(
     docs: DataFrame,
     eval_set: DataFrame,
-    n: int = DEFAULT_SHINGLE,
-    min_overlap: int = 1,
+    n: int = DEFAULT_DECONTAM_NGRAM,
+    min_overlap: int = DEFAULT_MIN_OVERLAP,
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_id_col: str = "eval_id",
@@ -60,9 +68,11 @@ def decontaminate(
     ``n_matched_grams`` = distinct doc n-grams also present in ANY eval
     document; ``n_eval_hit`` = distinct eval documents sharing ≥ 1 gram;
     ``contaminated`` = n_matched_grams ≥ ``min_overlap``.  Filter the
-    corpus with ``~contaminated`` to decontaminate.  Raise ``n`` (8–13
-    words is typical for benchmark decontamination) and ``min_overlap``
-    to trade recall for precision on boilerplate-heavy corpora.
+    corpus with ``~contaminated`` to decontaminate.  The defaults are the
+    decontamination-typical 8-word grams with ≥2 shared grams; raise them
+    further to trade recall for precision on boilerplate-heavy corpora,
+    or lower ``n`` for short-document corpora where few docs reach 8
+    tokens at all.
     """
     eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
     dg = docs.select(

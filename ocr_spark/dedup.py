@@ -54,22 +54,15 @@ def shingles(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
     ).otherwise(F.array_distinct(F.transform(idx, gram)))
 
 
-def shingle_hashes(
-    toks: Column, n: int = DEFAULT_SHINGLE, hash_mode: str = "portable"
-) -> Column:
+def shingle_hashes(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
     """Distinct 60-bit hashes of the shingle set.  All pairwise work
     (Jaccard intersects, band joins) runs on these instead of the shingle
     strings: bigint compares are ~2x faster and shuffle ~5x fewer bytes.
     The md5-portable hash is also the oracle-replayable one; an xxhash64
-    variant measured indistinguishable (see module docstring), so there is
-    one hash.  ``hash_mode`` is accepted for source compatibility but only
-    'portable' remains."""
-    if hash_mode != "portable":
-        raise ValueError(
-            "hash_mode='fast' was removed: measured indistinguishable from "
-            "portable once MinHash permutations went affine (see dedup.py "
-            "module docstring)"
-        )
+    ``hash_mode='fast'`` variant measured indistinguishable (see module
+    docstring) and the parameter was removed everywhere in the family —
+    a clean break, so every former call site fails the same way
+    (TypeError) instead of one raising and another silently accepting."""
     sh = shingles(toks, n)
     return F.array_distinct(F.transform(sh, portable_hash))
 

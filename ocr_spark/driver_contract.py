@@ -1035,7 +1035,8 @@ tc AS (
 SELECT g.doc_id, g.n_tokens,
   coalesce(tc.top_token_frac, 0.0) AS top_token_frac,
   g.dup_2gram_frac, g.dup_3gram_frac,
-  (coalesce(tc.top_token_frac, 0.0) > 0.20 OR g.dup_3gram_frac > 0.30)
+  (g.n_tokens >= 50 AND
+   (coalesce(tc.top_token_frac, 0.0) > 0.20 OR g.dup_3gram_frac > 0.30))
     AS repetitive
 FROM grams g LEFT JOIN tc ON g.doc_id = tc.doc_id
 """
@@ -1072,14 +1073,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination: the fixture eval set is every 17th
     document (so eval members must flag themselves, and overlap-by-shared-
     sentences shows up in non-members), min_overlap=2 exercises the
-    threshold rather than any-hit."""
+    threshold rather than any-hit.  n=3 explicitly (the module default is
+    the decontamination-typical 8): the fixture corpus shares SENTENCES
+    between docs, and trigram width is what makes sub-sentence overlap
+    visible on ~50-token documents."""
     from ocr_spark.decontam import decontaminate
 
     docs = _docs_df(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    return decontaminate(docs, eval_set, min_overlap=2)
+    return decontaminate(docs, eval_set, n=3, min_overlap=2)
 
 
 SQL_DECONTAMINATE = f"""
@@ -1514,7 +1518,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    cont = decontaminate(docs, eval_set, min_overlap=2).select(
+    cont = decontaminate(docs, eval_set, n=3, min_overlap=2).select(
         "doc_id", "contaminated"
     )
     return (
@@ -1575,7 +1579,7 @@ q AS (
     {_QUALITY_FORMULA} AS quality
   FROM m),
 rg AS (
-  SELECT doc_id,
+  SELECT doc_id, len(tk)::bigint AS n_tokens,
     CASE WHEN len(tk) - 2 <= 0 THEN 0.0 ELSE
       floor((1.0 - len({_DUCK_SHINGLES.format(tk='tk')})::double /
              (len(tk) - 2)::double) * 10000.0) / 10000.0 END AS dup3
@@ -1589,7 +1593,8 @@ rtc AS (
   GROUP BY doc_id),
 rep AS (
   SELECT rg.doc_id,
-    (coalesce(rtc.ttf, 0.0) > 0.20 OR rg.dup3 > 0.30) AS repetitive
+    (rg.n_tokens >= 50 AND
+     (coalesce(rtc.ttf, 0.0) > 0.20 OR rg.dup3 > 0.30)) AS repetitive
   FROM rg LEFT JOIN rtc ON rg.doc_id = rtc.doc_id),
 eg AS (
   SELECT DISTINCT doc_id AS eval_id, unnest(

@@ -386,6 +386,15 @@ def _sentinel_row(spark, events: DataFrame, lead_s: float,
     """One row ``lead_s`` seconds past the max event time (one-scalar
     driver read — not a data-cardinality collect)."""
     max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    if max_ts is None:
+        # Zero rows (or all-NULL ts) would yield a NULL-ts sentinel: the
+        # watermark never advances, the drain emits nothing, and reading
+        # the empty output directory dies in parquet schema inference —
+        # fail here with the actual cause instead.
+        raise ValueError(
+            "cannot drain an empty events input (no non-null ts to anchor "
+            "the watermark sentinel); nothing would ever be emitted"
+        )
     return spark.createDataFrame(
         [(user_id, max_ts, event_type, 0.0)], EVENTS_STREAM_DDL
     ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {int(lead_s)} SECOND"))

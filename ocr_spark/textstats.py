@@ -181,7 +181,8 @@ def pii_counts(text: Column) -> list[Column]:
     ]
 
 
-def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                     min_tokens: int = 50):
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models" §A1.1 quality heuristics): highly repetitive
     documents (keyword stuffing, templated spam, decode loops) are
@@ -191,8 +192,13 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     most frequent token / total tokens), ``dup_2gram_frac`` /
     ``dup_3gram_frac`` (1 − distinct/total word n-grams), and
     ``repetitive`` (top_token_frac > 0.20 or dup_3gram_frac > 0.30 — the
-    Gopher-shaped cut, tune per corpus).  All fractions floor-truncated
-    to 4 digits (cross-engine, see trunc4).
+    Gopher-shaped cut, tune per corpus).  The repetition thresholds apply
+    only when ``n_tokens >= min_tokens`` (Gopher pairs its repetition
+    cuts with a ~50-word minimum): on tiny documents the fractions are
+    degenerate (an all-distinct 4-token doc has top_token_frac 0.25) and
+    would flag nearly everything short; pass ``min_tokens=0`` to disable
+    the floor.  All fractions floor-truncated to 4 digits (cross-engine,
+    see trunc4).
 
     Shape for scale: the n-gram fractions are pure array expressions (no
     shuffle); the token-frequency max uses the standard explode →
@@ -248,7 +254,9 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
     return out.withColumn(
         "repetitive",
-        (F.col("top_token_frac") > 0.20) | (F.col("dup_3gram_frac") > 0.30),
+        (F.col("n_tokens") >= min_tokens)
+        & ((F.col("top_token_frac") > 0.20)
+           | (F.col("dup_3gram_frac") > 0.30)),
     )
 
 

@@ -246,7 +246,9 @@ def test_pack_sequences_invariants(spark):
 
 def test_repetition_stats_known_values(spark):
     """Gopher repetition signals vs hand-computed truth: a stuffed doc is
-    flagged, a varied doc is not, degenerate docs get zeros."""
+    flagged, a varied doc is not, degenerate docs get zeros.
+    ``min_tokens=0`` disables the length floor so the raw thresholds are
+    what is under test here (the floor itself is tested below)."""
     docs = _df(spark, [
         (1, "spam spam spam spam eggs"),                    # top=4/5
         (2, "a b c d e f g h i j"),                          # all unique
@@ -254,7 +256,10 @@ def test_repetition_stats_known_values(spark):
         (4, ""),                                             # empty
         (5, "solo"),                                         # 1 token
     ], "doc_id bigint, text string")
-    got = {r.doc_id: r for r in ts.repetition_stats(docs).collect()}
+    got = {
+        r.doc_id: r
+        for r in ts.repetition_stats(docs, min_tokens=0).collect()
+    }
 
     assert got[1].n_tokens == 5
     assert got[1].top_token_frac == 0.8 and got[1].repetitive
@@ -274,15 +279,39 @@ def test_repetition_stats_known_values(spark):
     assert got[5].repetitive  # single-token doc: 100% one token
 
 
+def test_repetition_min_tokens_floor(spark):
+    """The Gopher-style minimum-length guard: repetition thresholds apply
+    only at ``n_tokens >= min_tokens`` — a short all-distinct doc (whose
+    top_token_frac is degenerately high) must NOT be flagged under the
+    default floor, while a long stuffed doc still is."""
+    long_spam = " ".join(["spam"] * 40 + ["eggs"] * 12)     # 52 toks, ttf≈.77
+    docs = _df(spark, [
+        (1, "one two three four"),    # 4 distinct tokens → ttf 0.25
+        (2, "spam spam spam eggs"),   # short AND stuffed
+        (3, long_spam),               # ≥ 50 tokens, stuffed
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in ts.repetition_stats(docs).collect()}
+    assert not got[1].repetitive      # degenerate short doc survives
+    assert not got[2].repetitive      # below the floor, even if stuffed
+    assert got[3].repetitive          # the floor does not mask real spam
+    # the floor only gates the verdict — the raw signals stay reported
+    assert got[2].top_token_frac == 0.75
+
+
 def test_shingle_hash_fast_mode_removed_loudly(spark):
-    """hash_mode='fast' was removed after A/B measurement showed it
-    indistinguishable from portable (dedup.py module docstring); a caller
-    still passing it must get a clear error, not silent portable."""
-    from ocr_spark.dedup import shingle_hashes
+    """hash_mode was removed from the WHOLE dedup family after A/B
+    measurement showed 'fast' indistinguishable from portable (dedup.py
+    module docstring) — the clean break: every former call site rejects
+    the kwarg uniformly (TypeError), including 'portable' itself, rather
+    than one API raising and another silently accepting."""
+    from ocr_spark.dedup import minhash_lsh_pairs, shingle_hashes
     from ocr_spark.textstats import tokens
 
-    with pytest.raises(ValueError, match="removed"):
-        shingle_hashes(tokens(F.lit("a b c d")), 3, "fast")
+    for mode in ("fast", "portable"):
+        with pytest.raises(TypeError):
+            shingle_hashes(tokens(F.lit("a b c d")), 3, hash_mode=mode)
+        with pytest.raises(TypeError):
+            minhash_lsh_pairs(None, hash_mode=mode)
 
 
 # ------------------------------------------------------------- similarity
@@ -759,7 +788,7 @@ def test_decontaminate_flags_eval_overlap(spark):
 
     got = {
         r.doc_id: (r.n_matched_grams, r.n_eval_hit, r.contaminated)
-        for r in decontaminate(docs, eval_set, min_overlap=2).collect()
+        for r in decontaminate(docs, eval_set, n=3, min_overlap=2).collect()
     }
     assert got[1][2] and got[1][0] >= 6 and got[1][1] == 2
     assert got[2] == (1, 1, False)   # below min_overlap
@@ -769,9 +798,20 @@ def test_decontaminate_flags_eval_overlap(spark):
     # min_overlap=1 flags the single-gram doc too
     got1 = {
         r.doc_id: r.contaminated
-        for r in decontaminate(docs, eval_set, min_overlap=1).collect()
+        for r in decontaminate(docs, eval_set, n=3, min_overlap=1).collect()
     }
     assert got1 == {1: True, 2: True, 3: False, 4: True}
+
+    # Module DEFAULTS are decontamination-appropriate (8-gram, overlap≥2):
+    # doc 1 shares only a 9-token sentence with eval A → two 8-grams →
+    # still flagged; the one-trigram overlap of doc 2 no longer registers.
+    got_def = {
+        r.doc_id: (r.n_matched_grams, r.contaminated)
+        for r in decontaminate(docs, eval_set).collect()
+    }
+    assert got_def[1] == (2, True)
+    assert got_def[2] == (0, False)
+    assert got_def[4][1] is False     # two trigrams ≠ any 8-gram
 
 
 def test_lsh_dims_mismatch_fails_fast(spark):

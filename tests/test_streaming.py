@@ -232,3 +232,22 @@ def test_sessionize_stream_stateful_gap_and_timeout(spark, tmp_path):
     assert drain() == [(7, B + 0.0, B + 10.0, 2),
                        (7, B + 5000.0, B + 5010.0, 2),
                        (8, B + 100.0, B + 100.0, 1)]
+
+
+def test_drain_empty_events_fails_with_clear_message(spark, tmp_path):
+    """An empty (or all-NULL-ts) events input cannot anchor the watermark
+    sentinel — the drain must raise a descriptive error up front instead
+    of emitting nothing and dying later in parquet schema inference on
+    the empty output directory."""
+    import pytest
+
+    from ocr_spark.streaming import drain_sessions, drain_windowed_counts
+
+    empty = spark.createDataFrame(
+        [],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="empty events"):
+        drain_windowed_counts(spark, empty, str(tmp_path / "w"))
+    with pytest.raises(ValueError, match="empty events"):
+        drain_sessions(spark, empty, str(tmp_path / "s"))
