@@ -501,24 +501,35 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     checkpoint_mode: str = "auto",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    ``(id) × (id_a, id_b)`` → ``(id, cluster_id)`` where ``cluster_id`` is
-    the minimum node id reachable in the undirected pair graph (singletons
-    label themselves).
+    """Connected components: ``(id) × (id_a, id_b)`` → ``(id, cluster_id)``
+    where ``cluster_id`` is the minimum node id reachable in the undirected
+    pair graph (singletons label themselves).
 
-    Driver-looped Lloyd-style iteration: each round joins current labels
-    across the (both-direction) edge list, takes the per-node min, and
-    stops when no label changed — the number of rounds is the cluster
-    DIAMETER, which for near-dup clusters (cliquish by construction: LSH
-    pairs within a verify threshold) is 2-4, not O(n).  Each round is one
-    broadcast-or-shuffle join + one groupBy min; ``localCheckpoint``
-    truncates the lineage every round so the plan does not grow with the
-    iteration count (the classic iterative-DataFrame trap).  For
-    adversarially chain-shaped graphs at extreme scale the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") halves diameter per round; this min-label
-    form is the right cost shape for dedup graphs.
+    ``algorithm='minlabel'`` (default) is driver-looped min-label
+    propagation: each round joins current labels across the
+    (both-direction) edge list, takes the per-node min, and stops when no
+    label changed — the number of rounds is the cluster DIAMETER, which
+    for near-dup clusters (cliquish by construction: LSH pairs within a
+    verify threshold) is 2-4, not O(n).  Each round is one
+    broadcast-or-shuffle join + one groupBy min, and the
+    convergence signal rides the SAME job via ``Observation``
+    (``sum(changed)`` collected as an observed metric during the round's
+    checkpoint materialization) — no separate compare-join probe job per
+    iteration.  Checkpointing truncates the lineage every round so the
+    plan does not grow with the iteration count (the classic
+    iterative-DataFrame trap).
+
+    ``algorithm='star'`` is the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round rewires every node toward its neighborhood
+    minimum, provably preserving components while (at least) halving
+    component diameter per round — O(log n) rounds on CHAIN-shaped
+    graphs where min-label needs diameter rounds.  Near-dup graphs are
+    cliquish, so min-label stays the default; reach for ``'star'`` when
+    the edge set may contain long chains (transitive similarity at a low
+    threshold) and a 25-round diameter budget could genuinely trip.
 
     ``checkpoint_mode`` picks how lineage is truncated between rounds:
 
@@ -537,10 +548,6 @@ def connected_components(
       ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
     - ``'auto'`` (default) — ``'reliable'`` when a checkpoint dir is
       configured, else ``'local'``.
-
-    The per-round convergence probe (``limit(1).count()``) launches one
-    Spark job per iteration — negligible for diameter-2-4 dedup graphs,
-    but budget for it if you point this at a high-diameter graph.
     """
     mode = checkpoint_mode
     if mode == "auto":
@@ -556,6 +563,13 @@ def connected_components(
             cached.unpersist()
             return out
         return df.localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        return _star_components(nodes, edges, max_iter, _ckpt)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    from pyspark.sql import Observation
 
     # Materialize the edge list ONCE — it is typically the output of an
     # expensive pair generator (LSH band join + verify), and every
@@ -575,6 +589,13 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # The label only changes when a strictly smaller neighbor min
+        # arrived, so `changed` is computable inline — and Observation
+        # collects its sum DURING the round's own materializing job
+        # (checkpoint goes through the Dataset action path, so observed
+        # metrics fire), replacing the former per-round compare-join
+        # probe job.  One Spark job per iteration.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
@@ -582,18 +603,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nmin") < F.col("cluster_id"), F.lit(False)
+                ).alias("changed"),
             )
+            .observe(obs, F.sum(F.col("changed").cast("bigint")).alias("n"))
+            .drop("changed")
         )
-        new_labels = _ckpt(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = _ckpt(new_labels)
+        if not obs.get.get("n"):  # None (zero rows) or 0 → fixed point
             converged = True
             break
     if not converged:
@@ -601,12 +619,96 @@ def connected_components(
         # worse than failing: the caller keeps duplicate documents and the
         # recursive-closure oracle diverges.  max_iter bounds the cluster
         # DIAMETER; hitting it means the graph is chain-shaped beyond the
-        # budget — raise it, or switch to large-star/small-star.
+        # budget — raise it, or switch to algorithm='star'.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds the iteration budget)"
+            "(component diameter exceeds the iteration budget); "
+            "algorithm='star' converges in O(log n) rounds on chain graphs"
         )
     return labels
+
+
+def _star_components(nodes, edges, max_iter, _ckpt) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Each round: **large-star** attaches every node's strictly-larger
+    neighbors to the minimum of its closed neighborhood; **small-star**
+    (over the re-canonicalized edges) attaches each node and its
+    not-larger neighbors to that minimum.  Both steps provably preserve
+    the component partition while contracting long paths, so component
+    diameter (and with it the round count) drops geometrically —
+    O(log n) rounds on a path graph versus O(n) for min-label.  At the
+    fixed point the edge set is a star forest: every non-minimum node
+    carries exactly the edge (component_min, node).
+
+    Cost shape per round: two groupBy-min aggregations + two equi-joins
+    + distincts, all keyed by node id — the paper's per-reducer
+    neighborhood iteration is expressed as join-against-the-min instead
+    of collect_list, so a celebrity node never materializes its
+    adjacency inside one task.  Convergence = the canonical edge set
+    reaches a fixed point, checked exactly (count + exceptAll over the
+    two checkpointed rounds — cheap scans, no recompute).
+    """
+    e = _ckpt(
+        edges.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star over directed neighborhoods (u → every neighbor v)
+        both = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+            .unionByName(
+                e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            )
+        m = (
+            both.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        # m ≤ u < v, so (m, v) is already canonical lo < hi
+        large = (
+            both.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # small-star: orient to the larger endpoint; every hi-node and
+        # its smaller neighbors attach to its minimum smaller neighbor
+        sm = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        att_neighbors = large.join(sm, on="hi").select(
+            F.col("m").alias("lo"), F.col("lo").alias("hi")
+        )
+        att_self = sm.select(F.col("m").alias("lo"), F.col("hi"))
+        e_next = _ckpt(
+            att_neighbors.unionByName(att_self)
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # exact fixed-point test on two checkpointed distinct sets:
+        # equal counts + one-sided containment ⟺ set equality
+        if e_next.count() == e.count() and e_next.exceptAll(e).isEmpty():
+            e = e_next
+            converged = True
+            break
+        e = e_next
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} "
+            "rounds (log2 of the largest component diameter exceeds the "
+            "budget — raise max_iter)"
+        )
+    centers = e.groupBy("hi").agg(F.min("lo").alias("cluster_id"))
+    return (
+        nodes.join(centers, nodes.id == centers.hi, "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_clusters(

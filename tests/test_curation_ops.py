@@ -557,9 +557,11 @@ def test_ivf_training_bit_matches_python_twin(spark):
     assert got == want
 
 
-def test_connected_components_topologies(spark):
-    """Min-label propagation vs known components: a 6-node chain (needs
-    diameter iterations), a triangle, an isolated pair, and singletons."""
+@pytest.mark.parametrize("algorithm", ["minlabel", "star"])
+def test_connected_components_topologies(spark, algorithm):
+    """Both algorithms vs known components: a 6-node chain (needs
+    diameter iterations under min-label), a triangle, an isolated pair,
+    and singletons — identical labels either way."""
     from ocr_spark.dedup import connected_components
 
     edges = _df(spark, [
@@ -575,9 +577,64 @@ def test_connected_components_topologies(spark):
                         [10, 11, 12, 13, 14, 15, 20, 21, 22, 30, 31, 40, 41]],
                 "id bigint")
     got = {r.id: r.cluster_id
-           for r in connected_components(nodes, edges).collect()}
+           for r in connected_components(
+               nodes, edges, algorithm=algorithm).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 41}
+
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(nodes, edges, algorithm="bogus")
+
+
+def test_star_components_chain_beats_minlabel_budget(spark):
+    """The large-star/small-star alternation halves component diameter
+    per round: a 2,000-node path graph converges well inside a 25-round
+    budget (O(log n)), where min-label — whose round count IS the
+    diameter — must raise on the same budget."""
+    from ocr_spark.dedup import connected_components
+
+    n = 2000
+    edges = _df(spark, [(i, i + 1) for i in range(n - 1)],
+                "id_a bigint, id_b bigint")
+    nodes = _df(spark, [(i,) for i in range(n)], "id bigint")
+
+    labels = connected_components(
+        nodes, edges, max_iter=25, algorithm="star"
+    ).collect()
+    assert {r.cluster_id for r in labels} == {0}
+    assert len(labels) == n
+
+    with pytest.raises(RuntimeError, match="star"):
+        # min-label needs ~n rounds on a path; the error names the fix
+        connected_components(nodes, edges, max_iter=5)
+
+
+def test_minlabel_single_job_per_round(spark):
+    """The convergence signal rides the round's own checkpoint job as an
+    observed metric (Observation), not a separate compare-join probe:
+    with AQE + broadcast off (one action = exactly one job), a triangle
+    converging in 2 rounds must run exactly 3 jobs — 1 edge checkpoint +
+    1 per round, nothing else."""
+    from ocr_spark.dedup import connected_components
+
+    sc = spark.sparkContext
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = _df(spark, [(1, 2), (1, 3), (2, 3)],
+                    "id_a bigint, id_b bigint")
+        nodes = _df(spark, [(1,), (2,), (3,)], "id bigint")
+        sc.setJobGroup("cc-jobcount", "count jobs per round")
+        connected_components(nodes, edges, checkpoint_mode="local")
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-jobcount")
+        assert len(jobs) == 3, sorted(jobs)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
 def test_connected_components_reliable_checkpoint(spark):
