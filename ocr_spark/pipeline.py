@@ -40,6 +40,7 @@ from ocr_spark.udfs import (
     make_extract_fields_udf,
     make_ocr_batch_fn,
     strip_boilerplate_udf,
+    FIELDS_SCHEMA,
     OCR_OUT_SCHEMA,
 )
 
@@ -204,6 +205,42 @@ def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def quarantine_oversized(
+    spans_df: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Split the input on the monster-document ceiling BEFORE any
+    per-span work: (docs_to_process, quarantined_output_rows).
+
+    The span count is a property of the input array (``size(spans)``) —
+    no shuffle, no explode, and crucially no OCR is ever spent on a
+    document that the splice could not hold anyway (the splice's
+    collect_list builds one in-memory array per doc; cfg
+    ``max_spans_per_doc`` bounds it).  Quarantined docs keep the standard
+    failure contract: they appear in the output with empty ``spans_out``,
+    null ``fields`` and one ``oversized_doc:<n>`` error row — the
+    document fails, the batch commits (the reference's per-request
+    fault-isolation semantic, main.py:1327-1336, at document scale)."""
+    if cfg.max_spans_per_doc is None:
+        return spans_df, None
+    n = F.coalesce(F.size("spans"), F.lit(0))
+    over = n > F.lit(cfg.max_spans_per_doc)
+    quarantined = spans_df.filter(over).select(
+        "doc_id",
+        F.array().cast(f"array<{SPAN_STRUCT}>").alias("spans_out"),
+        F.lit(None).cast(FIELDS_SCHEMA).alias("fields"),
+        F.array(
+            F.struct(
+                F.lit(None).cast("int").alias("offset"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.concat(
+                    F.lit("oversized_doc:"), n.cast("string")
+                ).alias("error"),
+            )
+        ).alias("errors"),
+    )
+    return spans_df.filter(~over), quarantined
+
+
 def run_extraction(
     spark: SparkSession,
     spans_df: DataFrame,
@@ -212,10 +249,14 @@ def run_extraction(
 ) -> DataFrame:
     """Full pipeline: returns (doc_id, spans_out, fields, errors)."""
     cfg = cfg or PipelineConfig()
+    spans_df, quarantined = quarantine_oversized(spans_df, cfg)
     exploded = explode_spans(spans_df)
     spans = (
         text_path(exploded, cfg)
         .unionByName(media_path(exploded, media_df, cfg))
         .unionByName(other_path(exploded))
     )
-    return splice_documents(spans, cfg)
+    out = splice_documents(spans, cfg)
+    if quarantined is not None:
+        out = out.unionByName(quarantined)
+    return out

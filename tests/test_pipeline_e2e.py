@@ -114,3 +114,56 @@ def test_raw_profile_disables_boilerplate_strip(spark):
     )
     row = run_extraction(spark, spans_df, media_df, cfg).collect()[0]
     assert row.spans_out[0].text == html
+
+
+def test_oversized_doc_quarantined_batch_commits(spark):
+    """Monster-document guard: a doc whose span count exceeds
+    max_spans_per_doc is quarantined (error row, empty spans_out, null
+    fields) with NO per-span work spent on it, while every other doc in
+    the batch processes normally — fail the document, commit the batch.
+    The 50k-span monster is built executor-side (sequence+transform), not
+    as a driver list."""
+    from pyspark.sql import functions as F
+
+    cfg = PipelineConfig(max_spans_per_doc=49_999)
+    spans_df, media_df = corpus_dataframes(spark, seed=SEED, n_docs=8)
+    monster = spark.range(1).select(
+        F.lit("monster").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(49_999)),  # 50,000 spans
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("span "), i.cast("string")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = {
+        r.doc_id: r
+        for r in run_extraction(
+            spark, spans_df.unionByName(monster), media_df, cfg
+        ).collect()
+    }
+
+    m = out["monster"]
+    assert list(m.spans_out) == []
+    assert m.fields is None
+    assert [e.error for e in m.errors] == ["oversized_doc:50000"]
+
+    # the rest of the batch is untouched by the guard: identical rows to
+    # a run without the monster
+    base = {
+        r.doc_id: r
+        for r in run_extraction(spark, spans_df, media_df, cfg).collect()
+    }
+    others = {k: v for k, v in out.items() if k != "monster"}
+    assert others == base
+
+    # ceiling-off profile keeps legacy behavior (the monster processes)
+    cfg_off = PipelineConfig(max_spans_per_doc=None)
+    n = (
+        run_extraction(spark, monster, media_df, cfg_off)
+        .select(F.size("spans_out").alias("n")).collect()[0].n
+    )
+    assert n == 50_000
