@@ -49,6 +49,7 @@ from ocr_spark.dedup import (
 )
 from ocr_spark.similarity import (
     brute_force_topk,
+    embed_hash,
     hyperplanes,
     ivf_centroids,
     ivf_search,
@@ -1220,6 +1221,112 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 """
 
 
+EMBED_DIMS = 16
+
+
+def _duck_embed_cte(corpus_sql: str, dims: int = EMBED_DIMS) -> str:
+    """CTE chain ending in ``emb(id, vec)`` — the arithmetic twin of
+    similarity.embed_hash over ``corpus_sql`` (must yield doc_id, text):
+    signed-feature-hash bigint sums per dimension, one final IEEE
+    divide-by-norm."""
+    sgn = "(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END)"
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN h % {dims} = {j} THEN {sgn} ELSE 0 END)::bigint"
+        f" AS s{j}"
+        for j in range(dims)
+    )
+    fill = ", ".join(
+        f"coalesce(s.s{j}, 0) AS s{j}" for j in range(dims)
+    )
+    ssq = " + ".join(f"s{j} * s{j}" for j in range(dims))
+    vec = ", ".join(
+        f"CASE WHEN nrm = 0 THEN 0.0 ELSE s{j} / nrm END"
+        for j in range(dims)
+    )
+    return f"""
+ecorpus AS ({corpus_sql}),
+etok AS (SELECT doc_id, unnest({_DUCK_TOKENS.format(t='text')}) AS tok
+         FROM ecorpus),
+ehash AS (SELECT doc_id, {_DUCK_HASH.format(x='tok')} AS h FROM etok),
+esums AS (SELECT doc_id, {sum_cols} FROM ehash GROUP BY doc_id),
+efill AS (SELECT c.doc_id, {fill}
+          FROM ecorpus c LEFT JOIN esums s ON c.doc_id = s.doc_id),
+enorm AS (SELECT *, sqrt(({ssq})::double) AS nrm FROM efill),
+emb AS (SELECT doc_id AS id, [{vec}]::double[] AS vec FROM enorm)"""
+
+
+def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → embedding (signed feature hashing, L2-normalized), in long
+    form (doc_id, dim, val) so the float values hash cross-engine via
+    trunc4 instead of comparing array string reprs."""
+    emb = embed_hash(_docs_df(spark, sf_dir), dims=EMBED_DIMS)
+    return emb.select(
+        F.col("id"), F.posexplode("vec").alias("dim", "v")
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("dim").cast("bigint").alias("dim"),
+        ts.trunc4(F.col("v")).alias("val"),
+    )
+
+
+def _sql_embed_hash(dims: int = EMBED_DIMS) -> str:
+    longform = " UNION ALL ".join(
+        f"SELECT doc_id, {j}::bigint AS dim, "
+        f"CASE WHEN nrm = 0 THEN 0.0 "
+        f"ELSE floor(s{j} / nrm * 10000.0) / 10000.0 END AS val FROM enorm"
+        for j in range(dims)
+    )
+    return (
+        "WITH "
+        + _duck_embed_cte("SELECT doc_id, text FROM documents", dims)
+        + f"\n{longform}"
+    )
+
+
+def q_text_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END text → vector → ANN chain with no external
+    embedding table: near-dup corpus → embed_hash (16-dim signed feature
+    hashing) → hyperplane-LSH bucketed candidate pairs → exact-cosine
+    verify.  A word-dropped near-duplicate keeps ~6/7 of its token votes,
+    so bucket-colliding true pairs land above the 0.85 verify threshold
+    (measured min 0.8817 on the fixture) while random 16-dim hash
+    projections (pairwise cosine std ≈ 1/4) mostly fall below it; 4
+    planes keep the fixture's 2,000 docs in ~16 buckets — at scale raise
+    dims and planes together, and use the multi-table lever
+    (ann_lsh_pairs_multi) for the sign-flip recall the single table
+    leaves behind."""
+    corpus = _near_corpus(spark, sf_dir)
+    emb = embed_hash(corpus, dims=EMBED_DIMS)
+    return lsh_ann_pairs(
+        emb, id_col="id", vec_col="vec",
+        planes=hyperplanes(4, dims=EMBED_DIMS), min_cosine=0.85,
+    )
+
+
+def _sql_text_ann_pairs(dims: int = EMBED_DIMS) -> str:
+    bits = []
+    for plane in hyperplanes(4, dims=dims):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
+        dot = _DUCK_DOT.format(a="vec", b=lit)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    pair_dot = _DUCK_DOT.format(a="l.v", b="r.v")
+    norm_l = _DUCK_DOT.format(a="l.v", b="l.v")
+    norm_r = _DUCK_DOT.format(a="r.v", b="r.v")
+    return f"""
+WITH {_duck_embed_cte(_DUCK_NEAR_CORPUS, dims)},
+b AS (SELECT id, vec AS v, {bucket} AS bucket FROM emb),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+    CASE WHEN sqrt({norm_l}) = 0 OR sqrt({norm_r}) = 0 THEN 0.0
+         ELSE floor({pair_dot} / (sqrt({norm_l}) * sqrt({norm_r}))
+               * 1000000) / 1000000
+    END AS cosine_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.85
+"""
+
+
 # -------------------------------------------------------- textstats family
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,6 +2409,8 @@ def registry() -> dict[str, Entry]:
         "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
         "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf()),
         "ann_ivf_trained": (q_ann_ivf_trained, _sql_ann_ivf_trained()),
+        "embed_hash": (q_embed_hash, _sql_embed_hash()),
+        "text_ann_pairs": (q_text_ann_pairs, _sql_text_ann_pairs()),
         "langid": (q_langid, _sql_langid()),
         "quality_score": (q_quality, _sql_quality()),
         "fingerprint": (q_fingerprint, _sql_fingerprint()),

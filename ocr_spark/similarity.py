@@ -48,6 +48,81 @@ def hyperplanes(
     ]
 
 
+def embed_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 16,
+) -> DataFrame:
+    """Deterministic text → embedding: signed feature hashing of the
+    token stream into ``dims`` dimensions, L2-normalized — the operator
+    that closes the text → vector → ANN chain without an external
+    embedding model (Weinberger et al. 2009, "Feature Hashing for Large
+    Scale Multitask Learning").
+
+    Each token occurrence votes ±1 into dimension ``h % dims`` with sign
+    from an independent hash bit (``(h >> 20) & 1``), h = the md5-portable
+    60-bit hash — so the vector is a pure function of the text,
+    reproducible across engines (the DuckDB oracle replays the identical
+    arithmetic; dimension sums are exact bigints, the one float step is
+    the final IEEE divide-by-norm).  Token-less documents get the zero
+    vector (NOT null — they flow through LSH as a real, joinable bucket).
+
+    Shape for scale: explode(tokens) → ONE codegen hash aggregate with
+    ``dims`` conditional sums (the same proven shape as
+    ``simhash_from_features`` — a per-row higher-order fold would be
+    interpreted per token × dim), shuffling only (id, dims×bigint) rows
+    with map-side partial aggregation; the left join back restores
+    token-less docs.  16 dims is the oracle-checked test width; raise
+    ``dims`` (and the downstream plane count) together at scale.
+    """
+    from ocr_spark.textstats import portable_hash, tokens
+
+    h = F.col("h")
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("id", portable_hash(F.col("tok")).alias("h"))
+        .select(
+            "id",
+            F.pmod(h, F.lit(dims)).cast("int").alias("d"),
+            F.when(
+                F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("sgn"),
+        )
+    )
+    sums = ex.groupBy("id").agg(*[
+        F.sum(F.when(F.col("d") == j, F.col("sgn")).otherwise(F.lit(0)))
+        .cast("bigint").alias(f"s{j}")
+        for j in range(dims)
+    ])
+    filled = (
+        df.select(F.col(id_col).alias("id"))
+        .join(sums, on="id", how="left")
+        .select(
+            "id",
+            *[
+                F.coalesce(F.col(f"s{j}"), F.lit(0)).alias(f"s{j}")
+                for j in range(dims)
+            ],
+        )
+    )
+    ssq = None
+    for j in range(dims):
+        sq = F.col(f"s{j}") * F.col(f"s{j}")  # exact bigint
+        ssq = sq if ssq is None else ssq + sq
+    norm = F.sqrt(ssq.cast("double"))
+    vec = F.array(*[
+        F.when(norm == 0.0, F.lit(0.0)).otherwise(
+            F.col(f"s{j}").cast("double") / norm
+        )
+        for j in range(dims)
+    ])
+    return filled.select("id", vec.alias("vec"))
+
+
 def dot_fold(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product in double (cross-engine stable)."""
     prods = F.zip_with(

@@ -952,3 +952,42 @@ def test_drop_frequent_lines_semantics(spark):
     assert got[50] == (["x one off line"], 1, 1)
     assert got[51] == ([], 0, 0)
     assert len(got) == 13
+
+
+def test_embed_hash_matches_python_twin(spark):
+    """embed_hash is a pure function of the text: a plain-Python twin of
+    the signed-feature-hash arithmetic reproduces every vector EXACTLY
+    (dimension sums are exact integers; the one float step is the final
+    IEEE divide), vectors are unit-norm or exactly zero, and token-less /
+    NULL docs get the zero vector rather than dropping out."""
+    import math
+
+    from ocr_spark.similarity import embed_hash
+    from ocr_spark.textstats import py_portable_hash
+
+    def twin(text: str, dims: int = 16) -> list[float]:
+        s = [0] * dims
+        for t in (text or "").split():
+            h = py_portable_hash(t)
+            s[h % dims] += 1 if (h >> 20) & 1 else -1
+        n = math.sqrt(sum(x * x for x in s))
+        return [0.0] * dims if n == 0 else [x / n for x in s]
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),                       # token-less → zero vector
+        (3, "spam spam spam spam"),    # one token, multiplicity 4
+        (4, None),                     # NULL text → zero vector
+        (5, "palabras en español con acentos única"),
+    ]
+    docs = _df(spark, rows, "doc_id bigint, text string")
+    got = {r.id: list(r.vec) for r in embed_hash(docs).collect()}
+
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    for doc_id, text in rows:
+        assert got[doc_id] == twin(text), doc_id
+    for v in got.values():
+        sq = sum(x * x for x in v)
+        assert sq == 0.0 or abs(sq - 1.0) < 1e-12
+    assert got[2] == [0.0] * 16 and got[4] == [0.0] * 16
+    assert sum(1 for x in got[3] if x != 0.0) == 1  # single hashed dim
