@@ -337,6 +337,81 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def minhash_sketches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_MINHASH_K,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """``(id, sh, sig)`` per-document MinHash sketch — the PERSISTABLE
+    unit of incremental dedup: ``sh`` (hashed shingle set) replays exact
+    Jaccard verification, ``sig`` (k min-hashes) replays banding, and
+    both are pure per-document functions, so sketches written by one run
+    band/verify identically against sketches computed by a later run.
+    Store through the :mod:`ocr_spark.tableio` seam keyed by corpus
+    snapshot; see :func:`incremental_minhash_pairs`."""
+    toks = tokens(F.col(text_col))
+    sh = shingle_hashes(toks, shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    return base.withColumn("sig", minhash_signature(F.col("sh"), k))
+
+
+def band_table(
+    sketches: DataFrame, k: int = DEFAULT_MINHASH_K, band_size: int = 2
+) -> DataFrame:
+    """``(id, band_idx, band_hash)`` LSH band rows of a sketch table —
+    the only columns that ever move through the candidate join."""
+    n_bands = k // band_size
+    sig = F.col("sig")
+
+    def band_hash(b: int) -> Column:
+        members = [sig[b * band_size + j] for j in range(band_size)]
+        return F.md5(
+            F.concat_ws(":", *[m.cast("string") for m in members])
+        )
+
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            band_hash(b).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    return sketches.select("id", F.explode(bands).alias("band")).select(
+        "id", "band.band_idx", "band.band_hash"
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame, sketches: DataFrame, verify_threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of distinct candidate id pairs against
+    the ``(id, sh)`` sketch source, with the result-identical size-ratio
+    prefilter (J ≤ min/max set sizes)."""
+    sh_a = sketches.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = sketches.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    ratio_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        >= F.lit(verify_threshold)
+        * F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
+    )
+    return (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .filter(ratio_ok)
+        .select(
+            "id_a", "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= verify_threshold)
+    )
+
+
 def _minhash_lsh_pairs_with_base(
     df: DataFrame,
     text_col: str = "text",
@@ -366,27 +441,7 @@ def _minhash_lsh_pairs_with_base(
     sig_df = base.withColumn(
         "sig", minhash_signature(F.col("sh"), k)
     )
-
-    n_bands = k // band_size
-    sig = F.col("sig")
-
-    def band_hash(b: int) -> Column:
-        members = [sig[b * band_size + j] for j in range(band_size)]
-        return F.md5(
-            F.concat_ws(":", *[m.cast("string") for m in members])
-        )
-
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            band_hash(b).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ])
-    banded = sig_df.select("id", F.explode(bands).alias("band")).select(
-        "id", "band.band_idx", "band.band_hash"
-    )
-
+    banded = band_table(sig_df, k, band_size)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band_idx", "band_hash"])
@@ -394,24 +449,72 @@ def _minhash_lsh_pairs_with_base(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    ratio_ok = (
-        F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
-        >= F.lit(verify_threshold)
-        * F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
-    )
-    pairs = (
-        cand.join(sh_a, on="id_a")
-        .join(sh_b, on="id_b")
-        .filter(ratio_ok)  # J ≤ min/max sizes — result-identical prefilter
-        .select(
-            "id_a", "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= verify_threshold)
-    )
+    pairs = _verify_pairs(cand, base, verify_threshold)
     return pairs, (base if persist_base else None)
+
+
+def incremental_minhash_pairs(
+    new_sketches: DataFrame,
+    committed_sketches: DataFrame | None = None,
+    k: int = DEFAULT_MINHASH_K,
+    band_size: int = 2,
+    verify_threshold: float = 0.3,
+    persist_new: bool = True,
+) -> DataFrame:
+    """Cross-run incremental dedup: near-dup pairs TOUCHING the new
+    batch — (new × new) ∪ (new × committed) — without ever re-pairing
+    the committed corpus against itself.
+
+    This is the shape that makes 100 TB dedup affordable: each run
+    sketches only its delta (:func:`minhash_sketches`), joins the
+    delta's band rows against its own and against the committed band
+    store, verifies exact Jaccard on the candidate pairs, and then
+    appends the delta's sketches to the store (tableio snapshot-append)
+    for the next run.  The committed side contributes one band-table
+    scan + the band equi-join probe — never a committed × committed
+    pair.  Run-to-run equivalence: because sketches are pure
+    per-document functions, the union of every run's output equals the
+    full-corpus :func:`minhash_lsh_pairs` over all documents (each pair
+    is emitted by exactly the run that introduced its LATER batch
+    member) — proven by the ``dedup_incremental`` contract oracle and
+    the two-batch == one-batch resume test.
+
+    Preconditions: new ids are disjoint from committed ids (commit what
+    you ran — the tableio append IS the commit point; a re-submitted id
+    would double its sketch rows and duplicate its pairs), and both
+    sides were sketched with the same ``k``/``band_size``/``shingle_n``.
+    ``committed_sketches=None`` is the first batch (new × new only).
+    ``persist_new`` caches the delta sketch (it feeds its band table,
+    the verify join, and typically the subsequent store append) — same
+    session-lifetime caveat as ``persist_base`` elsewhere."""
+    if persist_new:
+        new_sketches = new_sketches.persist()
+    nb = band_table(new_sketches, k, band_size)
+    nn = (
+        nb.alias("l")
+        .join(nb.alias("r"), on=["band_idx", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    if committed_sketches is None:
+        cand = nn.distinct()
+        sh_source = new_sketches.select("id", "sh")
+    else:
+        cb = band_table(committed_sketches, k, band_size)
+        nc = (
+            nb.alias("l")
+            .join(cb.alias("r"), on=["band_idx", "band_hash"])
+            .filter(F.col("l.id") != F.col("r.id"))
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+            )
+        )
+        cand = nn.unionByName(nc).distinct()
+        sh_source = new_sketches.select("id", "sh").unionByName(
+            committed_sketches.select("id", "sh")
+        )
+    return _verify_pairs(cand, sh_source, verify_threshold)
 
 
 def drop_frequent_lines(

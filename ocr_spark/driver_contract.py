@@ -844,6 +844,38 @@ SELECT id_a, id_b, jaccard_sim FROM mh_pairs
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup through the REAL store path: the
+    committed cohort's sketches are written via tableio snapshot-append
+    and read back from parquet (exactly what a prior run would have
+    left), then the delta (every 5th doc — 1,000,000 ≡ 0 mod 5, so the
+    delta holds both base docs and their mutated near-dups) is paired
+    against itself and against the store.  Oracle = the full-corpus
+    minhash pair set restricted to pairs touching the delta — the
+    run-union equivalence that makes per-delta dedup sound."""
+    from ocr_spark.dedup import incremental_minhash_pairs, minhash_sketches
+    from ocr_spark.tableio import ParquetManifestIO
+
+    corpus = _near_corpus(spark, sf_dir)
+    delta = corpus.filter(F.col("doc_id") % 5 == 0)
+    committed_docs = corpus.filter(F.col("doc_id") % 5 != 0)
+
+    io = ParquetManifestIO(_stream_workdir("increm"))
+    io.append(minhash_sketches(committed_docs), "sketches")
+    committed = io.read(spark, "sketches")
+    return incremental_minhash_pairs(
+        minhash_sketches(delta), committed, verify_threshold=MINHASH_T
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT id_a, id_b, jaccard_sim FROM mh_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
 def _sql_dedup_clusters() -> str:
     """Connected components over the minhash pair edges as a recursive
     CTE: min reachable node id per node = the cluster label the Spark
@@ -2400,6 +2432,7 @@ def registry() -> dict[str, Entry]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+        "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),

@@ -991,3 +991,64 @@ def test_embed_hash_matches_python_twin(spark):
         assert sq == 0.0 or abs(sq - 1.0) < 1e-12
     assert got[2] == [0.0] * 16 and got[4] == [0.0] * 16
     assert sum(1 for x in got[3] if x != 0.0) == 1  # single hashed dim
+
+
+def test_incremental_dedup_two_batches_equal_one_run(spark, tmp_path):
+    """The incremental contract: sketch each batch once, pair it against
+    itself and the committed sketch store, commit — and the union of the
+    runs' outputs equals the full-corpus pair set.  Batch-2 output must
+    contain cross-batch pairs but NEVER a committed-only pair (the whole
+    point: committed x committed work is not redone)."""
+    from ocr_spark.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_sketches,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    # 8 templates x 3 near-identical variants; variant v of template t is
+    # doc_id t*100+v.  Batch A = variants 0,1; batch B = variant 2 — so
+    # every template yields in-A pairs AND cross-batch pairs.
+    def variant(t: int, v: int) -> str:
+        toks = [f"t{t}w{i}" for i in range(30)]
+        del toks[v * 7]          # drop one distinct word per variant
+        return " ".join(toks)
+
+    rows = [(t * 100 + v, variant(t, v))
+            for t in range(8) for v in range(3)]
+    schema = "doc_id bigint, text string"
+    full = _df(spark, rows, schema)
+    a = full.filter(F.col("doc_id") % 100 < 2)
+    b = full.filter(F.col("doc_id") % 100 == 2)
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+
+    # run 1 (first batch: no committed store yet)
+    sk_a = minhash_sketches(a)
+    run1 = {(r.id_a, r.id_b, r.jaccard_sim)
+            for r in incremental_minhash_pairs(
+                sk_a, None, verify_threshold=0.5).collect()}
+    io.append(sk_a, "sketches")
+
+    # run 2 (delta vs the store read back from parquet)
+    committed = io.read(spark, "sketches")
+    run2 = {(r.id_a, r.id_b, r.jaccard_sim)
+            for r in incremental_minhash_pairs(
+                minhash_sketches(b), committed,
+                verify_threshold=0.5).collect()}
+    io.append(minhash_sketches(b), "sketches")
+
+    want = {(r.id_a, r.id_b, r.jaccard_sim)
+            for r in minhash_lsh_pairs(
+                full, verify_threshold=0.5).collect()}
+
+    assert run1 | run2 == want
+    assert run1 and run2
+    # run 2 never re-emits a committed-only pair...
+    b_ids = {t * 100 + 2 for t in range(8)}
+    assert all(p[0] in b_ids or p[1] in b_ids for p in run2)
+    # ...and does find cross-batch near-dups
+    assert any((p[0] in b_ids) != (p[1] in b_ids) for p in run2)
+    # the store accumulated both snapshots for run 3
+    assert io.snapshots("sketches") == [0, 1]
+    assert io.read(spark, "sketches").count() == 24
