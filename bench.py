@@ -7,6 +7,13 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 Per-query timing forces *full* materialization via the noop data source
 (`count()` alone would let Catalyst prune expensive columns like the
 extraction-field struct and understate the work).
+
+Noise bracketing: this VM shows ±50-100% wall-clock noise at the
+sub-2-second scale (BENCH/BASELINE.md, round 3), so the suite runs
+$BENCH_ROUNDS (default 2) full round-robin passes and reports the
+per-query MIN, with a fixed-cost CPU control query interleaved once per
+round — the control's own spread separates host noise from genuine plan
+regressions when comparing rounds.
 """
 
 from __future__ import annotations
@@ -42,6 +49,19 @@ HEADLINE = [
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return -1
+
+
+def _control_run(spark) -> float:
+    """Fixed-cost pure-CPU burn (no I/O, no shuffle): 3e8 xxhash64 folds.
+    Identical work every invocation, so its wall-clock spread across
+    rounds measures the HOST's noise floor, not the engine's."""
+    t0 = time.monotonic()
+    # pmod bounds the summand so the 3e8-row sum cannot overflow bigint
+    # under ANSI mode (raw xxhash64 values are ±2^63)
+    spark.range(300_000_000).selectExpr(
+        "sum(pmod(xxhash64(id), 1000000)) AS s"
+    ).collect()
+    return time.monotonic() - t0
 
 
 def _timed_extract(spark, sf_dir: str) -> float:
@@ -96,19 +116,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     reg = registry()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name == "extract_pipeline":
-            timings[name] = round(_timed_extract(spark, sf_dir), 3)
-            continue
-        fn, _sql = reg[name]
-        t0 = time.monotonic()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
-        # The minhash operators persist their shingle base (persist_base
-        # default); drop any cached data so one query's cache never
-        # occupies storage memory while later queries are timed.
-        spark.catalog.clearCache()
+    rounds = max(1, int(os.environ.get("BENCH_ROUNDS", "2")))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    controls: list[float] = []
+    _control_run(spark)  # discarded: round-0 JIT/page-cache warmup is not
+    #                      host noise (see BENCH/BASELINE.md round-3 A/B)
+    for r in range(rounds):
+        controls.append(round(_control_run(spark), 3))
+        for name in HEADLINE:
+            if name == "extract_pipeline":
+                if r == 0:  # already warm-started min-of-2 internally
+                    samples[name].append(
+                        round(_timed_extract(spark, sf_dir), 3)
+                    )
+                continue
+            fn, _sql = reg[name]
+            t0 = time.monotonic()
+            _materialize(fn(spark, sf_dir))
+            samples[name].append(round(time.monotonic() - t0, 3))
+            # The minhash operators persist their shingle base
+            # (persist_base default); drop any cached data so one query's
+            # cache never occupies storage memory while later queries are
+            # timed.
+            spark.catalog.clearCache()
+    timings = {n: min(ts) for n, ts in samples.items()}
+    # worst per-query (max-min)/min across rounds: the measured noise
+    # this run; compare against the control spread before blaming a plan
+    spread = max(
+        (max(ts) - min(ts)) / min(ts)
+        for ts in samples.values() if len(ts) > 1 and min(ts) > 0
+    ) if rounds > 1 else 0.0
 
     # docs/sec for the flagship: corpus size == documents rowcount at SF
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -123,6 +160,9 @@ def main() -> None:
         "docs_per_sec": round(n_docs / extract_s, 2) if extract_s else None,
         "n_docs": n_docs,
         "cpus": int(cpus),
+        "rounds": rounds,
+        "control_sec": controls,
+        "max_query_spread_frac": round(spread, 3),
     }
     print(json.dumps(result))
     if args.addendum:
