@@ -31,10 +31,12 @@ from ocr_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "extract_pipeline",      # the flagship: docs/sec end-to-end
     "dedup_minhash_lsh",
+    "dedup_incremental",     # delta-vs-committed-store pairing (round 4)
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_pairs",
+    "text_ann_pairs",        # text → embed_hash → LSH chain (round 4)
     "quality_score",
     "langid",
     "fingerprint",

@@ -672,7 +672,14 @@ def _spread(df: DataFrame) -> DataFrame:
     on one core while 31 idle: measured 11.7 s vs 0.8 s for the shingle
     stage at sf0.1.  Repartition ONLY when the scan is narrower than the
     session's parallelism; at production scale the scan has thousands of
-    row groups, the condition is false, and no shuffle is added."""
+    row groups, the condition is false, and no shuffle is added.
+
+    The probe (``df.rdd.getNumPartitions()``) converts the plan to an RDD
+    on the driver — no Spark job, but real planning work per query build.
+    That is fine at bench/contract frequency (this helper's only
+    callers); a production job should not probe at all — set
+    ``spark.sql.files.maxPartitionBytes`` (and keep inputs multi-row-
+    group) so the scan itself is parallel, and skip ``_spread``."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -207,7 +207,7 @@ def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def quarantine_oversized(
     spans_df: DataFrame, cfg: PipelineConfig
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame | None]:
     """Split the input on the monster-document ceiling BEFORE any
     per-span work: (docs_to_process, quarantined_output_rows).
 
