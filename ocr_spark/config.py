@@ -57,8 +57,9 @@ class PipelineConfig:
     # Monster-document ceiling: the splice builds ONE in-memory array per
     # document (collect_list), so a pathological 100k-span document is an
     # executor-OOM hazard no partition sizing can absorb.  Documents whose
-    # input span count exceeds this are QUARANTINED up front (error row,
-    # empty spans_out — same contract as timeout/decode_error) before any
-    # explode or OCR work is spent on them; the rest of the batch commits
-    # normally.  None disables the guard.
+    # input span count exceeds this are QUARANTINED inside the explode
+    # (pipeline.explode_spans marks them, single scan — error row, empty
+    # spans_out, same contract as timeout/decode_error) before any
+    # per-span or OCR work is spent on them; the rest of the batch
+    # commits normally.  None disables the guard.
     max_spans_per_doc: int | None = 50_000

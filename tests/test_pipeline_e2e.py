@@ -118,11 +118,13 @@ def test_raw_profile_disables_boilerplate_strip(spark):
 
 def test_oversized_doc_quarantined_batch_commits(spark):
     """Monster-document guard: a doc whose span count exceeds
-    max_spans_per_doc is quarantined (error row, empty spans_out, null
-    fields) with NO per-span work spent on it, while every other doc in
-    the batch processes normally — fail the document, commit the batch.
-    The 50k-span monster is built executor-side (sequence+transform), not
-    as a driver list."""
+    max_spans_per_doc is quarantined (error row, empty spans_out,
+    fields-of-no-lines — identical to a genuinely empty document) with NO
+    per-span work spent on it, while every other doc in the batch
+    processes normally — fail the document, commit the batch.  The
+    50k-span monster is built executor-side (sequence+transform), not as
+    a driver list.  The guard is mark-in-the-explode (single input scan);
+    a filter-and-union shape would re-scan the whole table."""
     from pyspark.sql import functions as F
 
     cfg = PipelineConfig(max_spans_per_doc=49_999)
@@ -148,8 +150,10 @@ def test_oversized_doc_quarantined_batch_commits(spark):
 
     m = out["monster"]
     assert list(m.spans_out) == []
-    assert m.fields is None
     assert [e.error for e in m.errors] == ["oversized_doc:50000"]
+    # fields = the extraction cascade over zero lines (same as an empty
+    # document): classification default 'D', every field empty
+    assert m.fields.tipo_credencial == "D" and m.fields.curp == ""
 
     # the rest of the batch is untouched by the guard: identical rows to
     # a run without the monster
