@@ -1155,7 +1155,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ["embeddings"])
     emb = _emb_df(spark)
     queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dims=64)
 
 
 SQL_ANN_TOPK = f"""

@@ -14,10 +14,13 @@ Two strategies over ``array<float>`` embeddings:
   of bucket tables; a single table is enough for the oracle-checked shape.
 
 Float discipline: embeddings are cast to double and reduced with an ordered
-left fold (``zip_with`` + ``aggregate``) so the bit pattern matches the
-DuckDB oracle's identical fold — IEEE doubles are deterministic given the
-same operation order, which makes `round(x, 6)` safely comparable across
-engines.
+left fold so the bit pattern matches the DuckDB oracle's identical fold —
+IEEE doubles are deterministic given the same operation order, which makes
+`round(x, 6)` safely comparable across engines.  When the vector width is
+statically known the fold is UNROLLED into the same left-associative sum as
+a flat codegen expression (interpreted HOF lambdas are the measured
+bottleneck at candidate-pair cardinality); norms are precomputed per vector
+and carried through joins, never recomputed per pair.
 
 The hyperplane components are derived from the portable md5 hash on the
 DRIVER (plain Python) and inlined as literals in both plans, so Spark and
@@ -123,8 +126,25 @@ def embed_hash(
     return filled.select("id", vec.alias("vec"))
 
 
-def dot_fold(a: Column, b: Column) -> Column:
-    """Ordered left-fold dot product in double (cross-engine stable)."""
+def dot_fold(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Ordered left-fold dot product in double (cross-engine stable).
+
+    When ``dims`` is statically known, the fold is UNROLLED into a flat
+    left-associative sum ``(((0.0 + a0*b0) + a1*b1) + ...)`` — bit-identical
+    arithmetic to the ``zip_with`` + ``aggregate`` fold (same operation
+    order, same doubles), but whole-stage-codegen'd instead of interpreted
+    per element.  HOF lambdas run on the interpreted expression path, which
+    is the measured bottleneck when the dot sits on a candidate-PAIR
+    cardinality (millions of rows): the unrolled twin is pure codegen.
+    Callers that cannot know the width (ragged or dynamic arrays) keep the
+    HOF fold."""
+    if dims is not None:
+        acc: Column = F.lit(0.0).cast("double")
+        for j in range(dims):
+            acc = acc + (
+                F.get(a, j).cast("double") * F.get(b, j).cast("double")
+            )
+        return acc
     prods = F.zip_with(
         a, b, lambda x, y: x.cast("double") * y.cast("double")
     )
@@ -133,16 +153,35 @@ def dot_fold(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+def cosine(
+    a: Column,
+    b: Column,
+    decimals: int = 6,
+    dims: int | None = None,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+) -> Column:
     """Cosine similarity floor-truncated to ``decimals`` digits (cross-engine
-    deterministic — see textstats.trunc4); zero vectors → 0.0."""
-    dot = dot_fold(a, b)
-    na = F.sqrt(dot_fold(a, a))
-    nb = F.sqrt(dot_fold(b, b))
+    deterministic — see textstats.trunc4); zero vectors → 0.0.
+
+    ``norm_a`` / ``norm_b`` accept PRECOMPUTED vector norms: norms are a
+    per-vector property, so computing them per candidate PAIR does the same
+    fold millions of extra times — precompute once on the vector table and
+    carry the scalar through the join (arithmetic is unchanged: same
+    ``sqrt(dot(v, v))`` value, computed earlier)."""
+    dot = dot_fold(a, b, dims=dims)
+    na = F.sqrt(dot_fold(a, a, dims=dims)) if norm_a is None else norm_a
+    nb = F.sqrt(dot_fold(b, b, dims=dims)) if norm_b is None else norm_b
     scale = F.lit(float(10 ** decimals))
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         F.floor(dot / (na * nb) * scale) / scale
     )
+
+
+def vec_norm(vec: Column, dims: int | None = None) -> Column:
+    """L2 norm ``sqrt(dot(v, v))`` — the per-vector precompute for
+    :func:`cosine`'s ``norm_a`` / ``norm_b``."""
+    return F.sqrt(dot_fold(vec, vec, dims=dims))
 
 
 def brute_force_topk(
@@ -151,18 +190,25 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine_sim), k rows per query, self
     matches excluded.  ``broadcast(queries)`` keeps the corpus scan narrow;
-    the only shuffle is the per-query top-k window.
+    the only shuffle is the per-query top-k window.  Norms are precomputed
+    per vector (not per scored pair), and a statically-known ``dims``
+    unrolls the dot into codegen (see :func:`dot_fold`).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col), dims=dims).alias("cnrm"),
     )
     scored = c.join(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -170,7 +216,10 @@ def brute_force_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("cv"), F.col("qv")).alias("cosine_sim"),
+        cosine(
+            F.col("cv"), F.col("qv"), dims=dims,
+            norm_a=F.col("cnrm"), norm_b=F.col("qnrm"),
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -320,7 +369,10 @@ def ivf_search(
 
     Output: (query_id, neighbor_id, cosine_sim), ≤ k rows per query."""
     centroids = centroids or ivf_centroids()
-    indexed = ivf_assign(corpus, id_col, vec_col, centroids)
+    dims = len(centroids[0])  # cell assignment already requires this width
+    indexed = ivf_assign(corpus, id_col, vec_col, centroids).withColumn(
+        "nrm", vec_norm(F.col("v"), dims=dims)
+    )
 
     scored_cells = [
         F.struct(
@@ -338,9 +390,10 @@ def ivf_search(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
         F.transform(probe_cells, lambda s: s["cell"]).alias("cells"),
     ).select(
-        "query_id", "qv", F.explode("cells").alias("cell")
+        "query_id", "qv", "qnrm", F.explode("cells").alias("cell")
     )
 
     cand = indexed.join(F.broadcast(q), on="cell").filter(
@@ -349,7 +402,10 @@ def ivf_search(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        cosine(F.col("v"), F.col("qv")).alias("cosine_sim"),
+        cosine(
+            F.col("v"), F.col("qv"), dims=dims,
+            norm_a=F.col("nrm"), norm_b=F.col("qnrm"),
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -411,6 +467,7 @@ def lsh_ann_pairs(
     n_tables: int = 1,
     dims: int = DEFAULT_DIMS,
     n_planes: int = DEFAULT_PLANES,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Bucketed ANN candidate pairs verified by exact cosine.
 
@@ -434,14 +491,30 @@ def lsh_ann_pairs(
     path; table 0 always reuses the default seed so the multi-table
     candidate set is a superset of the single-table one at equal
     ``n_planes``.
+
+    ``persist_base`` persists the prepared (id, vec, norm[, bucket])
+    table before the self-join — the same signature-table discipline as
+    ``minhash_lsh_pairs``: a self-join evaluates its input subtree once
+    PER SIDE, so when ``corpus`` is itself a computed pipeline (e.g.
+    ``embed_hash`` — scan + tokenize + explode + wide aggregate + fill
+    join) that whole chain would otherwise run twice (measured 15.2 s vs
+    4.7 s end-to-end on the text → ANN chain at sf0.1).  The persisted
+    table is rows × (id + dims doubles + norm) — small relative to the
+    corpus it came from.  Spark's CacheManager holds the entry until
+    unpersist; long-lived sessions issuing many one-shot calls should
+    pass ``persist_base=False`` or clear the cache.
     """
     base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
         planes = planes or hyperplanes(n_planes, dims=dims)
+        dims = len(planes[0])  # guard enforces vec width == plane width
         base = corpus.select(
             *base_cols,
+            vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
             _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
         )
+        if persist_base:
+            base = base.persist()
         left = base.alias("l")
         right = base.alias("r")
         cand = (
@@ -452,6 +525,8 @@ def lsh_ann_pairs(
                 F.col("r.id").alias("id_b"),
                 F.col("l.v").alias("va"),
                 F.col("r.v").alias("vb"),
+                F.col("l.nrm").alias("na"),
+                F.col("r.nrm").alias("nb"),
             )
         )
     else:
@@ -466,7 +541,7 @@ def lsh_ann_pairs(
             F.struct(
                 F.lit(t).alias("tbl"),
                 _guarded_bucket(
-                    F.col(vec_col),
+                    F.col("v"),
                     hyperplanes(
                         n_planes, dims=dims,
                         seed="lsh" if t == 0 else f"lsh/t{t}",
@@ -475,8 +550,14 @@ def lsh_ann_pairs(
             )
             for t in range(n_tables)
         ])
-        banded = corpus.select(
-            F.col(id_col).alias("id"), F.explode(tables).alias("b")
+        prep = corpus.select(
+            *base_cols,
+            vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
+        )
+        if persist_base:
+            prep = prep.persist()
+        banded = prep.select(
+            "id", F.explode(tables).alias("b")
         ).select("id", "b.tbl", "b.bucket")
         # id pairs only through the multi-table join + distinct (the
         # vectors join back afterwards, keyed by the deduped pair set —
@@ -490,16 +571,18 @@ def lsh_ann_pairs(
             )
             .distinct()
         )
-        vecs = corpus.select(*base_cols)
+        vecs = prep
         cand = (
             pair_ids.join(
                 vecs.select(F.col("id").alias("id_a"),
-                            F.col("v").alias("va")),
+                            F.col("v").alias("va"),
+                            F.col("nrm").alias("na")),
                 on="id_a",
             )
             .join(
                 vecs.select(F.col("id").alias("id_b"),
-                            F.col("v").alias("vb")),
+                            F.col("v").alias("vb"),
+                            F.col("nrm").alias("nb")),
                 on="id_b",
             )
         )
@@ -507,7 +590,10 @@ def lsh_ann_pairs(
         cand.select(
             "id_a",
             "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+            cosine(
+                F.col("va"), F.col("vb"), dims=dims,
+                norm_a=F.col("na"), norm_b=F.col("nb"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )
