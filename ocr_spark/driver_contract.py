@@ -1260,7 +1260,13 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.25
 """
 
 
-EMBED_DIMS = 16
+# 32, not 16: at 16 dims hash-collision noise inflates unrelated-pair
+# cosine enough that 14.6% of LSH candidates cleared the 0.85 verify at
+# sf0.1 (889k pairs, ~3.2k true); 32 dims collapses that to 124k pairs at
+# the SAME true-pair count and wall time.  64 dims adds nothing more
+# (136k pairs) and the 64-term unrolled expressions fall off whole-stage
+# codegen (84 s vs 12 s) — measured 2026-08-17.
+EMBED_DIMS = 32
 
 
 def _duck_embed_cte(corpus_sql: str, dims: int = EMBED_DIMS) -> str:
@@ -1324,16 +1330,16 @@ def _sql_embed_hash(dims: int = EMBED_DIMS) -> str:
 
 def q_text_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END text → vector → ANN chain with no external
-    embedding table: near-dup corpus → embed_hash (16-dim signed feature
-    hashing) → hyperplane-LSH bucketed candidate pairs → exact-cosine
-    verify.  A word-dropped near-duplicate keeps ~6/7 of its token votes,
-    so bucket-colliding true pairs land above the 0.85 verify threshold
-    (measured min 0.8817 on the fixture) while random 16-dim hash
-    projections (pairwise cosine std ≈ 1/4) mostly fall below it; 4
-    planes keep the fixture's 2,000 docs in ~16 buckets — at scale raise
-    dims and planes together, and use the multi-table lever
-    (ann_lsh_pairs_multi) for the sign-flip recall the single table
-    leaves behind."""
+    embedding table: near-dup corpus → embed_hash (EMBED_DIMS-wide signed
+    feature hashing) → hyperplane-LSH bucketed candidate pairs →
+    exact-cosine verify.  A word-dropped near-duplicate keeps ~6/7 of its
+    token votes, so bucket-colliding true pairs land above the 0.85
+    verify threshold; the embedding width controls how much
+    hash-collision noise unrelated pairs carry (see the EMBED_DIMS note —
+    32 dims passes ~2% of candidates vs ~15% at 16).  4 planes keep the
+    fixture's 2,000 docs in ~16 buckets — at scale raise planes with
+    corpus size, and use the multi-table lever (ann_lsh_pairs_multi) for
+    the sign-flip recall the single table leaves behind."""
     corpus = _near_corpus(spark, sf_dir)
     emb = embed_hash(corpus, dims=EMBED_DIMS)
     return lsh_ann_pairs(

@@ -76,8 +76,11 @@ def embed_hash(
     ``simhash_from_features`` — a per-row higher-order fold would be
     interpreted per token × dim), shuffling only (id, dims×bigint) rows
     with map-side partial aggregation; the left join back restores
-    token-less docs.  16 dims is the oracle-checked test width; raise
-    ``dims`` (and the downstream plane count) together at scale.
+    token-less docs.  32 dims is the oracle-checked contract width —
+    below it, hash-collision noise inflates unrelated-pair cosine
+    (measured at driver_contract.EMBED_DIMS); above ~32 the unrolled
+    per-pair dot outgrows whole-stage codegen limits, so raise planes
+    (bucket selectivity), not dims, as the corpus grows.
     """
     from ocr_spark.textstats import portable_hash, tokens
 
