@@ -129,18 +129,31 @@ def embed_hash(
     return filled.select("id", vec.alias("vec"))
 
 
+# Beyond this width the unrolled sum stops paying: the generated method
+# outgrows whole-stage-codegen limits and the whole STAGE falls back to
+# interpreted expression eval (measured: the 64-wide unroll took the
+# text→ANN chain 12 s → 84 s and regressed ann_cosine_topk 0.55 s →
+# 2.9 s, while ≤32-wide unrolls are 2-3× wins).  Wider dots keep the HOF
+# fold — identical arithmetic either way, so the cutoff is purely a
+# physical-plan choice.
+UNROLL_MAX_DIMS = 32
+
+
 def dot_fold(a: Column, b: Column, dims: int | None = None) -> Column:
     """Ordered left-fold dot product in double (cross-engine stable).
 
-    When ``dims`` is statically known, the fold is UNROLLED into a flat
-    left-associative sum ``(((0.0 + a0*b0) + a1*b1) + ...)`` — bit-identical
-    arithmetic to the ``zip_with`` + ``aggregate`` fold (same operation
-    order, same doubles), but whole-stage-codegen'd instead of interpreted
-    per element.  HOF lambdas run on the interpreted expression path, which
+    When ``dims`` is statically known and ≤ :data:`UNROLL_MAX_DIMS`, the
+    fold is UNROLLED into a flat left-associative sum
+    ``(((0.0 + a0*b0) + a1*b1) + ...)`` — bit-identical arithmetic to the
+    ``zip_with`` + ``aggregate`` fold (same operation order, same
+    doubles), but whole-stage-codegen'd instead of interpreted per
+    element.  HOF lambdas run on the interpreted expression path, which
     is the measured bottleneck when the dot sits on a candidate-PAIR
     cardinality (millions of rows): the unrolled twin is pure codegen.
     Callers that cannot know the width (ragged or dynamic arrays) keep the
-    HOF fold."""
+    HOF fold, as do widths past the codegen cutoff."""
+    if dims is not None and dims > UNROLL_MAX_DIMS:
+        dims = None
     if dims is not None:
         acc: Column = F.lit(0.0).cast("double")
         for j in range(dims):
@@ -187,6 +200,38 @@ def vec_norm(vec: Column, dims: int | None = None) -> Column:
     return F.sqrt(dot_fold(vec, vec, dims=dims))
 
 
+def _flat_cols(vec: Column, dims: int, prefix: str) -> list[Column]:
+    """Explode a fixed-width vector into ``dims`` scalar double columns.
+
+    Candidate-pair verification over JOINED array columns pays a
+    null-and-bounds-checked array ``get`` per element per pair — measured
+    5× slower than reading flat double columns at 6.2M pairs × 32 dims
+    (6.8 s vs 1.35 s).  Splitting the vector into scalar columns BEFORE
+    the join makes the per-pair dot a flat multiply-add chain over direct
+    column reads; the row width through the shuffle is the same bytes
+    (UnsafeRow stores array elements inline anyway)."""
+    return [
+        F.get(vec, j).cast("double").alias(f"{prefix}{j}")
+        for j in range(dims)
+    ]
+
+
+def _flat_cosine(
+    pa: str, pb: str, dims: int, norm_a: Column, norm_b: Column,
+    decimals: int = 6,
+) -> Column:
+    """:func:`cosine` over flat columns ``{pa}j`` / ``{pb}j`` — identical
+    left-associative arithmetic (``0.0 + a0*b0 + a1*b1 + ...``), so the
+    cross-engine truncated values match the fold bit-for-bit."""
+    acc: Column = F.lit(0.0).cast("double")
+    for j in range(dims):
+        acc = acc + F.col(f"{pa}{j}") * F.col(f"{pb}{j}")
+    scale = F.lit(float(10 ** decimals))
+    return F.when((norm_a == 0.0) | (norm_b == 0.0), F.lit(0.0)).otherwise(
+        F.floor(acc / (norm_a * norm_b) * scale) / scale
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,26 +248,45 @@ def brute_force_topk(
     per vector (not per scored pair), and a statically-known ``dims``
     unrolls the dot into codegen (see :func:`dot_fold`).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        vec_norm(F.col(vec_col), dims=dims).alias("cnrm"),
-    )
+    if dims is not None:
+        # flat scalar columns through the broadcast cross join
+        # (see _flat_cols); the dot reads direct double columns
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            *_flat_cols(F.col(vec_col), dims, "q"),
+            vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            *_flat_cols(F.col(vec_col), dims, "x"),
+            vec_norm(F.col(vec_col), dims=dims).alias("cnrm"),
+        )
+        sim = _flat_cosine(
+            "x", "q", dims,
+            norm_a=F.col("cnrm"), norm_b=F.col("qnrm"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("qnrm"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("cnrm"),
+        )
+        sim = cosine(
+            F.col("cv"), F.col("qv"),
+            norm_a=F.col("cnrm"), norm_b=F.col("qnrm"),
+        )
     scored = c.join(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        cosine(
-            F.col("cv"), F.col("qv"), dims=dims,
-            norm_a=F.col("cnrm"), norm_b=F.col("qnrm"),
-        ).alias("cosine_sim"),
+        sim.alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -373,8 +437,12 @@ def ivf_search(
     Output: (query_id, neighbor_id, cosine_sim), ≤ k rows per query."""
     centroids = centroids or ivf_centroids()
     dims = len(centroids[0])  # cell assignment already requires this width
-    indexed = ivf_assign(corpus, id_col, vec_col, centroids).withColumn(
-        "nrm", vec_norm(F.col("v"), dims=dims)
+    # flat scalar columns through the probe join (see _flat_cols)
+    indexed = ivf_assign(corpus, id_col, vec_col, centroids).select(
+        "id",
+        *_flat_cols(F.col("v"), dims, "x"),
+        vec_norm(F.col("v"), dims=dims).alias("nrm"),
+        "cell",
     )
 
     scored_cells = [
@@ -392,11 +460,14 @@ def ivf_search(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        *_flat_cols(F.col(vec_col), dims, "q"),
         vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
         F.transform(probe_cells, lambda s: s["cell"]).alias("cells"),
     ).select(
-        "query_id", "qv", "qnrm", F.explode("cells").alias("cell")
+        "query_id",
+        *[f"q{j}" for j in range(dims)],
+        "qnrm",
+        F.explode("cells").alias("cell"),
     )
 
     cand = indexed.join(F.broadcast(q), on="cell").filter(
@@ -405,8 +476,8 @@ def ivf_search(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        cosine(
-            F.col("v"), F.col("qv"), dims=dims,
+        _flat_cosine(
+            "x", "q", dims,
             norm_a=F.col("nrm"), norm_b=F.col("qnrm"),
         ).alias("cosine_sim"),
     )
@@ -507,12 +578,15 @@ def lsh_ann_pairs(
     unpersist; long-lived sessions issuing many one-shot calls should
     pass ``persist_base=False`` or clear the cache.
     """
-    base_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if n_tables <= 1:
         planes = planes or hyperplanes(n_planes, dims=dims)
         dims = len(planes[0])  # guard enforces vec width == plane width
+        # flat scalar columns, not the array, go through the self-join:
+        # the verify reads direct double columns instead of per-element
+        # array gets (see _flat_cols — measured 5× on the verify stage)
         base = corpus.select(
-            *base_cols,
+            F.col(id_col).alias("id"),
+            *_flat_cols(F.col(vec_col), dims, "x"),
             vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
             _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
         )
@@ -520,17 +594,18 @@ def lsh_ann_pairs(
             base = base.persist()
         left = base.alias("l")
         right = base.alias("r")
-        cand = (
+        return (
             left.join(right, on="bucket")
             .filter(F.col("l.id") < F.col("r.id"))
             .select(
                 F.col("l.id").alias("id_a"),
                 F.col("r.id").alias("id_b"),
-                F.col("l.v").alias("va"),
-                F.col("r.v").alias("vb"),
-                F.col("l.nrm").alias("na"),
-                F.col("r.nrm").alias("nb"),
+                _flat_cosine(
+                    "l.x", "r.x", dims,
+                    norm_a=F.col("l.nrm"), norm_b=F.col("r.nrm"),
+                ).alias("cosine_sim"),
             )
+            .filter(F.col("cosine_sim") >= min_cosine)
         )
     else:
         if planes is not None:
@@ -553,8 +628,13 @@ def lsh_ann_pairs(
             )
             for t in range(n_tables)
         ])
+        # prep keeps the array (the bucket tables hash it) PLUS the flat
+        # scalar columns the verify reads (see _flat_cols); it persists
+        # once and feeds the band explode and both pair join-backs
         prep = corpus.select(
-            *base_cols,
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            *_flat_cols(F.col(vec_col), dims, "x"),
             vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
         )
         if persist_base:
@@ -574,29 +654,32 @@ def lsh_ann_pairs(
             )
             .distinct()
         )
-        vecs = prep
         cand = (
             pair_ids.join(
-                vecs.select(F.col("id").alias("id_a"),
-                            F.col("v").alias("va"),
-                            F.col("nrm").alias("na")),
+                prep.select(
+                    F.col("id").alias("id_a"),
+                    *[F.col(f"x{j}").alias(f"a{j}") for j in range(dims)],
+                    F.col("nrm").alias("na"),
+                ),
                 on="id_a",
             )
             .join(
-                vecs.select(F.col("id").alias("id_b"),
-                            F.col("v").alias("vb"),
-                            F.col("nrm").alias("nb")),
+                prep.select(
+                    F.col("id").alias("id_b"),
+                    *[F.col(f"x{j}").alias(f"b{j}") for j in range(dims)],
+                    F.col("nrm").alias("nb"),
+                ),
                 on="id_b",
             )
         )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            cosine(
-                F.col("va"), F.col("vb"), dims=dims,
-                norm_a=F.col("na"), norm_b=F.col("nb"),
-            ).alias("cosine_sim"),
+        return (
+            cand.select(
+                "id_a",
+                "id_b",
+                _flat_cosine(
+                    "a", "b", dims,
+                    norm_a=F.col("na"), norm_b=F.col("nb"),
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= min_cosine)
         )
-        .filter(F.col("cosine_sim") >= min_cosine)
-    )
