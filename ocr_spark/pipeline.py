@@ -46,12 +46,6 @@ from ocr_spark.udfs import (
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 
 
-# Synthetic span kind marking a document whose span count exceeded the
-# ceiling; the count rides in the kind string ("__oversized__:<n>") so the
-# quarantine error can report it without a second pass over the input.
-OVERSIZED_KIND = "__oversized__:"
-
-
 def explode_spans(
     spans_df: DataFrame, max_spans_per_doc: int | None = None
 ) -> DataFrame:
@@ -64,36 +58,44 @@ def explode_spans(
 
     The monster-document ceiling is applied HERE, inside the one scan:
     a document whose span count exceeds ``max_spans_per_doc`` has its
-    spans array replaced by a single ``OVERSIZED_KIND`` marker span
-    before the explode, so its 100k spans are never materialized as rows
-    and no OCR/text work is spent on it (the splice's collect_list
-    builds one in-memory array per doc — the ceiling is what bounds it).
-    Mark-and-route, not filter-and-union: a separate quarantine subtree
-    would re-scan the whole input table for the (rare) oversized docs —
-    a full second pass at production scale (measured +16% on the
-    flagship bench when this was two filters over the scan)."""
+    spans array replaced by a single all-null marker span before the
+    explode, so its 100k spans are never materialized as rows and no
+    OCR/text work is spent on it (the splice's collect_list builds one
+    in-memory array per doc — the ceiling is what bounds it).  The
+    marker is carried as a SEPARATE ``oversized`` column (the tripped
+    span count), not a reserved kind string: a kind value is input
+    domain, so any in-band sentinel could be spoofed by a genuine span
+    that happens to carry it, silently shrinking that document's
+    spans_out and misattributing its error.  Mark-and-route, not
+    filter-and-union: a separate quarantine subtree would re-scan the
+    whole input table for the (rare) oversized docs — a full second
+    pass at production scale (measured +16% on the flagship bench when
+    this was two filters over the scan)."""
     spans = F.col("spans")
+    over_n = F.lit(None).cast("int")
     if max_spans_per_doc is not None:
         n = F.coalesce(F.size("spans"), F.lit(0))
         marker = F.array(
             F.struct(
-                F.concat(
-                    F.lit(OVERSIZED_KIND), n.cast("string")
-                ).alias("kind"),
+                F.lit(None).cast("string").alias("kind"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(None).cast("int").alias("offset"),
             )
         )
         spans = F.when(n <= max_spans_per_doc, spans).otherwise(marker)
+        over_n = F.when(n > max_spans_per_doc, n.cast("int"))
     return spans_df.select(
-        "doc_id", F.explode_outer(spans).alias("s")
+        "doc_id",
+        F.explode_outer(spans).alias("s"),
+        over_n.alias("oversized"),
     ).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
+        "oversized",
     )
 
 
@@ -160,11 +162,13 @@ def other_path(exploded: DataFrame) -> DataFrame:
 
     Null kind = the explode_outer placeholder of a legitimately empty
     document → passes through so the doc appears in the output (the splice
-    drops the placeholder from spans_out).  The ``OVERSIZED_KIND`` marker
-    (injected by explode_spans when a doc tripped the span ceiling) →
-    ``oversized_doc:<n>`` error row.  Any other kind is malformed input →
-    quarantined with an error row, never silently dropped (same contract
-    as missing_media/decode_error/timeout)."""
+    drops the placeholder from spans_out).  A null-kind row whose
+    ``oversized`` flag is set (injected by explode_spans when the doc
+    tripped the span ceiling) → ``oversized_doc:<n>`` error row; the flag
+    is an out-of-band column, so no input kind string can fake it.  Any
+    other kind is malformed input → quarantined with an error row, never
+    silently dropped (same contract as missing_media/decode_error/
+    timeout)."""
     other = exploded.filter(
         F.col("kind").isNull() | ~F.col("kind").isin("text", "media")
     )
@@ -176,10 +180,9 @@ def other_path(exploded: DataFrame) -> DataFrame:
         "media_ref",
         "offset",
         F.when(
-            kind.startswith(OVERSIZED_KIND),
+            F.col("oversized").isNotNull(),
             F.concat(
-                F.lit("oversized_doc:"),
-                kind.substr(F.lit(len(OVERSIZED_KIND) + 1), F.length(kind)),
+                F.lit("oversized_doc:"), F.col("oversized").cast("string")
             ),
         ).when(
             kind.isNotNull(),
@@ -201,11 +204,11 @@ def splice_documents(all_spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.array_sort(
             F.collect_list(
                 # collect_list skips nulls: the empty-document placeholder
-                # (null kind, from explode_outer) contributes no span, and
-                # the oversized-doc marker contributes only its error row.
+                # and the oversized-doc marker (both null-kind, from
+                # explode_spans) contribute no span — the marker's error
+                # rides the errors column instead.
                 F.when(
-                    F.col("kind").isNotNull()
-                    & ~F.col("kind").startswith(OVERSIZED_KIND),
+                    F.col("kind").isNotNull(),
                     F.struct("offset", "kind", "text", "media_ref"),
                 )
             )

@@ -171,3 +171,26 @@ def test_oversized_doc_quarantined_batch_commits(spark):
         .select(F.size("spans_out").alias("n")).collect()[0].n
     )
     assert n == 50_000
+
+def test_oversized_marker_not_spoofable_by_input_kind(spark):
+    """The oversized flag is an out-of-band column, not a reserved kind
+    string: a genuine input span whose kind happens to look like a
+    sentinel ("__oversized__:junk") must flow the normal unknown-kind
+    quarantine path — present in spans_out, error attributing the real
+    cause — never be mistaken for a tripped span ceiling."""
+    cfg = PipelineConfig(max_spans_per_doc=100)
+    spans_df = spark.createDataFrame(
+        [("d1", [("__oversized__:junk", "body", None, 0),
+                 ("text", "ok", None, 1)])],
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>",
+    )
+    media_df = spark.createDataFrame(
+        [], schema="media_ref string, content binary, fmt string, width int, "
+                   "height int, truth_lines array<string>",
+    )
+    row = run_extraction(spark, spans_df, media_df, cfg).collect()[0]
+    assert [s.kind for s in row.spans_out] == ["__oversized__:junk", "text"]
+    assert [e.error for e in row.errors] == [
+        "unknown_kind:__oversized__:junk"
+    ]
