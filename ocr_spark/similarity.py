@@ -55,7 +55,7 @@ def embed_hash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    dims: int = 16,
+    dims: int = 32,
 ) -> DataFrame:
     """Deterministic text → embedding: signed feature hashing of the
     token stream into ``dims`` dimensions, L2-normalized — the operator
@@ -76,9 +76,10 @@ def embed_hash(
     ``simhash_from_features`` — a per-row higher-order fold would be
     interpreted per token × dim), shuffling only (id, dims×bigint) rows
     with map-side partial aggregation; the left join back restores
-    token-less docs.  32 dims is the oracle-checked contract width —
-    below it, hash-collision noise inflates unrelated-pair cosine
-    (measured at driver_contract.EMBED_DIMS); above ~32 the unrolled
+    token-less docs.  32 dims is the oracle-checked contract width AND
+    the default — below it, hash-collision noise inflates unrelated-pair
+    cosine (measured at driver_contract.EMBED_DIMS: at 16 dims, 14.6% of
+    LSH candidates cleared a 0.85 verify); above ~32 the unrolled
     per-pair dot outgrows whole-stage codegen limits, so raise planes
     (bucket selectivity), not dims, as the corpus grows.
     """
@@ -200,8 +201,41 @@ def vec_norm(vec: Column, dims: int | None = None) -> Column:
     return F.sqrt(dot_fold(vec, vec, dims=dims))
 
 
+def _guarded_norm(vec: Column, dims: int) -> Column:
+    """:func:`vec_norm` that FAILS FAST when a non-null vector's width
+    differs from the statically-declared ``dims``.
+
+    A declared width drives prefix reads (``F.get(vec, 0..dims-1)``) and
+    centroid/plane literals of that width, so a mismatch silently computes
+    a plausible-but-wrong prefix cosine (declared < actual) or
+    null-propagates rows out of the result (declared > actual) — the same
+    degenerate-silence class as :func:`_guarded_bucket`.  The guard lives
+    inside the norm expression, which every scoring path computes and
+    carries through its join, so Catalyst cannot prune it away.  A NULL
+    vector stays a NULL norm (missing vector, not a width bug)."""
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("double"))
+        .when(F.size(vec) == dims, vec_norm(vec, dims=dims))
+        .otherwise(
+            F.raise_error(F.concat(
+                F.lit("ann: embedding width "),
+                F.size(vec).cast("string"),
+                F.lit(f" != declared dims {dims}"),
+            ))
+        )
+    )
+
+
+def _flat_names(dims: int, prefix: str) -> list[str]:
+    """Column names produced by :func:`_flat_cols` for this width."""
+    if dims > UNROLL_MAX_DIMS:
+        return [f"{prefix}arr"]
+    return [f"{prefix}{j}" for j in range(dims)]
+
+
 def _flat_cols(vec: Column, dims: int, prefix: str) -> list[Column]:
-    """Explode a fixed-width vector into ``dims`` scalar double columns.
+    """Vector payload for one side of a pair join: ``dims`` scalar double
+    columns below the codegen cutoff, the array itself above it.
 
     Candidate-pair verification over JOINED array columns pays a
     null-and-bounds-checked array ``get`` per element per pair — measured
@@ -209,7 +243,13 @@ def _flat_cols(vec: Column, dims: int, prefix: str) -> list[Column]:
     (6.8 s vs 1.35 s).  Splitting the vector into scalar columns BEFORE
     the join makes the per-pair dot a flat multiply-add chain over direct
     column reads; the row width through the shuffle is the same bytes
-    (UnsafeRow stores array elements inline anyway)."""
+    (UnsafeRow stores array elements inline anyway).  Past
+    :data:`UNROLL_MAX_DIMS` the flat select itself outgrows whole-stage
+    codegen (measured: ann_cosine_topk 0.55 s → 1.9 s at 64 flat
+    columns), so the array rides the join and the dot keeps the HOF
+    fold — identical arithmetic, different physical plan."""
+    if dims > UNROLL_MAX_DIMS:
+        return [vec.alias(f"{prefix}arr")]
     return [
         F.get(vec, j).cast("double").alias(f"{prefix}{j}")
         for j in range(dims)
@@ -220,9 +260,15 @@ def _flat_cosine(
     pa: str, pb: str, dims: int, norm_a: Column, norm_b: Column,
     decimals: int = 6,
 ) -> Column:
-    """:func:`cosine` over flat columns ``{pa}j`` / ``{pb}j`` — identical
-    left-associative arithmetic (``0.0 + a0*b0 + a1*b1 + ...``), so the
+    """:func:`cosine` over the :func:`_flat_cols` payload — identical
+    left-associative arithmetic (``0.0 + a0*b0 + a1*b1 + ...``) whether
+    unrolled over flat columns or folded over the carried array, so the
     cross-engine truncated values match the fold bit-for-bit."""
+    if dims > UNROLL_MAX_DIMS:
+        return cosine(
+            F.col(f"{pa}arr"), F.col(f"{pb}arr"), decimals=decimals,
+            norm_a=norm_a, norm_b=norm_b,
+        )
     acc: Column = F.lit(0.0).cast("double")
     for j in range(dims):
         acc = acc + F.col(f"{pa}{j}") * F.col(f"{pb}{j}")
@@ -254,12 +300,12 @@ def brute_force_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             *_flat_cols(F.col(vec_col), dims, "q"),
-            vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
+            _guarded_norm(F.col(vec_col), dims).alias("qnrm"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             *_flat_cols(F.col(vec_col), dims, "x"),
-            vec_norm(F.col(vec_col), dims=dims).alias("cnrm"),
+            _guarded_norm(F.col(vec_col), dims).alias("cnrm"),
         )
         sim = _flat_cosine(
             "x", "q", dims,
@@ -441,7 +487,7 @@ def ivf_search(
     indexed = ivf_assign(corpus, id_col, vec_col, centroids).select(
         "id",
         *_flat_cols(F.col("v"), dims, "x"),
-        vec_norm(F.col("v"), dims=dims).alias("nrm"),
+        _guarded_norm(F.col("v"), dims).alias("nrm"),
         "cell",
     )
 
@@ -461,11 +507,11 @@ def ivf_search(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *_flat_cols(F.col(vec_col), dims, "q"),
-        vec_norm(F.col(vec_col), dims=dims).alias("qnrm"),
+        _guarded_norm(F.col(vec_col), dims).alias("qnrm"),
         F.transform(probe_cells, lambda s: s["cell"]).alias("cells"),
     ).select(
         "query_id",
-        *[f"q{j}" for j in range(dims)],
+        *_flat_names(dims, "q"),
         "qnrm",
         F.explode("cells").alias("cell"),
     )
@@ -630,11 +676,20 @@ def lsh_ann_pairs(
         ])
         # prep keeps the array (the bucket tables hash it) PLUS the flat
         # scalar columns the verify reads (see _flat_cols); it persists
-        # once and feeds the band explode and both pair join-backs
+        # once and feeds the band explode and both pair join-backs.
+        # Past the codegen cutoff the verify reads the array itself, so
+        # the payload IS "v" — no duplicate copy through the persist.
+        vec_srcs = (
+            _flat_names(dims, "x") if dims <= UNROLL_MAX_DIMS else ["v"]
+        )
         prep = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            *_flat_cols(F.col(vec_col), dims, "x"),
+            *(
+                _flat_cols(F.col(vec_col), dims, "x")
+                if dims <= UNROLL_MAX_DIMS
+                else []
+            ),
             vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
         )
         if persist_base:
@@ -658,7 +713,10 @@ def lsh_ann_pairs(
             pair_ids.join(
                 prep.select(
                     F.col("id").alias("id_a"),
-                    *[F.col(f"x{j}").alias(f"a{j}") for j in range(dims)],
+                    *[
+                        F.col(src).alias(dst)
+                        for src, dst in zip(vec_srcs, _flat_names(dims, "a"))
+                    ],
                     F.col("nrm").alias("na"),
                 ),
                 on="id_a",
@@ -666,7 +724,10 @@ def lsh_ann_pairs(
             .join(
                 prep.select(
                     F.col("id").alias("id_b"),
-                    *[F.col(f"x{j}").alias(f"b{j}") for j in range(dims)],
+                    *[
+                        F.col(src).alias(dst)
+                        for src, dst in zip(vec_srcs, _flat_names(dims, "b"))
+                    ],
                     F.col("nrm").alias("nb"),
                 ),
                 on="id_b",

@@ -965,7 +965,7 @@ def test_embed_hash_matches_python_twin(spark):
     from ocr_spark.similarity import embed_hash
     from ocr_spark.textstats import py_portable_hash
 
-    def twin(text: str, dims: int = 16) -> list[float]:
+    def twin(text: str, dims: int = 32) -> list[float]:
         s = [0] * dims
         for t in (text or "").split():
             h = py_portable_hash(t)
@@ -989,7 +989,7 @@ def test_embed_hash_matches_python_twin(spark):
     for v in got.values():
         sq = sum(x * x for x in v)
         assert sq == 0.0 or abs(sq - 1.0) < 1e-12
-    assert got[2] == [0.0] * 16 and got[4] == [0.0] * 16
+    assert got[2] == [0.0] * 32 and got[4] == [0.0] * 32
     assert sum(1 for x in got[3] if x != 0.0) == 1  # single hashed dim
 
 
@@ -1052,3 +1052,65 @@ def test_incremental_dedup_two_batches_equal_one_run(spark, tmp_path):
     # the store accumulated both snapshots for run 3
     assert io.snapshots("sketches") == [0, 1]
     assert io.read(spark, "sketches").count() == 24
+
+def test_flat_ann_dims_mismatch_fails_fast(spark):
+    """A declared ``dims`` that disagrees with the actual embedding width
+    must raise, not score a plausible-but-wrong prefix cosine (declared <
+    actual) or null-propagate rows out of the result (declared > actual).
+    The guard rides the norm column every scoring path computes
+    (similarity._guarded_norm), so it covers brute_force_topk's flat path
+    and ivf_search's centroid-width-derived dims alike."""
+    from ocr_spark.similarity import brute_force_topk, ivf_search
+
+    df = _df(
+        spark,
+        [(1, [0.1] * 16), (2, [0.2] * 16), (3, [0.3] * 16)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = df.limit(1)
+    for bad_dims in (8, 32):
+        with pytest.raises(Exception, match="width"):
+            brute_force_topk(df, q, k=2, dims=bad_dims).collect()
+        with pytest.raises(Exception, match="width"):
+            ivf_search(
+                df, q, k=2, n_probes=2,
+                centroids=hyperplanes(4, dims=bad_dims),
+            ).collect()
+
+    # NULL embedding = missing vector, not a width bug: no raise, the
+    # null norm nulls the cosine out instead of poisoning the batch
+    withnull = _df(
+        spark,
+        [(1, [0.1] * 16), (2, [0.2] * 16), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = brute_force_topk(withnull, withnull.limit(1), k=3, dims=16).collect()
+    assert {r.neighbor_id for r in got} <= {2, 3}
+
+
+def test_wide_dims_flat_fallback_matches_narrow_arithmetic(spark):
+    """Past UNROLL_MAX_DIMS the pair payload falls back from flat scalar
+    columns to the carried array + HOF fold — same left-associative
+    arithmetic, different physical plan.  Pin that the two shapes return
+    identical truncated cosines on the same vectors (zero-padded so the
+    dot/norm values are unchanged across widths)."""
+    from ocr_spark.similarity import UNROLL_MAX_DIMS, brute_force_topk
+
+    narrow = UNROLL_MAX_DIMS
+    wide = UNROLL_MAX_DIMS * 2
+    base = [
+        (1, [0.5, 0.25] + [0.0] * (narrow - 2)),
+        (2, [0.5, 0.75] + [0.0] * (narrow - 2)),
+        (3, [-1.0, 0.25] + [0.0] * (narrow - 2)),
+    ]
+    padded = [(i, v + [0.0] * (wide - narrow)) for i, v in base]
+    df_n = _df(spark, base, "vec_id bigint, embedding array<float>")
+    df_w = _df(spark, padded, "vec_id bigint, embedding array<float>")
+
+    def res(df, dims):
+        return {
+            (r.query_id, r.neighbor_id): r.cosine_sim
+            for r in brute_force_topk(df, df, k=2, dims=dims).collect()
+        }
+
+    assert res(df_n, narrow) == res(df_w, wide)
