@@ -226,6 +226,16 @@ def exact_duplicates(
     )
 
 
+def min_shingle_bucket(sh: Column) -> Column:
+    """The default blocking key of :func:`ngram_jaccard_pairs` over a
+    shingle-hash array: the minimum hash (1-permutation MinHash), -1 for
+    shingle-less docs.  Single-sourced so telemetry that measures bucket
+    skew (tools/dedup_stress.py) keys on the SAME expression the
+    operator joins on — a drift would silently report cap behavior for a
+    join that no longer exists."""
+    return F.coalesce(F.array_min(sh), F.lit(-1))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -261,8 +271,8 @@ def ngram_jaccard_pairs(
     """
     toks = tokens(F.col(text_col))
     sh = shingle_hashes(toks, n)
-    bucket = bucket_col if bucket_col is not None else F.coalesce(
-        F.array_min(sh), F.lit(-1)
+    bucket = (
+        bucket_col if bucket_col is not None else min_shingle_bucket(sh)
     )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -383,6 +393,22 @@ def band_table(
     )
 
 
+def _band_self_pairs(banded: DataFrame) -> DataFrame:
+    """Canonical candidate id pairs from a band-table self-join:
+    equi-join on (band_idx, band_hash), ``id_a < id_b``.  NOT yet
+    distinct — the caller places the distinct (the incremental path
+    unions cross-batch candidates first, so one distinct covers both).
+    Single-sourced so the full-corpus and incremental paths cannot
+    drift apart in candidate canonicalization (their run-union
+    equivalence contract depends on it)."""
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band_idx", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+
+
 def _verify_pairs(
     cand: DataFrame, sketches: DataFrame, verify_threshold: float
 ) -> DataFrame:
@@ -442,13 +468,7 @@ def _minhash_lsh_pairs_with_base(
         "sig", minhash_signature(F.col("sh"), k)
     )
     banded = band_table(sig_df, k, band_size)
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), on=["band_idx", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_self_pairs(banded).distinct()
     pairs = _verify_pairs(cand, base, verify_threshold)
     return pairs, (base if persist_base else None)
 
@@ -490,12 +510,7 @@ def incremental_minhash_pairs(
     if persist_new:
         new_sketches = new_sketches.persist()
     nb = band_table(new_sketches, k, band_size)
-    nn = (
-        nb.alias("l")
-        .join(nb.alias("r"), on=["band_idx", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-    )
+    nn = _band_self_pairs(nb)
     if committed_sketches is None:
         cand = nn.distinct()
         sh_source = new_sketches.select("id", "sh")

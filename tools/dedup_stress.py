@@ -76,7 +76,9 @@ def main() -> None:
 
     from ocr_spark.dedup import (
         DEFAULT_MINHASH_K,
+        _band_self_pairs,
         band_table,
+        min_shingle_bucket,
         minhash_lsh_pairs,
         minhash_sketches,
         ngram_jaccard_pairs,
@@ -99,8 +101,10 @@ def main() -> None:
         int(args.cpus) * 2
     ).write.parquet(f"{work}/docs")
     docs = spark.read.parquet(f"{work}/docs")
-    n_heavy = args.n_docs // 10  # ids ≡ 1 (mod 10): J≈0.5 variants
-    n_light = args.n_docs // 10  # ids ≡ 2 (mod 10): 1-token variants
+    # exact variant counts (floor-division miscounts when n_docs % 10
+    # puts the last partial decade past the variant residue)
+    n_heavy = len(range(1, args.n_docs, 10))  # ids ≡ 1 (mod 10): J≈0.5
+    n_light = len(range(2, args.n_docs, 10))  # ids ≡ 2 (mod 10): 1-token
 
     result: dict = {
         "metric": "dedup_stress",
@@ -116,11 +120,9 @@ def main() -> None:
     t0 = time.monotonic()
     sk = minhash_sketches(docs).persist()
     bt = band_table(sk, DEFAULT_MINHASH_K, 2)
-    mh_cand = (
-        bt.alias("l").join(bt.alias("r"), on=["band_idx", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select("l.id", "r.id").distinct().count()
-    )
+    # the operator's own candidate join (not a re-derivation — telemetry
+    # must measure the join the operator actually runs)
+    mh_cand = _band_self_pairs(bt).distinct().count()
     result["minhash_candidates"] = mh_cand
     result["minhash_cand_per_doc"] = round(mh_cand / args.n_docs, 3)
     result["minhash_cand_wall_s"] = round(time.monotonic() - t0, 1)
@@ -138,8 +140,12 @@ def main() -> None:
     mh.unpersist()
     spark.catalog.clearCache()
     result["minhash_pairs"] = mh_pairs
-    result["minhash_heavy_recall"] = round(heavy_found / n_heavy, 4)
-    result["minhash_light_recall"] = round(light_found / n_light, 4)
+    result["minhash_heavy_recall"] = (
+        round(heavy_found / n_heavy, 4) if n_heavy else None
+    )
+    result["minhash_light_recall"] = (
+        round(light_found / n_light, 4) if n_light else None
+    )
     result["minhash_wall_s"] = round(time.monotonic() - t0, 1)
 
     # ---- simhash: same telemetry through its block tables
@@ -174,12 +180,12 @@ def main() -> None:
     t0 = time.monotonic()
     sp = simhash_pairs(docs, max_hamming=3).persist()
     result["simhash_pairs"] = sp.count()
-    result["simhash_light_recall"] = round(
-        sp.filter(
-            (F.col("id_b") - F.col("id_a") == 2)
-            & (F.col("id_b") % 10 == 2)
-        ).count() / n_light,
-        4,
+    sp_light = sp.filter(
+        (F.col("id_b") - F.col("id_a") == 2)
+        & (F.col("id_b") % 10 == 2)
+    ).count()
+    result["simhash_light_recall"] = (
+        round(sp_light / n_light, 4) if n_light else None
     )
     sp.unpersist()
     result["simhash_wall_s"] = round(time.monotonic() - t0, 1)
@@ -188,7 +194,8 @@ def main() -> None:
     t0 = time.monotonic()
     cap = 256
     toks = ts.tokens(F.col("text"))
-    bucket = F.coalesce(F.array_min(shingle_hashes(toks)), F.lit(-1))
+    # the operator's own blocking key (see dedup.min_shingle_bucket)
+    bucket = min_shingle_bucket(shingle_hashes(toks))
     over = (
         docs.select(bucket.alias("b")).groupBy("b").count()
         .filter(F.col("count") > cap).count()
