@@ -1,7 +1,10 @@
 """Two-parallelism scaling evidence (sandbox substitute for N vs 4N
 executors): run the SAME end-to-end extraction job on the SAME
-pre-materialized parquet input at local[8] and local[32]; report docs/sec
-at both, the raw scaling efficiency
+pre-materialized parquet input at local[8] and local[32] — each level a
+fresh JVM launched via ``spark-submit --master local[N] --py-files
+ocr_spark.zip`` from a neutral cwd (the literal cluster submission shape;
+see tools/pyfiles.py) — and report docs/sec at both, the raw scaling
+efficiency
 
     eff_raw = (throughput_32 / throughput_8) / 4
 
@@ -64,16 +67,19 @@ media.write.mode("overwrite").parquet(f"{base}/media")
 spark.stop()
 """
 
+# Launched via `spark-submit --master local[N] --py-files ocr_spark.zip`
+# from a NEUTRAL cwd (no repo on sys.path): the package imports from the
+# shipped archive and the launcher owns the master — the literal
+# "spark-submit --py-files on N and 4N" shape of the reference north star.
 WORKER = r"""
 import json, sys, time
-sys.path.insert(0, ".")
 from ocr_spark.session import get_spark
 from ocr_spark.pipeline import run_extraction
 from ocr_spark.config import PipelineConfig
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); base = sys.argv[3]
 work_iters = int(sys.argv[4]); runs = int(sys.argv[5]); parts = int(sys.argv[6])
-spark = get_spark("scaling-bench", master=f"local[{cores}]",
+spark = get_spark("scaling-bench", master="submit",
                   shuffle_partitions=parts)
 spark.sparkContext.setLogLevel("ERROR")
 cfg = PipelineConfig(fake_work_iters=work_iters)
@@ -123,9 +129,36 @@ def _sub(code: str, *args: str) -> str:
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if r.returncode != 0:
         raise RuntimeError(f"subprocess failed: {r.stderr[-2000:]}")
-    if code is WORKER and not lines:
-        raise RuntimeError(f"worker produced no result: {r.stderr[-2000:]}")
     return lines[-1] if lines else ""
+
+
+def _submit_worker(workdir: str, zip_path: str, cores: int,
+                   *args: str) -> str:
+    """Run WORKER through spark-submit --py-files from a neutral cwd:
+    fresh JVM per level, master owned by the launcher, package imported
+    from the shipped zip (see tools/pyfiles.py)."""
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin",
+        "spark-submit",
+    )
+    job = os.path.join(workdir, "scaling_worker.py")
+    with open(job, "w") as fh:
+        fh.write(WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_DRIVER_MEMORY"] = "24g"
+    r = subprocess.run(
+        [
+            spark_submit, "--master", f"local[{cores}]",
+            "--py-files", zip_path, job, str(cores), *args,
+        ],
+        capture_output=True, text=True, cwd=workdir, env=env,
+    )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0:
+        raise RuntimeError(f"spark-submit failed: {r.stderr[-2000:]}")
+    if not lines:
+        raise RuntimeError(f"worker produced no result: {r.stderr[-2000:]}")
+    return lines[-1]
 
 
 def main() -> None:
@@ -135,14 +168,23 @@ def main() -> None:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     plat = platform_speedup()
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from tools.pyfiles import build_pyfiles_zip
+
+    workdir = tempfile.mkdtemp(prefix="ocrspark_scaling_")
+    zip_path = build_pyfiles_zip(os.path.join(workdir, "ocr_spark.zip"))
     try:
         _sub(GEN, str(n_docs), CORPUS, str(PARTS))
         profiles = {}
         for label, iters in (("light", 0), ("inference", WORK_ITERS)):
-            lo = json.loads(_sub(WORKER, "8", str(n_docs), CORPUS,
-                                 str(iters), str(RUNS), str(PARTS)))
-            hi = json.loads(_sub(WORKER, "32", str(n_docs), CORPUS,
-                                 str(iters), str(RUNS), str(PARTS)))
+            lo = json.loads(_submit_worker(
+                workdir, zip_path, 8, str(n_docs), CORPUS,
+                str(iters), str(RUNS), str(PARTS)))
+            hi = json.loads(_submit_worker(
+                workdir, zip_path, 32, str(n_docs), CORPUS,
+                str(iters), str(RUNS), str(PARTS)))
             speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
             profiles[label] = {
                 "work_iters_per_image": iters, "local8": lo, "local32": hi,
@@ -153,6 +195,7 @@ def main() -> None:
     finally:
         # /dev/shm is RAM — never leave a failed run's corpus resident
         shutil.rmtree(CORPUS, ignore_errors=True)
+        shutil.rmtree(workdir, ignore_errors=True)
 
     inf = profiles["inference"]
     report = {"n_docs": n_docs, "partitions": PARTS, "runs_per_point": RUNS,
@@ -180,8 +223,12 @@ Same end-to-end job (parquet scan → explode → boilerplate-strip ∥ salted
 OCR → splice → field cascade → noop sink), same pre-materialized input
 ({n_docs} interleaved documents, seed 42, {PARTS} partitions at both
 levels), local[8] vs local[32] on one 32-CPU machine — the sandbox
-stand-in for N vs 4N executors.  Fresh JVM per level, warmup excluded,
-min of {RUNS} timed runs.
+stand-in for N vs 4N executors.  Each level is launched via
+`spark-submit --master local[N] --py-files ocr_spark.zip` from a neutral
+working directory (the package imports from the shipped archive — the
+literal cluster submission shape; tests/test_spark_submit.py holds the
+packaging contract).  Fresh JVM per level, warmup excluded, min of
+{RUNS} timed runs.
 
 ## Platform ceiling (measured, Spark-free)
 
