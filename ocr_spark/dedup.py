@@ -388,7 +388,22 @@ def band_table(
         )
         for b in range(n_bands)
     ])
-    return sketches.select("id", F.explode(bands).alias("band")).select(
+    # Fail fast when the sketch width disagrees with the configured k —
+    # the persisted-store seam (a store written with a different k read
+    # back into incremental_minhash_pairs) would otherwise null-pad
+    # out-of-range sig reads through concat_ws and silently degrade
+    # recall to the narrower band bound.  Same degenerate-silence class
+    # (and guard idiom) as similarity._guarded_norm; size(NULL) is -1
+    # under non-ANSI semantics, so a corrupt null sig raises too.
+    guarded = F.when(F.size(sig) == k, bands).otherwise(
+        F.raise_error(F.concat(
+            F.lit("lsh: sig width "),
+            F.size(sig).cast("string"),
+            F.lit(f" != configured k {k} (-1 = null sig; was this "
+                  "sketch store written with a different k?)"),
+        ))
+    )
+    return sketches.select("id", F.explode(guarded).alias("band")).select(
         "id", "band.band_idx", "band.band_hash"
     )
 
@@ -623,7 +638,11 @@ def connected_components(
 ) -> DataFrame:
     """Connected components: ``(id) × (id_a, id_b)`` → ``(id, cluster_id)``
     where ``cluster_id`` is the minimum node id reachable in the undirected
-    pair graph (singletons label themselves).
+    pair graph (singletons label themselves).  Edges whose endpoints are
+    not in ``nodes`` do not participate: min-label ignores them
+    structurally (a foreign id has no label row), and the star variant
+    semi-joins them away up front, so both algorithms label identically
+    on any input.
 
     ``algorithm='minlabel'`` (default) is driver-looped min-label
     propagation: each round joins current labels across the
@@ -768,8 +787,17 @@ def _star_components(nodes, edges, max_iter, _ckpt) -> DataFrame:
     reaches a fixed point, checked exactly (count + exceptAll over the
     two checkpointed rounds — cheap scans, no recompute).
     """
+    # Restrict edges to the node set up front (two semi-joins, once,
+    # before the loop).  min-label propagation structurally ignores
+    # endpoints absent from ``nodes`` (a foreign id has no label row to
+    # relay), while the star contraction would happily propagate a
+    # foreign minimum and emit a cluster_id that is no node's id — the
+    # two algorithms must label identically on the same input.
+    node_ids = nodes.select("id")
     e = _ckpt(
-        edges.select(
+        edges.join(node_ids, edges.id_a == node_ids.id, "leftsemi")
+        .join(node_ids, edges.id_b == node_ids.id, "leftsemi")
+        .select(
             F.least("id_a", "id_b").alias("lo"),
             F.greatest("id_a", "id_b").alias("hi"),
         )
@@ -870,6 +898,32 @@ def simhash_block_widths(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return shifts
 
 
+def simhash_blocks(
+    sig: Column, bits: int = 60, max_hamming: int = 3
+) -> Column:
+    """``array<struct<block_idx,block_val>>`` — the Manku block-
+    permutation candidate key of a simhash signature, split into
+    ``max_hamming + 1`` contiguous blocks.  Single-sourced (like
+    :func:`min_shingle_bucket` for the ngram path) so candidate-count
+    telemetry (tools/dedup_stress.py) explodes the SAME key the
+    operator joins on — a drift would silently measure blowup for a
+    join that no longer exists."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError("max_hamming + 1 blocks must fit in the signature")
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("block_idx"),
+            F.shiftright(sig, shift).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("block_val"),
+        )
+        for i, (shift, width) in enumerate(
+            simhash_block_widths(bits, n_blocks)
+        )
+    ])
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -902,27 +956,13 @@ def simhash_pairs(
     a signature and still concentrate — run exact dedup first; AQE
     skew-join splits what remains.
     """
-    n_blocks = max_hamming + 1
-    if n_blocks > bits:
-        raise ValueError("max_hamming + 1 blocks must fit in the signature")
     feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
     base = simhash_from_features(
         df.select(F.col(id_col).alias("id"), feats.alias("feats")),
         F.col("feats"),
         bits=bits,
     )
-    sig = F.col("sig")
-    blocks = F.array(*[
-        F.struct(
-            F.lit(i).alias("block_idx"),
-            F.shiftright(sig, shift).bitwiseAND(
-                F.lit((1 << width) - 1)
-            ).alias("block_val"),
-        )
-        for i, (shift, width) in enumerate(
-            simhash_block_widths(bits, n_blocks)
-        )
-    ])
+    blocks = simhash_blocks(F.col("sig"), bits=bits, max_hamming=max_hamming)
     banded = (
         base.select("id", "sig", F.explode(blocks).alias("b"))
         .select("id", "sig", "b.block_idx", "b.block_val")

@@ -43,7 +43,6 @@ from ocr_spark.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    shingle_hashes,
     simhash16,
     simhash_pairs,
 )
@@ -731,9 +730,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall J per pair; the banded variant (dedup_minhash_lsh) is the
     high-recall path."""
     corpus = _near_corpus(spark, sf_dir)
-    toks = ts.tokens(F.col("text"))
-    bucket = F.coalesce(F.array_min(shingle_hashes(toks)), F.lit(-1))
-    return ngram_jaccard_pairs(corpus, bucket_col=bucket, threshold=0.3)
+    # bucket_col omitted: the operator's own min_shingle_bucket default
+    # IS the documented blocking key — re-stating it here would re-create
+    # the drift the single-sourced helper exists to prevent.
+    return ngram_jaccard_pairs(corpus, threshold=0.3)
 
 
 SQL_NGRAM_JACCARD = f"""

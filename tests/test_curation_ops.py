@@ -586,6 +586,40 @@ def test_connected_components_topologies(spark, algorithm):
         connected_components(nodes, edges, algorithm="bogus")
 
 
+@pytest.mark.parametrize("algorithm", ["minlabel", "star"])
+def test_connected_components_ignore_foreign_edge_endpoints(
+    spark, algorithm
+):
+    """Edges mentioning ids absent from ``nodes`` must not relabel (or
+    bridge) the node set, and cluster_id must always be a node's id —
+    min-label ignores foreign endpoints structurally; star must semi-join
+    them away rather than propagate a foreign minimum."""
+    from ocr_spark.dedup import connected_components
+
+    edges = _df(spark, [
+        (1, 2),   # 1 is foreign: must not become 2's label
+        (2, 3),   # real edge inside the node set
+        (1, 5),   # foreign 1 must not bridge {2,3} with {5}
+    ], "id_a bigint, id_b bigint")
+    nodes = _df(spark, [(2,), (3,), (5,)], "id bigint")
+    got = {r.id: r.cluster_id
+           for r in connected_components(
+               nodes, edges, algorithm=algorithm).collect()}
+    assert got == {2: 2, 3: 2, 5: 5}
+
+
+def test_band_table_rejects_mismatched_sig_width(spark):
+    """A persisted sketch store written with a different k must fail
+    loudly in band_table, not null-pad bands and silently lose recall."""
+    from ocr_spark.dedup import band_table, minhash_sketches
+
+    docs = _df(spark, [(1, "a b c d"), (2, "a b c e")],
+               "doc_id bigint, text string")
+    narrow = minhash_sketches(docs, k=64)
+    with pytest.raises(Exception, match="sig width"):
+        band_table(narrow, k=128).collect()
+
+
 def test_star_components_chain_beats_minlabel_budget(spark):
     """The large-star/small-star alternation halves component diameter
     per round: a 2,000-node path graph converges well inside a 25-round

@@ -30,6 +30,8 @@ def _submit(spark_submit, zip_path, job, args, cwd):
         [
             spark_submit, "--master", "local[4]",
             "--conf", "spark.sql.shuffle.partitions=8",
+            # local-mode tuning get_spark can't apply under master="submit"
+            "--conf", "spark.locality.wait=0s",
             "--py-files", zip_path, job, *args,
         ],
         capture_output=True, text=True, cwd=cwd, env=env, timeout=300,

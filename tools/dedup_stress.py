@@ -72,6 +72,26 @@ def main() -> None:
     p.add_argument("--out", help="markdown file to append the addendum to")
     args = p.parse_args()
 
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(
+        "ocr-spark-dedup-stress", master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus) * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # A failed stage must not leak the synthetic corpus in the temp dir
+    # (or a live SparkContext) across retries — same try/finally
+    # discipline as tools/scaling_bench.py.
+    work = tempfile.mkdtemp(prefix="ocrspark_dedup_stress_")
+    try:
+        _stress(spark, work, args)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def _stress(spark, work: str, args) -> None:
     from pyspark.sql import functions as F
 
     from ocr_spark.dedup import (
@@ -83,20 +103,12 @@ def main() -> None:
         minhash_sketches,
         ngram_jaccard_pairs,
         shingle_hashes,
-        simhash_block_widths,
+        simhash_blocks,
         simhash_from_features,
         simhash_pairs,
     )
     from ocr_spark import textstats as ts
-    from ocr_spark.session import get_spark
 
-    spark = get_spark(
-        "ocr-spark-dedup-stress", master=f"local[{args.cpus}]",
-        shuffle_partitions=int(args.cpus) * 4,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    work = tempfile.mkdtemp(prefix="ocrspark_dedup_stress_")
     synth_corpus(spark, args.n_docs).repartition(
         int(args.cpus) * 2
     ).write.parquet(f"{work}/docs")
@@ -155,15 +167,9 @@ def main() -> None:
         docs.select(F.col("doc_id").alias("id"), feats.alias("f")),
         F.col("f"),
     ).persist()
-    blocks = F.array(*[
-        F.struct(
-            F.lit(i).alias("block_idx"),
-            F.shiftright(F.col("sig"), s).bitwiseAND(
-                F.lit((1 << w) - 1)
-            ).alias("block_val"),
-        )
-        for i, (s, w) in enumerate(simhash_block_widths(60, 4))
-    ])
+    # the operator's own block key (see dedup.simhash_blocks) — telemetry
+    # must explode the same key simhash_pairs joins on
+    blocks = simhash_blocks(F.col("sig"))
     sb = sig.select("id", F.explode(blocks).alias("b")).select(
         "id", "b.block_idx", "b.block_val"
     )
@@ -232,9 +238,6 @@ def main() -> None:
         with open(args.out, "a", encoding="utf-8") as fh:
             fh.write(block)
         print(f"appended addendum to {args.out}", file=sys.stderr)
-
-    shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -149,6 +149,12 @@ def _submit_worker(workdir: str, zip_path: str, cores: int,
     r = subprocess.run(
         [
             spark_submit, "--master", f"local[{cores}]",
+            # get_spark applies locality.wait=0s only when IT owns a
+            # local master; with master="submit" the launcher must carry
+            # the local-mode tuning itself or the measurement silently
+            # reverts to the 3 s delay-scheduling default the recorded
+            # baselines were measured without.
+            "--conf", "spark.locality.wait=0s",
             "--py-files", zip_path, job, str(cores), *args,
         ],
         capture_output=True, text=True, cwd=workdir, env=env,
