@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_lsh_pairs",
     "text_ann_pairs",        # text → embed_hash → LSH chain (round 4)
     "quality_score",
+    "lm_score",              # corpus unigram-surprisal scoring (round 4)
     "langid",
     "fingerprint",
     "dedup_exact",

@@ -101,3 +101,89 @@ def pack_sequences(
         "n_tokens",
         cum.alias("cum_tokens"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing: allocate ``budget_tokens`` across
+    domains proportionally to integer ``weights``, then keep each
+    domain's documents at the deterministic hash-threshold rate that
+    hits its allocation in expectation — the data-mixing step between
+    curation and packing (domain weights are how training corpora are
+    actually composed; a plain per-domain fraction ignores that domains
+    have wildly different token volumes).
+
+    All arithmetic is exact bigint, replayable by the oracle:
+    ``target_d = budget · w_d DIV Σw`` (domains without a weight get 0),
+    ``rate_ppm_d = min(10^6, target_d · 10^6 DIV domain_tokens)``, and a
+    document is kept iff ``hash(salt/id) mod 10^6 < rate_ppm_d``. The
+    expected kept-token count per domain is ``≈ target_d`` (capped at
+    the domain's full volume); membership is a pure function of the id,
+    stable under reruns and partitioning (same contract as
+    :func:`stratified_sample`).
+
+    Output: one row PER INPUT DOC — ``(doc_id, domain, n_tokens,
+    domain_tokens, target_tokens, rate_ppm, kept)`` — so the caller can
+    filter ``kept`` or audit the realized mixture.
+
+    Shape for 100 TB: one groupBy(domain) over (domain, n_tokens) rows
+    (map-side combine — domains are few), a broadcast join of the tiny
+    per-domain rate table, and a narrow hash filter.  No driver
+    ``collect``: the rates are computed IN-PLAN with integer division,
+    so the whole thing is one job."""
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    totals = base.groupBy("domain").agg(
+        F.sum("n_tokens").cast("bigint").alias("domain_tokens")
+    )
+    tgt = None
+    for name, w in weights.items():
+        # exact Python-int division — plan literal per domain
+        t = F.lit((budget_tokens * w) // wsum).cast("bigint")
+        cond = F.col("domain") == name
+        tgt = F.when(cond, t) if tgt is None else tgt.when(cond, t)
+    tgt = (
+        tgt.otherwise(F.lit(0).cast("bigint"))
+        if tgt is not None else F.lit(0).cast("bigint")
+    )
+    rates = totals.select(
+        "domain",
+        "domain_tokens",
+        tgt.alias("target_tokens"),
+    ).select(
+        "domain",
+        "domain_tokens",
+        "target_tokens",
+        F.when(F.col("domain_tokens") <= 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("(target_tokens * 1000000) DIV domain_tokens"),
+            )
+        ).alias("rate_ppm"),
+    )
+    bucket = portable_hash(
+        F.concat(F.lit(f"{salt}/"), F.col("doc_id").cast("string"))
+    ) % F.lit(1000000)
+    return base.join(F.broadcast(rates), on="domain").select(
+        "doc_id",
+        "domain",
+        "n_tokens",
+        "domain_tokens",
+        "target_tokens",
+        "rate_ppm",
+        (bucket < F.col("rate_ppm")).alias("kept"),
+    )

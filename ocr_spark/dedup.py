@@ -202,6 +202,27 @@ def simhash_from_features(
 
 # ---------------------------------------------------------------- operators
 
+def exact_digest(text: Column) -> Column:
+    """md5 of the normalized text — THE exact-dedup key, single-sourced
+    so the batch (:func:`exact_duplicates`) and incremental
+    (:func:`exact_duplicates_incremental`) paths can never drift: a
+    digest store written by one is joinable by the other."""
+    return F.md5(norm_text(text))
+
+
+def exact_digests(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, digest)`` — the persistable unit of incremental exact
+    dedup (store through the tableio seam, like minhash sketches).
+    NULL-text docs (quarantined/empty) are excluded: they must not
+    collapse into one bogus group via the NULL digest."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        exact_digest(F.col(text_col)).alias("digest"),
+    )
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -210,12 +231,7 @@ def exact_duplicates(
     One shuffle (groupBy digest); output one row per *duplicated* digest
     with the canonical (min) id and the group size.
     """
-    # NULL text (quarantined/empty docs) must not collapse into one bogus
-    # "duplicate" group via the NULL digest; they are simply not dedupable.
-    keyed = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.md5(norm_text(F.col(text_col))).alias("digest"),
-    )
+    keyed = exact_digests(df, text_col, id_col)
     return (
         keyed.groupBy("digest")
         .agg(
@@ -223,6 +239,50 @@ def exact_duplicates(
             F.count(F.lit(1)).alias("n_docs"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicates_incremental(
+    new_digests: DataFrame,
+    committed_digests: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-run incremental EXACT dedup: classify each new-batch
+    document against the committed digest store without re-grouping the
+    committed corpus — the first-run-wins semantic every real ingest
+    pipeline uses (a document identical to one already committed is
+    dropped; within the delta the minimum id wins).
+
+    Input: ``(id, digest)`` tables from :func:`exact_digests` (the
+    committed side read back through the tableio seam).  Output, one row
+    per NEW doc: ``(id, digest, dup_of_committed, new_canonical_id,
+    kept)`` with ``kept = ¬dup_of_committed ∧ id = new_canonical_id``.
+    Append the kept rows' digests to the store to commit the run.
+
+    Shape for 100 TB: one groupBy(digest) over the DELTA only (min id),
+    rejoined on the same key (no extra shuffle — the partitioning is
+    reused), plus one left join of delta digests against the store,
+    digest-keyed; the committed side contributes a scan and the join
+    probe, never a committed × committed grouping.  Precondition: new
+    ids are disjoint from committed ids (the store append is the commit
+    point), mirroring :func:`incremental_minhash_pairs`."""
+    canon = new_digests.groupBy("digest").agg(
+        F.min("id").alias("new_canonical_id")
+    )
+    flagged = new_digests.join(canon, on="digest")
+    if committed_digests is not None:
+        hits = committed_digests.select("digest").distinct().select(
+            "digest", F.lit(True).alias("dup_of_committed")
+        )
+        flagged = flagged.join(hits, on="digest", how="left")
+        dup = F.coalesce(F.col("dup_of_committed"), F.lit(False))
+    else:
+        dup = F.lit(False)
+    return flagged.select(
+        "id",
+        "digest",
+        dup.alias("dup_of_committed"),
+        "new_canonical_id",
+        (~dup & (F.col("id") == F.col("new_canonical_id"))).alias("kept"),
     )
 
 

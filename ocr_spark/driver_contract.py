@@ -883,6 +883,44 @@ WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """
 
 
+def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental EXACT dedup through the same store path as
+    the minhash twin: the committed cohort's (id, digest) rows go through
+    tableio snapshot-append and are read back from parquet; the delta
+    (every 5th doc of the dup corpus — both originals and their
+    space-doubled copies land in each cohort) is classified against
+    itself (min-id-wins) and against the store (first-run-wins)."""
+    from ocr_spark.dedup import exact_digests, exact_duplicates_incremental
+    from ocr_spark.tableio import ParquetManifestIO
+
+    corpus = _dup_corpus(spark, sf_dir)
+    delta = exact_digests(corpus.filter(F.col("doc_id") % 5 == 0))
+    committed_docs = corpus.filter(F.col("doc_id") % 5 != 0)
+
+    io = ParquetManifestIO(_stream_workdir("increm_exact"))
+    io.append(exact_digests(committed_docs), "digests")
+    committed = io.read(spark, "digests")
+    return exact_duplicates_incremental(delta, committed)
+
+
+def _sql_dedup_exact_incremental() -> str:
+    return f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+keyed AS (SELECT doc_id AS id, md5({_DUCK_NORM.format(t='text')}) AS digest
+          FROM corpus WHERE text IS NOT NULL),
+delta AS (SELECT * FROM keyed WHERE id % 5 = 0),
+committed AS (SELECT DISTINCT digest FROM keyed WHERE id % 5 <> 0),
+canon AS (SELECT digest, min(id) AS new_canonical_id
+          FROM delta GROUP BY digest)
+SELECT d.id, d.digest,
+  (d.digest IN (SELECT digest FROM committed)) AS dup_of_committed,
+  c.new_canonical_id,
+  (d.digest NOT IN (SELECT digest FROM committed)
+   AND d.id = c.new_canonical_id) AS kept
+FROM delta d JOIN canon c USING (digest)
+"""
+
+
 def _sql_dedup_clusters() -> str:
     """Connected components over the minhash pair edges as a recursive
     CTE: min reachable node id per node = the cluster label the Spark
@@ -1034,6 +1072,136 @@ SELECT doc_id, shard,
   floor((cum_tokens - n_tokens) / 512.0)::bigint AS bin,
   n_tokens, cum_tokens
 FROM c
+"""
+
+
+# Token-budget mixture over the source column: named weights exercise the
+# capped-rate branch (src0's allocation exceeds its volume), partial rates
+# (src1-3), and the zero-weight default (every other source).  Single
+# source of truth for the Spark call AND the oracle CASE literals.
+MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 1, "src3": 1}
+MIX_BUDGET = 3000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing (see assembly.mixture_sample): exact
+    bigint allocation/rate arithmetic, hash-threshold membership —
+    the whole decision table is oracle-replayed."""
+    from ocr_spark.assembly import mixture_sample
+
+    docs = _docs_df(spark, sf_dir).select("doc_id", "source", "text")
+    return mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET)
+
+
+def _sql_mixture_sample() -> str:
+    wsum = sum(MIX_WEIGHTS.values())
+    whens = " ".join(
+        f"WHEN '{d}' THEN {(MIX_BUDGET * w) // wsum}"
+        for d, w in MIX_WEIGHTS.items()
+    )
+    ntok = f"len({_DUCK_TOKENS.format(t='text')})::bigint"
+    return f"""
+WITH b AS (
+  SELECT doc_id, source AS domain, {ntok} AS n_tokens FROM documents),
+t AS (SELECT domain, sum(n_tokens)::bigint AS domain_tokens
+      FROM b GROUP BY domain),
+r AS (SELECT domain, domain_tokens,
+        (CASE domain {whens} ELSE 0 END)::bigint AS target_tokens
+      FROM t),
+r2 AS (SELECT domain, domain_tokens, target_tokens,
+        (CASE WHEN domain_tokens <= 0 THEN 0
+              ELSE least(1000000,
+                         (target_tokens * 1000000) // domain_tokens)
+         END)::bigint AS rate_ppm
+       FROM r)
+SELECT b.doc_id, b.domain, b.n_tokens, r2.domain_tokens,
+  r2.target_tokens, r2.rate_ppm,
+  ((('0x' || substr(md5('mix/' || cast(b.doc_id AS varchar)), 1, 15))
+      ::bigint % 1000000) < r2.rate_ppm) AS kept
+FROM b JOIN r2 USING (domain)
+"""
+
+
+# The driver corpus draws from a ~40-word vocabulary, which degenerates
+# frequency-derived signals (every token near-ubiquitous → idf 0,
+# surprisal constant).  Appending one doc-unique marker token gives each
+# doc a df=1 term, so the oracle comparison exercises VARYING scores,
+# not just the constant case.  concat_ws skips NULL text in both engines.
+def _marked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+
+
+_DUCK_MARKED = """
+SELECT doc_id,
+  concat_ws(' ', text, 'm' || cast(doc_id AS varchar)) AS text
+FROM documents
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality score (see textstats.lm_score):
+    bit-quantized log2 (exact integers both engines), one trunc4'd
+    divide at the end."""
+    return ts.lm_score(_marked_docs(spark, sf_dir))
+
+
+def _sql_lm_score() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    return f"""
+WITH marked AS ({_DUCK_MARKED}),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM marked),
+freq AS (SELECT tok, count(*)::bigint AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c)::bigint AS total_c FROM freq),
+sur AS (SELECT tok,
+          (length(bin(total_c)) - length(bin(c)))::bigint AS surprisal
+        FROM freq, tot),
+sc AS (SELECT t.doc_id, count(*)::bigint AS n_tokens,
+         sum(s.surprisal)::bigint AS sum_surprisal
+       FROM tok t JOIN sur s USING (tok) GROUP BY t.doc_id)
+SELECT d.doc_id,
+  coalesce(sc.n_tokens, 0)::bigint AS n_tokens,
+  coalesce(sc.sum_surprisal, 0)::bigint AS sum_surprisal,
+  CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+       ELSE floor(sc.sum_surprisal::double / sc.n_tokens::double
+                  * 10000.0) / 10000.0
+  END AS lm_score
+FROM marked d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf with bit-quantized
+    idf — exact bigint scores, ties broken (score DESC, token ASC)."""
+    return ts.tfidf_topk(_marked_docs(spark, sf_dir), k=3)
+
+
+def _sql_tfidf_topk(k: int = 3) -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    return f"""
+WITH marked AS ({_DUCK_MARKED}),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM marked),
+tc AS (SELECT doc_id, token, count(*)::bigint AS tf
+       FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*)::bigint AS df_docs
+          FROM tc GROUP BY token),
+n AS (SELECT count(*)::bigint AS n_docs FROM marked),
+sc AS (SELECT tc.doc_id, tc.token, tc.tf, dfreq.df_docs,
+         (tc.tf * (length(bin(n.n_docs)) - length(bin(dfreq.df_docs))))
+           ::bigint AS score
+       FROM tc JOIN dfreq USING (token), n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+      FROM sc)
+SELECT doc_id, rnk::bigint AS rank, token, tf, df_docs, score
+FROM r WHERE rnk <= {k}
 """
 
 
@@ -2446,6 +2614,9 @@ def registry() -> dict[str, Entry]:
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
         "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+        "dedup_exact_incremental": (
+            q_dedup_exact_incremental, _sql_dedup_exact_incremental(),
+        ),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
@@ -2466,6 +2637,9 @@ def registry() -> dict[str, Entry]:
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
+        "lm_score": (q_lm_score, _sql_lm_score()),
+        "tfidf_topk": (q_tfidf_topk, _sql_tfidf_topk()),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
         # relational / windowed demos over the driver tables

@@ -312,3 +312,146 @@ def prefix_fingerprint(text: Column, n_tokens: int = 8) -> Column:
     the 'rolling hash head' used for cheap near-duplicate pre-bucketing."""
     head = F.array_join(F.slice(tokens(norm_text(text)), 1, n_tokens), " ")
     return portable_hash(head)
+
+
+def bitlen(col: Column) -> Column:
+    """``floor(log2(x)) + 1`` of a positive bigint as an EXACT integer
+    (the length of the binary representation).
+
+    This is the cross-engine log2 quantizer every surprisal/idf proxy in
+    this module builds on: ``ln``/``log2`` over doubles are not required
+    to be correctly rounded, so the JVM and DuckDB can disagree in the
+    last ulp and flip a trunc4 boundary — string-length-of-``bin()`` is
+    exact and identical in both engines (and in Python:
+    ``int.bit_length``)."""
+    return F.length(F.bin(col)).cast("bigint")
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_exploded: bool = True,
+) -> DataFrame:
+    """Unigram-LM quality scoring (the KenLM-perplexity stand-in of
+    CCNet/RedPajama-style curation): score each document by its average
+    per-token corpus surprisal, quantized to whole bits —
+    ``surprisal(t) = bitlen(total_occurrences) − bitlen(count(t))``
+    ≈ ``log2(total / count(t))``.  Rare-token-heavy documents (gibberish,
+    OCR noise, codes) score high; documents of common fluent text score
+    low — the same keep-the-middle signal a real LM gives, with bit
+    granularity (see :func:`bitlen` for why not ``ln``: the oracle must
+    replay the arithmetic exactly).
+
+    Output: ``(doc_id, n_tokens, sum_surprisal, lm_score)`` with
+    ``lm_score = trunc4(sum_surprisal / n_tokens)`` (0.0 for token-less
+    docs — they flow through, not vanish).
+
+    Shape for 100 TB: one explode feeds BOTH the frequency build and the
+    probe (``persist_exploded`` caches it — session-lifetime entry, same
+    caveat as dedup's sketch cache); the unigram table is one row per
+    distinct token (groupBy with map-side partial counts), joined back on
+    the token.  Broadcast it when the vocabulary fits (it usually does —
+    vocabularies grow sub-linearly in corpus size); a hot token is a
+    skewed probe key whose build side is ONE row, so AQE's skew-join
+    split handles the residual shuffle case.  In production the table is
+    typically capped to top-V with an OOV default and persisted across
+    runs; here it is exact so the oracle can replay it."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    if persist_exploded:
+        ex = ex.persist()
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total_c"))
+    surprisal = freq.join(F.broadcast(total)).select(
+        "tok",
+        (bitlen(F.col("total_c")) - bitlen(F.col("c"))).alias("surprisal"),
+    )
+    scored = (
+        ex.join(surprisal, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("surprisal").cast("bigint").alias("sum_surprisal"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("sum_surprisal", F.lit(0)).cast("bigint")
+            .alias("sum_surprisal"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                trunc4(
+                    F.col("sum_surprisal").cast("double")
+                    / F.col("n_tokens").cast("double")
+                )
+            ).alias("lm_score"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_counts: bool = True,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf with the
+    idf quantized to whole bits: ``idf(t) = bitlen(N) − bitlen(df_t)``
+    ≈ ``log2(N / df_t)`` (exact integers, see :func:`bitlen`), so
+    ``score = tf · idf`` is exact bigint arithmetic the oracle replays
+    bit-for-bit.  ``N`` = all input documents (including token-less ones,
+    which simply produce no output rows).
+
+    Determinism: ties rank by ``(score DESC, token ASC)`` under
+    ``row_number`` — total order, partitioning-independent.
+
+    Output: ``(doc_id, rank, token, tf, df_docs, score)``, ≤ k rows per
+    doc.  Shape for 100 TB: term counts are one (doc, token) groupBy
+    (map-side combine); document frequency reuses those counts with a
+    second groupBy on token (one row per distinct token — broadcast
+    join back); the top-k window shuffles by doc_id only.  No shuffle
+    carries raw text.  ``persist_counts`` caches the (doc, token, tf)
+    table that feeds both the df build and the probe."""
+    tc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    if persist_counts:
+        tc = tc.persist()
+    dfreq = tc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.join(F.broadcast(n_docs)).select(
+        "token",
+        "df_docs",
+        (bitlen(F.col("n_docs")) - bitlen(F.col("df_docs"))).alias("idf_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tc.join(idf, on="token")
+        .select(
+            "doc_id", "token", "tf", "df_docs",
+            (F.col("tf") * F.col("idf_q")).cast("bigint").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df_docs", "score")
+    )

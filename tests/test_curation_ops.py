@@ -1148,3 +1148,132 @@ def test_wide_dims_flat_fallback_matches_narrow_arithmetic(spark):
         }
 
     assert res(df_n, narrow) == res(df_w, wide)
+
+
+# ------------------------------------------------- round-4 curation ops
+
+def test_lm_score_matches_exact_python_twin(spark):
+    """Bit-quantized unigram surprisal: every intermediate is an exact
+    integer, so a plain-Python twin must agree bit-for-bit (including
+    the one trunc4'd divide), and token-less docs score 0.0."""
+    import math
+
+    from ocr_spark.textstats import lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the"),
+        (3, "quux"),
+        (4, ""),          # token-less: flows through at 0.0
+        (5, None),        # NULL text: same contract as empty
+    ]
+    df = _df(spark, rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_tokens, r.sum_surprisal, r.lm_score)
+           for r in lm_score(df, persist_exploded=False).collect()}
+
+    toks = {i: (t or "").split() for i, t in rows}
+    freq: dict = {}
+    for ts_ in toks.values():
+        for t in ts_:
+            freq[t] = freq.get(t, 0) + 1
+    total = sum(freq.values())
+    want = {}
+    for i, ts_ in toks.items():
+        s = sum(total.bit_length() - freq[t].bit_length() for t in ts_)
+        n = len(ts_)
+        score = math.floor(s / n * 10000) / 10000 if n else 0.0
+        want[i] = (n, s, score)
+    assert got == want
+
+
+def test_tfidf_topk_ranks_and_ties(spark):
+    """Characteristic (rare) terms outrank ubiquitous ones; ties break
+    token-ascending; k bounds the per-doc output."""
+    from ocr_spark.textstats import tfidf_topk
+
+    df = _df(spark, [
+        (1, "common zebra common common"),
+        (2, "common apple banana"),
+        (3, "common common"),
+        (4, ""),
+    ], "doc_id bigint, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # token-less docs produce no term rows
+    # N=4 docs (bitlen 3); df(common)=3 (bitlen 2) → idf 1;
+    # df(zebra|apple|banana)=1 (bitlen 1) → idf 2
+    d1 = {r.rank: (r.token, r.score) for r in by_doc[1]}
+    assert d1 == {1: ("common", 3), 2: ("zebra", 2)}
+    d2 = {r.rank: (r.token, r.score) for r in by_doc[2]}
+    # apple and banana tie at tf*idf = 2 → token-ascending
+    assert d2 == {1: ("apple", 2), 2: ("banana", 2)}
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Integer allocation/rate arithmetic and pure-function membership:
+    the capped domain keeps everything, the zero-weight domain keeps
+    nothing, and kept matches the hash threshold recomputed in Python."""
+    from ocr_spark.assembly import mixture_sample
+    from ocr_spark.textstats import py_portable_hash
+
+    rows = [
+        # domain a: 3 docs x 2 tokens = 6 tokens (weight 3)
+        (1, "a", "t t"), (2, "a", "t t"), (3, "a", "t t"),
+        # domain b: 4 docs x 5 tokens = 20 tokens (weight 1)
+        (4, "b", "u u u u u"), (5, "b", "u u u u u"),
+        (6, "b", "u u u u u"), (7, "b", "u u u u u"),
+        # domain c: no weight -> rate 0
+        (8, "c", "v v v"),
+    ]
+    df = _df(spark, rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: r for r in mixture_sample(
+        df, {"a": 3, "b": 1}, budget_tokens=8).collect()}
+    assert len(out) == 8  # one row per input doc
+    # a: target = 8*3//4 = 6 >= 6 tokens -> rate capped at 1e6, all kept
+    assert all(out[i].rate_ppm == 1000000 and out[i].kept
+               for i in (1, 2, 3))
+    # b: target = 8*1//4 = 2; rate = 2*1e6 // 20 = 100000
+    assert out[4].target_tokens == 2 and out[4].rate_ppm == 100000
+    for i in (4, 5, 6, 7):
+        want = (py_portable_hash(f"mix/{i}") % 1000000) < 100000
+        assert out[i].kept == want
+    # c: zero weight -> rate 0, never kept
+    assert out[8].rate_ppm == 0 and not out[8].kept
+
+
+def test_exact_incremental_first_run_wins_and_union_equivalence(spark):
+    """Two-batch incremental exact dedup: a delta doc identical to a
+    committed doc is dropped (first-run-wins); within the delta the min
+    id wins; and the kept set over both runs equals batch-ordered exact
+    dedup of the full corpus."""
+    from ocr_spark.dedup import (
+        exact_digests,
+        exact_duplicates_incremental,
+    )
+
+    batch1 = _df(spark, [
+        (1, "alpha beta"), (2, "gamma"), (3, "alpha  beta"),  # 3 dups 1
+    ], "doc_id bigint, text string")
+    batch2 = _df(spark, [
+        (10, "ALPHA BETA"),   # dup of committed 1 (case-normalized)
+        (11, "delta"), (12, "delta"),  # new near pair: 11 canonical
+        (13, None),            # NULL text: not dedupable, excluded
+    ], "doc_id bigint, text string")
+
+    d1 = exact_digests(batch1)
+    first = exact_duplicates_incremental(d1, None)
+    kept1 = {r.id for r in first.collect() if r.kept}
+    assert kept1 == {1, 2}
+
+    committed = d1  # commit the full first batch (store append stand-in)
+    second = exact_duplicates_incremental(exact_digests(batch2), committed)
+    rows2 = {r.id: r for r in second.collect()}
+    assert set(rows2) == {10, 11, 12}  # NULL-text 13 excluded
+    assert rows2[10].dup_of_committed and not rows2[10].kept
+    assert rows2[11].kept and rows2[11].new_canonical_id == 11
+    assert not rows2[12].kept and rows2[12].new_canonical_id == 11
+    kept2 = {r.id for r in second.collect() if r.kept}
+    assert kept1 | kept2 == {1, 2, 11}
