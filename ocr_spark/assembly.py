@@ -141,6 +141,17 @@ def mixture_sample(
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("mixture weights must sum to a positive value")
+    # The in-plan rate needs target·10^6 as a bigint; non-ANSI Spark
+    # WRAPS int64 overflow silently (wrong rates, no error), so refuse
+    # budgets past the exact bound up front.  ~9.2×10^12 tokens covers
+    # tens of TB of text per job; for more, shard the budget across jobs
+    # (or re-derive the rate at coarser ppm granularity).
+    if budget_tokens * 1_000_000 >= 2 ** 63:
+        raise ValueError(
+            "budget_tokens too large for exact ppm arithmetic "
+            f"({budget_tokens:.3g} * 1e6 overflows int64); split the "
+            "budget across jobs"
+        )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),

@@ -262,9 +262,14 @@ def exact_duplicates_incremental(
     rejoined on the same key (no extra shuffle — the partitioning is
     reused), plus one left join of delta digests against the store,
     digest-keyed; the committed side contributes a scan and the join
-    probe, never a committed × committed grouping.  Precondition: new
-    ids are disjoint from committed ids (the store append is the commit
-    point), mirroring :func:`incremental_minhash_pairs`."""
+    probe, never a committed × committed grouping.  (The store digests
+    are ``distinct``-ed before the probe — a shuffle that is pure
+    defense when the store follows the kept-rows-only commit protocol,
+    which keeps it digest-unique by construction, but prevents silent
+    row multiplication if a caller committed a raw batch.)
+    Precondition: new ids are disjoint from committed ids (the store
+    append is the commit point), mirroring
+    :func:`incremental_minhash_pairs`."""
     canon = new_digests.groupBy("digest").agg(
         F.min("id").alias("new_canonical_id")
     )

@@ -1277,3 +1277,15 @@ def test_exact_incremental_first_run_wins_and_union_equivalence(spark):
     assert not rows2[12].kept and rows2[12].new_canonical_id == 11
     kept2 = {r.id for r in second.collect() if r.kept}
     assert kept1 | kept2 == {1, 2, 11}
+
+
+def test_mixture_sample_rejects_overflowing_budget():
+    """Non-ANSI Spark wraps int64 overflow silently; the ppm arithmetic
+    must refuse budgets past the exact bound instead (fires before any
+    plan is built — no session needed)."""
+    from ocr_spark.assembly import mixture_sample
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        mixture_sample(None, {"a": 1}, budget_tokens=2 ** 63)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(None, {}, budget_tokens=10)
