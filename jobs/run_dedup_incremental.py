@@ -1,0 +1,141 @@
+"""spark-submit entry point for cross-run incremental dedup.
+
+    spark-submit --py-files ocr_spark.zip jobs/run_dedup_incremental.py \
+        --docs /data/new_docs --store /data/dedup_store \
+        --out /data/dedup/run1 [--threshold 0.3]
+
+Each run deduplicates ONE delta (a new batch of ``(doc_id, text)`` rows)
+against the committed corpus without ever re-pairing the corpus with
+itself:
+
+1. exact pass — the delta's text digests against the store's ``digests``
+   table (first-run-wins; min-id-wins within the delta);
+2. near-dup pass — MinHash sketches of the exact-survivors banded
+   against themselves and against the store's ``sketches`` table;
+3. commit — the exact-kept rows' digests and sketches are appended to
+   the store (tableio snapshot-append: data first, atomic manifest swap
+   second — a crashed run leaves the store at its previous snapshot and
+   the whole run is retryable).
+
+Because sketches and digests are pure per-document functions, the union
+of every run's outputs equals the one-shot full-corpus result (pinned by
+tests/test_dedup_incremental_job.py); the committed side only ever
+contributes a band/digest scan plus the join probe, which is what makes
+repeated 100 TB ingest affordable.
+
+Sandbox mode: ``--synthetic N --start S`` generates ids [S, S+N) of the
+deterministic dup-structured corpus (ocr_spark.corpus.synthetic_documents)
+instead of reading ``--docs``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Local runs (`python jobs/run_dedup_incremental.py`) put jobs/ on
+# sys.path, not the repo root; on a cluster --py-files ships the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", help="parquet dir: new batch (doc_id, text)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic docs instead of reading --docs")
+    p.add_argument("--start", type=int, default=0,
+                   help="first synthetic doc id (id ranges must be disjoint "
+                        "across runs — the store commit is the id authority)")
+    p.add_argument("--store", required=True,
+                   help="committed digest/sketch store root (tableio)")
+    p.add_argument("--out", required=True, help="output dir for this run")
+    p.add_argument("--threshold", type=float, default=0.3,
+                   help="near-dup Jaccard verify threshold")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.corpus import synthetic_documents
+    from ocr_spark.dedup import (
+        exact_digests,
+        exact_duplicates_incremental,
+        incremental_minhash_pairs,
+        minhash_sketches,
+    )
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.session import get_spark
+    from ocr_spark.tableio import ParquetManifestIO
+
+    # Re-entrant for in-process tests: if a session already exists
+    # (getOrCreate returns it untouched), this run must not stop it —
+    # the job owns the session only when it created one.
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("ocr-spark-dedup-incremental", master="submit")
+    if args.synthetic:
+        docs = synthetic_documents(spark, args.synthetic, start=args.start)
+    else:
+        if not args.docs:
+            p.error("--docs required unless --synthetic")
+        docs = spark.read.parquet(args.docs)
+
+    io = ParquetManifestIO(args.store)
+    has_store = os.path.exists(
+        os.path.join(args.store, "digests", "manifest.json")
+    )
+    committed_digests = io.read(spark, "digests") if has_store else None
+    committed_sketches = io.read(spark, "sketches") if has_store else None
+
+    # exact pass — the decision table is this run's primary output
+    exact = exact_duplicates_incremental(
+        exact_digests(docs), committed_digests
+    ).persist()  # feeds the kept filter, the commit append, and counts
+    exact.write.mode("errorifexists").parquet(f"{args.out}/exact")
+    kept_ids = exact.filter("kept").select("id")
+
+    # near-dup pass over the exact survivors only (standard order: exact
+    # dedup first so byte-identical docs never reach the band join)
+    survivors = docs.join(
+        kept_ids, docs.doc_id == kept_ids.id, "leftsemi"
+    )
+    sketches = minhash_sketches(survivors)
+    pairs = incremental_minhash_pairs(
+        sketches, committed_sketches, verify_threshold=args.threshold
+    )
+    pairs.write.mode("errorifexists").parquet(f"{args.out}/pairs")
+
+    # commit — kept digests + survivor sketches become the next run's
+    # committed side.  Appending KEPT rows only keeps the digest store
+    # digest-unique by construction (see exact_duplicates_incremental).
+    digest_snap = io.append(
+        exact.filter("kept").select("id", "digest"), "digests"
+    )
+    sketch_snap = io.append(sketches, "sketches")
+
+    counts = exact.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("dup_of_committed").cast("bigint")).alias(
+            "n_dup_of_committed"
+        ),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    ).first()
+    summary = {
+        "n_new": counts["n_new"],
+        "n_dup_of_committed": int(counts["n_dup_of_committed"] or 0),
+        "n_kept": int(counts["n_kept"] or 0),
+        "n_near_pairs": spark.read.parquet(f"{args.out}/pairs").count(),
+        "digest_snapshot": digest_snap,
+        "sketch_snapshot": sketch_snap,
+    }
+    exact.unpersist()
+    json.dump(summary, sys.stdout)
+    print()
+    if owns_session:
+        spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

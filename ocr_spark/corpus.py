@@ -90,3 +90,50 @@ def docs_count_for_sf(spark: SparkSession, sf_dir: str) -> int:
     interleaved document per row of ``documents.parquet`` at that SF
     (500 @ sf0.01, 5000 @ sf0.1)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+# Cross-run dedup corpus: every doc's text is a PURE FUNCTION of its id
+# (no batching state), so any split of an id range into runs produces
+# byte-identical documents — the property the incremental-dedup job's
+# two-runs == one-run equivalence test rests on.
+DUP_GAP = 50  # id%10==6 docs exactly duplicate the doc DUP_GAP below
+
+
+def synthetic_documents(
+    spark: SparkSession, n_docs: int, start: int = 0,
+    vocab: int = 30_000, doc_tokens: int = 40,
+) -> DataFrame:
+    """``(doc_id, text)`` for ids ``[start, start+n_docs)``, generated
+    executor-side as a pure Catalyst expression tree (no driver lists).
+
+    Built-in duplicate structure, all pure functions of the id:
+    ids ``% 10 == 1`` are heavy NEAR-dups of ``id−1`` (every 7th token
+    dropped, J ≈ 0.5); ids ``% 10 == 6`` are EXACT dups of
+    ``id % DUP_GAP`` (the mod RESOLVES the dup chain in one step — a
+    subtractive ``id − DUP_GAP`` would point 106 at 56 whose own text is
+    already redirected, so nothing would actually match) — every exact
+    group spans all batches, so consecutive id-range runs always carry
+    cross-batch duplicates."""
+    from pyspark.sql import functions as F
+
+    doc_id = F.col("id")
+    exact_src = F.when(
+        doc_id % 10 == 6, doc_id % DUP_GAP
+    ).otherwise(doc_id)
+    base_id = F.when(exact_src % 10 == 1, exact_src - 1).otherwise(exact_src)
+
+    def tok(j):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base_id * 53 + j), F.lit(vocab))
+            .cast("string"),
+        )
+
+    toks = F.transform(F.sequence(F.lit(0), F.lit(doc_tokens - 1)), tok)
+    kept = F.when(
+        exact_src % 10 == 1, F.filter(toks, lambda _x, i: i % 7 != 0)
+    ).otherwise(toks)
+    return (
+        spark.range(start, start + n_docs)
+        .select(doc_id.alias("doc_id"), F.array_join(kept, " ").alias("text"))
+    )
