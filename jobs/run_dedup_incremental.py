@@ -8,14 +8,19 @@ Each run deduplicates ONE delta (a new batch of ``(doc_id, text)`` rows)
 against the committed corpus without ever re-pairing the corpus with
 itself:
 
-1. exact pass — the delta's text digests against the store's ``digests``
-   table (first-run-wins; min-id-wins within the delta);
+1. exact pass — the delta's text digests against the store's committed
+   digests (first-run-wins; min-id-wins within the delta);
 2. near-dup pass — MinHash sketches of the exact-survivors banded
-   against themselves and against the store's ``sketches`` table;
-3. commit — the exact-kept rows' digests and sketches are appended to
-   the store (tableio snapshot-append: data first, atomic manifest swap
-   second — a crashed run leaves the store at its previous snapshot and
-   the whole run is retryable).
+   against themselves and against the store's committed sketches;
+3. commit — ONE ``signatures`` table row ``(id, digest, sh, sig)`` per
+   kept doc, appended in a SINGLE tableio snapshot (data first, atomic
+   manifest swap second).  Digests and sketches deliberately share a
+   table: two separate appends would open a crash window in which the
+   exact store is ahead of the near-dup store — a retried delta would
+   then be classified dup-of-committed and its sketches never committed,
+   silently losing near-dup recall forever.  One table, one commit
+   point: a crashed run leaves the store at its previous snapshot and
+   the whole run is retryable (under a fresh ``--out``).
 
 Because sketches and digests are pure per-document functions, the union
 of every run's outputs equals the one-shot full-corpus result (pinned by
@@ -83,10 +88,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     io = ParquetManifestIO(args.store)
     has_store = os.path.exists(
-        os.path.join(args.store, "digests", "manifest.json")
+        os.path.join(args.store, "signatures", "manifest.json")
     )
-    committed_digests = io.read(spark, "digests") if has_store else None
-    committed_sketches = io.read(spark, "sketches") if has_store else None
+    committed = io.read(spark, "signatures") if has_store else None
+    committed_digests = (
+        committed.select("id", "digest") if committed is not None else None
+    )
+    committed_sketches = (
+        committed.select("id", "sh", "sig") if committed is not None else None
+    )
 
     # exact pass — the decision table is this run's primary output
     exact = exact_duplicates_incremental(
@@ -106,13 +116,16 @@ def main(argv: list[str] | None = None) -> dict:
     )
     pairs.write.mode("errorifexists").parquet(f"{args.out}/pairs")
 
-    # commit — kept digests + survivor sketches become the next run's
-    # committed side.  Appending KEPT rows only keeps the digest store
-    # digest-unique by construction (see exact_duplicates_incremental).
-    digest_snap = io.append(
-        exact.filter("kept").select("id", "digest"), "digests"
+    # commit — kept rows' (digest, sketch) become the next run's
+    # committed side, in ONE atomic snapshot (see the module docstring
+    # for why the two signatures must not commit separately).  Appending
+    # KEPT rows only keeps the store digest-unique by construction (see
+    # exact_duplicates_incremental); the survivors ARE the kept ids, so
+    # this join is a bijection over rows both sides already cached.
+    store_snap = io.append(
+        exact.filter("kept").select("id", "digest").join(sketches, on="id"),
+        "signatures",
     )
-    sketch_snap = io.append(sketches, "sketches")
 
     counts = exact.agg(
         F.count(F.lit(1)).alias("n_new"),
@@ -126,10 +139,10 @@ def main(argv: list[str] | None = None) -> dict:
         "n_dup_of_committed": int(counts["n_dup_of_committed"] or 0),
         "n_kept": int(counts["n_kept"] or 0),
         "n_near_pairs": spark.read.parquet(f"{args.out}/pairs").count(),
-        "digest_snapshot": digest_snap,
-        "sketch_snapshot": sketch_snap,
+        "store_snapshot": store_snap,
     }
     exact.unpersist()
+    sketches.unpersist()  # persisted inside incremental_minhash_pairs
     json.dump(summary, sys.stdout)
     print()
     if owns_session:

@@ -1,8 +1,8 @@
 """End-to-end cross-run incremental dedup job: two consecutive runs over
 disjoint id ranges through a REAL on-disk store must together produce
 exactly what one full-corpus run produces — the run-union equivalence the
-job's docstring promises — and the store must advance one snapshot pair
-per run."""
+job's docstring promises — and the store must advance exactly one
+unified-signatures snapshot per run."""
 
 from __future__ import annotations
 
@@ -40,12 +40,16 @@ def test_two_runs_equal_one_run(spark, tmp_path):
     # the synthetic corpus guarantees cross-batch exact dups (id%10==6
     # groups span batches) — run B must actually hit the committed store
     assert a["n_dup_of_committed"] == 0 and b["n_dup_of_committed"] > 0
-    assert (a["digest_snapshot"], b["digest_snapshot"]) == (0, 1)
-    assert (a["sketch_snapshot"], b["sketch_snapshot"]) == (0, 1)
+    # ONE unified signatures table, one atomic snapshot per run (two
+    # separate digest/sketch commits would open a crash window — see the
+    # job's module docstring)
+    assert (a["store_snapshot"], b["store_snapshot"]) == (0, 1)
     manifest = json.load(
-        open(os.path.join(store, "digests", "manifest.json"))
+        open(os.path.join(store, "signatures", "manifest.json"))
     )
     assert len(manifest["snapshots"]) == 2
+    assert not os.path.exists(os.path.join(store, "digests"))
+    assert not os.path.exists(os.path.join(store, "sketches"))
 
     # one-shot ground truth over the SAME full corpus (pure function of
     # the id, so batching cannot change any document)
