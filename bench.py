@@ -42,6 +42,7 @@ HEADLINE = [
     "langid",
     "fingerprint",
     "dedup_exact",
+    "strip_dup_passages",    # k-gram substring dedup + token cut (round 4)
     "lineitem_pricing",
     "orders_by_segment",
     "events_sessions",

@@ -45,10 +45,14 @@ def eval_gram_table(
     return (
         eval_set.select(
             F.col(eval_id_col).alias("eval_id"),
-            F.explode(
+            # outer + null filter: the inferred size>0 pre-filter for a
+            # non-outer explode re-evaluates the shingle expression at
+            # the scan (see dedup._dup_gram_positions).
+            F.explode_outer(
                 shingle_hashes(tokens(F.col(text_col)), n)
             ).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
 
@@ -77,10 +81,11 @@ def decontaminate(
     eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
     dg = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
+        # outer + null filter — same trap as eval_gram_table above.
+        F.explode_outer(
             shingle_hashes(tokens(F.col(text_col)), n)
         ).alias("g"),
-    )
+    ).filter(F.col("g").isNotNull())
     hits = (
         dg.join(F.broadcast(eg), on="g")
         .groupBy("doc_id")

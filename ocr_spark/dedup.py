@@ -468,8 +468,15 @@ def band_table(
                   "sketch store written with a different k?)"),
         ))
     )
-    return sketches.select("id", F.explode(guarded).alias("band")).select(
-        "id", "band.band_idx", "band.band_hash"
+    # explode_OUTER + null filter (not plain explode): the optimizer's
+    # inferred `size(...) > 0` pre-filter for non-outer generators
+    # re-evaluates the band expression below the exchange — see
+    # _dup_gram_positions for the measurement.  k ≥ 1 means no row is
+    # ever actually null here (and a null sig raises in `guarded`).
+    return (
+        sketches.select("id", F.explode_outer(guarded).alias("band"))
+        .filter(F.col("band").isNotNull())
+        .select("id", "band.band_idx", "band.band_hash")
     )
 
 
@@ -656,8 +663,15 @@ def drop_frequent_lines(
         ).alias("lines"),
     )
     exploded = base.select(
-        "id", F.posexplode("lines").alias("pos", "line")
-    ).withColumn("line_h", portable_hash(F.col("line")))
+        # outer + null filter: avoids the inferred size>0 pre-filter
+        # re-evaluating a caller-synthesized lines expression at the
+        # scan (see _dup_gram_positions).  Docs with empty lines arrays
+        # contribute nothing either way; null ELEMENTS were already
+        # stripped in `base`.
+        "id", F.posexplode_outer("lines").alias("pos", "line")
+    ).filter(F.col("pos").isNotNull()).withColumn(
+        "line_h", portable_hash(F.col("line"))
+    )
     if persist_exploded:
         exploded = exploded.persist()
     doc_freq = exploded.groupBy("line_h").agg(
@@ -1029,7 +1043,10 @@ def simhash_pairs(
     )
     blocks = simhash_blocks(F.col("sig"), bits=bits, max_hamming=max_hamming)
     banded = (
-        base.select("id", "sig", F.explode(blocks).alias("b"))
+        # outer + null filter: see _dup_gram_positions for why not plain
+        # explode (inferred pre-filter duplicates the block arithmetic).
+        base.select("id", "sig", F.explode_outer(blocks).alias("b"))
+        .filter(F.col("b").isNotNull())
         .select("id", "sig", "b.block_idx", "b.block_val")
     )
     cand = (
@@ -1053,4 +1070,180 @@ def simhash_pairs(
             ).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ duplicated passages
+
+def _dup_gram_positions(
+    df: DataFrame,
+    k: int,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+    persist_grams: bool = True,
+) -> DataFrame:
+    """``(id, pos)`` — 0-based token positions that START a ``k``-token
+    window whose gram occurs in at least ``min_docs`` DISTINCT documents.
+
+    The gram table is built per row (narrow: one ``transform`` over the
+    token array, then ``posexplode``); document frequency is one
+    ``(gram, id)`` distinct + one groupBy on the 60-bit gram hash (bigint
+    keys shuffle a fraction of the raw-text bytes, same trade as
+    :func:`drop_frequent_lines`); marking is one equi-join back on the
+    hash.  ``persist_grams`` caches the exploded gram table — it feeds
+    both the frequency build side and the probe side (session-lifetime
+    cache entry, same caveat as the minhash sketch)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # posexplode_OUTER + a cheap null filter, NOT plain posexplode: the
+    # optimizer infers a `size(grams) > 0` pre-filter for non-outer
+    # generators and pushes it through the exchange to the scan, where
+    # the whole interpreted gram expression re-evaluates per doc on the
+    # scan's (often single-row-group → single-core) partitioning —
+    # measured 3.4 s vs 0.6 s for this stage at sf0.1.  The outer form
+    # gets no inferred filter; the null check runs on Generate OUTPUT.
+    gt = (
+        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .select("id", F.posexplode_outer("grams").alias("pos", "gram_h"))
+        .filter(F.col("pos").isNotNull())
+    )
+    if persist_grams:
+        gt = gt.persist()
+    freq = (
+        gt.select("gram_h", "id")
+        .distinct()
+        .groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+    return gt.join(freq.select("gram_h"), on="gram_h").select("id", "pos")
+
+
+def dup_passages(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_grams: bool = True,
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find maximal token
+    spans that repeat across documents, not just whole-document or
+    whole-line repeats — boilerplate paragraphs, license blocks, and
+    quoted passages duplicate at this granularity while the documents
+    around them stay unique.
+
+    True suffix-array substring dedup is inherently sequential; the
+    distributed-engine shape is the k-gram approximation: a span is
+    duplicated iff every ``k``-token window inside it occurs in
+    ``min_docs``-or-more distinct documents, and overlapping/adjacent
+    duplicated windows merge into maximal spans (gaps-and-islands over
+    the window start positions — a break where consecutive marked
+    positions are more than ``k`` apart).  This finds exactly the
+    duplicated substrings of length ≥ k, with span boundaries resolved
+    to token granularity.  ALL occurrences are marked (cross-document
+    frequency semantics, like :func:`drop_frequent_lines`): choosing a
+    single survivor per passage would need a global canonical order —
+    real pipelines drop every copy of high-frequency passages.
+
+    Output: ``(id, span_start, span_end, span_tokens, n_grams)`` — one
+    row per maximal duplicated span, 0-based token offsets,
+    ``span_end`` exclusive.
+
+    Shape for 100 TB: the gram explode is narrow; frequency is one
+    groupBy on the bigint gram hash (map-side combine); the join back is
+    gram-keyed; the islands window shuffles on doc id only.  A corpus-
+    ubiquitous passage is a hot gram key — its frequency row is on the
+    one-row-per-gram side, and AQE skew-join splits the residual probe.
+    No stage ever holds more than one document's positions in order."""
+    from pyspark.sql import Window
+
+    marked = _dup_gram_positions(
+        df, k, min_docs, text_col, id_col, persist_grams
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos", 1).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") - prev > k), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def strip_dup_passages(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_grams: bool = True,
+) -> DataFrame:
+    """Cut every duplicated passage (see :func:`dup_passages`) out of the
+    text: tokens covered by any duplicated span are removed, the rest
+    re-join with single spaces IN ORIGINAL ORDER.  Every document flows
+    through (untouched docs too — their text is re-joined from tokens the
+    same way, so output whitespace is canonical regardless of input
+    spacing; NULL/empty text → ``''``).
+
+    Output: ``(id, clean_text, n_tokens_in, n_tokens_kept)``.
+
+    Shape: the span table collects to ONE small array per affected doc
+    (``collect_list`` after the islands merge — spans per doc are few by
+    construction), broadcast back onto the doc row by id; the token cut
+    is then a narrow per-row ``filter`` by index.  No second explode of
+    the corpus."""
+    spans = dup_passages(df, k, min_docs, text_col, id_col, persist_grams)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    empty = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    joined = base.join(per_doc, on="id", how="left").select(
+        "id", "toks", F.coalesce("spans", empty).alias("spans")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda _x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.withColumn("kept", kept).select(
+        "id",
+        F.array_join("kept", " ").alias("clean_text"),
+        F.size("toks").cast("bigint").alias("n_tokens_in"),
+        F.size("kept").cast("bigint").alias("n_tokens_kept"),
     )

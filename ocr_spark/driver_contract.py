@@ -921,6 +921,113 @@ FROM delta d JOIN canon c USING (digest)
 """
 
 
+# Passage-dup corpus (dialect-neutral — runs in BOTH engines): every 3rd
+# doc gets a copy of its first 120 characters plus a doc-unique tail, so
+# original and copy share a multi-token PREFIX passage while neither is a
+# whole-doc duplicate (the copy's final token is usually truncated
+# mid-word, which also exercises the window-boundary semantics: grams
+# touching the truncated token must NOT match).
+_PASSAGE_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       concat(substr(text, 1, 120), ' zq', cast(doc_id AS string)) AS text
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+def _passage_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ["documents"])
+    return _spread(spark.sql(_PASSAGE_CORPUS_SQL))
+
+
+_PASSAGE_K = 8  # min duplicated-passage length (tokens), shared with SQL
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-gram exact substring-duplication spans (see dedup.dup_passages):
+    maximal cross-document duplicated token spans, gaps-and-islands
+    merged, all offsets exact bigints — the whole table oracle-replays."""
+    from ocr_spark.dedup import dup_passages
+
+    return dup_passages(
+        _passage_corpus(spark, sf_dir), k=_PASSAGE_K
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_strip_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage removal (see dedup.strip_dup_passages): covered
+    tokens cut, survivors re-joined in order; every doc flows through."""
+    from ocr_spark.dedup import strip_dup_passages
+
+    return strip_dup_passages(
+        _passage_corpus(spark, sf_dir), k=_PASSAGE_K
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _passage_marked_cte(k: int) -> str:
+    """Shared oracle CTE chain ending in ``m(doc_id, pos)`` — the marked
+    gram start positions (mirrors dedup._dup_gram_positions)."""
+    toks = _DUCK_TOKENS.format(t="text")
+    gram_h = _DUCK_HASH.format(
+        x=f"array_to_string(list_slice(tk, i, i + {k - 1}), ' ')"
+    )
+    return f"""corpus AS ({_PASSAGE_CORPUS_SQL}),
+t AS (SELECT doc_id, {toks} AS tk FROM corpus),
+g0 AS (SELECT doc_id, tk,
+         CASE WHEN len(tk) >= {k} THEN generate_series(1, len(tk) - {k - 1})
+              ELSE []::bigint[] END AS idxs
+       FROM t),
+g AS (SELECT doc_id,
+        unnest(idxs) - 1 AS pos,
+        unnest(list_transform(idxs, i -> {gram_h})) AS gram_h
+      FROM g0),
+f AS (SELECT gram_h
+      FROM (SELECT gram_h, count(DISTINCT doc_id) AS df_docs
+            FROM g GROUP BY gram_h)
+      WHERE df_docs >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram_h))"""
+
+
+def _sql_dup_passages(k: int = _PASSAGE_K) -> str:
+    return f"""
+WITH {_passage_marked_cte(k)},
+m2 AS (SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {k}
+              THEN 1 ELSE 0 END AS brk
+       FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+m3 AS (SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       FROM m2)
+SELECT doc_id, min(pos)::bigint AS span_start,
+  (max(pos) + {k})::bigint AS span_end,
+  (max(pos) + {k} - min(pos))::bigint AS span_tokens,
+  count(*)::bigint AS n_grams
+FROM m3 GROUP BY doc_id, island
+"""
+
+
+def _sql_strip_dup_passages(k: int = _PASSAGE_K) -> str:
+    return f"""
+WITH {_passage_marked_cte(k)},
+cov AS (SELECT DISTINCT doc_id, tp FROM
+          (SELECT doc_id, unnest(generate_series(pos, pos + {k - 1})) AS tp
+           FROM m)),
+tok AS (SELECT doc_id, unnest(tk) AS tok,
+          generate_subscripts(tk, 1) - 1 AS tp
+        FROM t),
+kept AS (SELECT tok.doc_id, tok.tok, tok.tp
+         FROM tok ANTI JOIN cov USING (doc_id, tp))
+SELECT t.doc_id,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.tp), '') AS clean_text,
+  len(t.tk)::bigint AS n_tokens_in,
+  count(k.tok)::bigint AS n_tokens_kept
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.tk)
+"""
+
+
 def _sql_dedup_clusters() -> str:
     """Connected components over the minhash pair edges as a recursive
     CTE: min reachable node id per node = the cluster label the Spark
@@ -2616,6 +2723,10 @@ def registry() -> dict[str, Entry]:
         "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
         "dedup_exact_incremental": (
             q_dedup_exact_incremental, _sql_dedup_exact_incremental(),
+        ),
+        "dup_passages": (q_dup_passages, _sql_dup_passages()),
+        "strip_dup_passages": (
+            q_strip_dup_passages, _sql_strip_dup_passages(),
         ),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),

@@ -513,8 +513,11 @@ def ivf_search(
         "query_id",
         *_flat_names(dims, "q"),
         "qnrm",
-        F.explode("cells").alias("cell"),
-    )
+        # outer + null filter: the inferred size>0 pre-filter would
+        # re-score every centroid per query row a second time (see
+        # dedup._dup_gram_positions).  n_probes ≥ 1 → never null.
+        F.explode_outer("cells").alias("cell"),
+    ).filter(F.col("cell").isNotNull())
 
     cand = indexed.join(F.broadcast(q), on="cell").filter(
         F.col("id") != F.col("query_id")
@@ -694,9 +697,14 @@ def lsh_ann_pairs(
         )
         if persist_base:
             prep = prep.persist()
-        banded = prep.select(
-            "id", F.explode(tables).alias("b")
-        ).select("id", "b.tbl", "b.bucket")
+        # outer + null filter: see dedup._dup_gram_positions — a plain
+        # explode's inferred size>0 pre-filter re-evaluates the bucket
+        # hashing against the cache scan.  `tables` is never empty.
+        banded = (
+            prep.select("id", F.explode_outer(tables).alias("b"))
+            .filter(F.col("b").isNotNull())
+            .select("id", "b.tbl", "b.bucket")
+        )
         # id pairs only through the multi-table join + distinct (the
         # vectors join back afterwards, keyed by the deduped pair set —
         # same discipline as the MinHash band join)

@@ -1289,3 +1289,77 @@ def test_mixture_sample_rejects_overflowing_budget():
         mixture_sample(None, {"a": 1}, budget_tokens=2 ** 63)
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(None, {}, budget_tokens=10)
+
+
+# ------------------------------------------------------ duplicated passages
+
+def _passage_corpus(spark):
+    shared = " ".join(f"s{i}" for i in range(10))   # 10-token shared run
+    shared2 = " ".join(f"t{i}" for i in range(9))   # 9-token shared run
+    return _df(spark, [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6 a7 a8 a9 a10 a11 {shared2} a12"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 {shared2} b13"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),       # unique
+        (4, "short doc"),                            # < k tokens
+        (5, "r1 r2 r3 r4 r5 r6 r7 r8 " * 2),         # intra-doc repeat only
+        (6, None),                                   # NULL text flows
+    ], "doc_id bigint, text string")
+
+
+def test_dup_passages_maximal_spans_cross_doc_only(spark):
+    from ocr_spark.dedup import dup_passages
+
+    got = {
+        (r.id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in dup_passages(_passage_corpus(spark), k=8).collect()
+    }
+    # doc 1: shared at tokens [3,13) (3 grams of 8 inside 10 tokens),
+    # shared2 at [21,30); doc 2 mirrors at [2,12) and [22,31).
+    assert got == {
+        (1, 3, 13, 10, 3), (1, 21, 30, 9, 2),
+        (2, 2, 12, 10, 3), (2, 22, 31, 9, 2),
+    }
+    # intra-doc repetition (doc 5) must NOT mark: min_docs counts
+    # DISTINCT documents, and docs 3/4/6 have nothing to share.
+
+
+def test_dup_passages_merges_overlap_and_splits_on_gap(spark):
+    from ocr_spark.dedup import dup_passages
+
+    # two docs sharing their ENTIRE 12-token text: one maximal span each,
+    # not 5 separate gram rows
+    t = " ".join(f"w{i}" for i in range(12))
+    df = _df(spark, [(1, t), (2, t)], "doc_id bigint, text string")
+    got = [(r.span_start, r.span_end, r.n_grams)
+           for r in dup_passages(df, k=8).collect()]
+    assert got == [(0, 12, 5), (0, 12, 5)]
+
+
+def test_strip_dup_passages_cuts_exactly_covered_tokens(spark):
+    from ocr_spark.dedup import strip_dup_passages
+
+    out = {r.id: r for r in
+           strip_dup_passages(_passage_corpus(spark), k=8).collect()}
+    assert out[1].clean_text == "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    assert out[2].clean_text == (
+        "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13"
+    )
+    # untouched docs flow through with canonical whitespace
+    assert out[3].clean_text == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    assert out[4].clean_text == "short doc"
+    assert out[5].n_tokens_kept == out[5].n_tokens_in == 16
+    assert out[6].clean_text == "" and out[6].n_tokens_in == 0
+    # arithmetic invariant: kept = in − covered
+    assert out[1].n_tokens_in - out[1].n_tokens_kept == 10 + 9
+    assert out[2].n_tokens_in - out[2].n_tokens_kept == 10 + 9
+
+
+def test_dup_passages_min_docs_threshold(spark):
+    from ocr_spark.dedup import dup_passages
+
+    t = " ".join(f"p{i}" for i in range(8))
+    df = _df(spark, [
+        (1, t + " x1"), (2, t + " x2"), (3, t + " x3"),
+    ], "doc_id bigint, text string")
+    assert dup_passages(df, k=8, min_docs=4).count() == 0
+    assert dup_passages(df, k=8, min_docs=3).count() == 3
