@@ -1619,13 +1619,13 @@ def q_text_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = embed_hash(corpus, dims=EMBED_DIMS)
     return lsh_ann_pairs(
         emb, id_col="id", vec_col="vec",
-        planes=hyperplanes(4, dims=EMBED_DIMS), min_cosine=0.85,
+        planes=hyperplanes(6, dims=EMBED_DIMS), min_cosine=0.85,
     )
 
 
 def _sql_text_ann_pairs(dims: int = EMBED_DIMS) -> str:
     bits = []
-    for plane in hyperplanes(4, dims=dims):
+    for plane in hyperplanes(6, dims=dims):
         lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
         dot = _DUCK_DOT.format(a="vec", b=lit)
         bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
