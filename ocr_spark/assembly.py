@@ -198,3 +198,91 @@ def mixture_sample(
         "rate_ppm",
         (bucket < F.col("rate_ppm")).alias("kept"),
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str = "lm_score",
+    by: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    sample_denom: int | None = None,
+    salt: str = "sb",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: assign each
+    document to one of ``n_buckets`` score terciles WITHIN its group
+    (language/domain) — the step between LM scoring and mixture
+    sampling (CCNet keeps "head" and "middle", drops "tail").
+
+    Two shapes, selected by ``sample_denom``:
+
+    - ``None`` — EXACT ``ntile`` over ``(score, id)`` per group (total
+      order → partitioning-independent).  This sorts each group inside
+      one window partition: correct and oracle-replayable, but a group
+      at 100 TB does not fit one partition — use it when groups are
+      bounded (per-shard bucketing, evaluation slices).
+    - ``d`` — the SCALE shape, and what CCNet itself does: compute the
+      bucket BOUNDARIES on a deterministic hash sample (docs whose
+      ``hash(salt/id) % d == 0`` — reproducible across reruns, engines,
+      and partitionings, unlike ``df.sample``), then assign every doc by
+      comparing its score to the broadcast boundaries.  Only the sample
+      is ever sorted (bounded: |corpus|/d rows); the assignment is a
+      narrow broadcast-join + CASE.  Boundary ``t_i`` = max sampled
+      score in sample-ntile ``i``; doc bucket = smallest ``i`` with
+      ``score ≤ t_i``, else ``n_buckets``.  A group with NO sampled
+      rows gets bucket NULL — surfaced, not silently guessed; raise
+      ``1/d`` or pre-split tiny groups.
+
+    Output: ``(id, group, score, bucket)`` — one row per input doc.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(by).alias("grp"),
+        F.col(score_col).alias("score"),
+    )
+    if sample_denom is None:
+        wb = Window.partitionBy("grp").orderBy(
+            F.col("score").asc(), F.col("id").asc()
+        )
+        return base.select(
+            "id", "grp", "score",
+            F.ntile(n_buckets).over(wb).cast("bigint").alias("bucket"),
+        )
+    if sample_denom < 1:
+        raise ValueError("sample_denom must be >= 1")
+    sampled = base.filter(
+        portable_hash(
+            F.concat(F.lit(f"{salt}/"), F.col("id").cast("string"))
+        ) % sample_denom == 0
+    )
+    ws = Window.partitionBy("grp").orderBy(
+        F.col("score").asc(), F.col("id").asc()
+    )
+    bounds = (
+        sampled.select(
+            "grp", "score",
+            F.ntile(n_buckets).over(ws).alias("sb"),
+        )
+        .groupBy("grp")
+        .pivot("sb", list(range(1, n_buckets + 1)))
+        .agg(F.max("score"))
+        .select(
+            "grp",
+            *[F.col(str(i)).alias(f"t{i}") for i in range(1, n_buckets + 1)],
+        )
+    )
+    bucket = None
+    for i in range(1, n_buckets):
+        cond = F.col("score") <= F.col(f"t{i}")
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = (
+        bucket.otherwise(n_buckets) if bucket is not None
+        else F.lit(n_buckets)
+    )
+    # t1 is non-null for every sampled group (ntile 1 is never empty);
+    # a group absent from `bounds` — nothing sampled — yields NULL.
+    return base.join(F.broadcast(bounds), on="grp", how="left").select(
+        "id", "grp", "score",
+        F.when(F.col("t1").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(bucket.cast("bigint")).alias("bucket"),
+    )

@@ -1312,6 +1312,67 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (assembly.score_buckets,
+    sampled-thresholds SCALE path): tercile boundaries computed on the
+    deterministic hash half-sample per source, every doc assigned by
+    broadcast comparison — only the sample is ever sorted."""
+    from ocr_spark.assembly import score_buckets
+
+    scored = ts.lm_score(_marked_docs(spark, sf_dir))
+    src = _docs_df(spark, sf_dir).select("doc_id", "source")
+    out = score_buckets(
+        scored.join(src, on="doc_id"), sample_denom=2
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("grp").alias("source"),
+        F.col("score").alias("lm_score"),
+        "bucket",
+    )
+
+
+def _sql_perplexity_buckets() -> str:
+    toks = _DUCK_TOKENS.format(t="text")
+    h = _DUCK_HASH.format(x="concat('sb/', cast(doc_id AS varchar))")
+    return f"""
+WITH marked AS ({_DUCK_MARKED}),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM marked),
+freq AS (SELECT tok, count(*)::bigint AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c)::bigint AS total_c FROM freq),
+sur AS (SELECT tok,
+          (length(bin(total_c)) - length(bin(c)))::bigint AS surprisal
+        FROM freq, tot),
+sc AS (SELECT t.doc_id, count(*)::bigint AS n_tokens,
+         sum(s.surprisal)::bigint AS sum_surprisal
+       FROM tok t JOIN sur s USING (tok) GROUP BY t.doc_id),
+scored AS (
+  SELECT m.doc_id, d.source,
+    CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+         ELSE floor(sc.sum_surprisal::double / sc.n_tokens::double
+                    * 10000.0) / 10000.0
+    END AS lm_score
+  FROM marked m JOIN documents d USING (doc_id)
+  LEFT JOIN sc USING (doc_id)),
+samp AS (SELECT * FROM scored WHERE {h} % 2 = 0),
+sb AS (SELECT source, doc_id, lm_score,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY lm_score ASC, doc_id ASC) AS sb
+       FROM samp),
+bounds AS (SELECT source,
+             max(CASE WHEN sb = 1 THEN lm_score END) AS t1,
+             max(CASE WHEN sb = 2 THEN lm_score END) AS t2
+           FROM sb GROUP BY source)
+SELECT s.doc_id, s.source, s.lm_score,
+  (CASE WHEN b.t1 IS NULL THEN NULL
+        WHEN s.lm_score <= b.t1 THEN 1
+        WHEN s.lm_score <= b.t2 THEN 2
+        ELSE 3 END)::bigint AS bucket
+FROM scored s LEFT JOIN bounds b USING (source)
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.repetition_stats(_docs_df(spark, sf_dir))
 
@@ -2750,6 +2811,9 @@ def registry() -> dict[str, Entry]:
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
         "lm_score": (q_lm_score, _sql_lm_score()),
+        "perplexity_buckets": (
+            q_perplexity_buckets, _sql_perplexity_buckets(),
+        ),
         "tfidf_topk": (q_tfidf_topk, _sql_tfidf_topk()),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),

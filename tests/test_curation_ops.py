@@ -1363,3 +1363,61 @@ def test_dup_passages_min_docs_threshold(spark):
     ], "doc_id bigint, text string")
     assert dup_passages(df, k=8, min_docs=4).count() == 0
     assert dup_passages(df, k=8, min_docs=3).count() == 3
+
+
+# ------------------------------------------------------ score bucketing
+
+def test_score_buckets_exact_ntile_matches_python(spark):
+    from ocr_spark.assembly import score_buckets
+
+    rows = [(i, "g" + str(i % 2), float(i % 7)) for i in range(20)]
+    df = _df(spark, rows, "doc_id bigint, source string, lm_score double")
+    got = {r.id: r.bucket
+           for r in score_buckets(df, n_buckets=3).collect()}
+    # python twin: per group, sort by (score, id), ntile = standard SQL
+    # (first n%b buckets get the extra row)
+    import itertools
+    want = {}
+    for g, grp_rows in itertools.groupby(
+        sorted(rows, key=lambda r: r[1]), key=lambda r: r[1]
+    ):
+        ordered = sorted(grp_rows, key=lambda r: (r[2], r[0]))
+        n, b = len(ordered), 3
+        sizes = [n // b + (1 if i < n % b else 0) for i in range(b)]
+        pos = 0
+        for i, sz in enumerate(sizes):
+            for r in ordered[pos:pos + sz]:
+                want[r[0]] = i + 1
+            pos += sz
+    assert got == want
+
+
+def test_score_buckets_sampled_thresholds_and_null_group(spark):
+    from ocr_spark.assembly import score_buckets
+    from ocr_spark.textstats import py_portable_hash
+
+    # group "a": plenty of docs, half sampled; group "b": choose ids that
+    # all hash to the UNSAMPLED side so its bucket must be NULL
+    unsampled = [i for i in range(1000, 1200)
+                 if py_portable_hash(f"sb/{i}") % 2 != 0][:3]
+    rows = [(i, "a", float(i)) for i in range(40)] + [
+        (i, "b", 1.0) for i in unsampled
+    ]
+    df = _df(spark, rows, "doc_id bigint, source string, lm_score double")
+    out = {r.id: r.bucket
+           for r in score_buckets(df, sample_denom=2).collect()}
+    assert all(out[i] is None for i in unsampled)
+    # python twin for group a: thresholds from the hash half-sample
+    samp = sorted(
+        (float(i), i) for i in range(40)
+        if py_portable_hash(f"sb/{i}") % 2 == 0
+    )
+    n, b = len(samp), 3
+    sizes = [n // b + (1 if i < n % b else 0) for i in range(b)]
+    t1 = samp[sizes[0] - 1][0]
+    t2 = samp[sizes[0] + sizes[1] - 1][0]
+    for i in range(40):
+        want = 1 if i <= t1 else (2 if i <= t2 else 3)
+        assert out[i] == want, (i, out[i], want)
+    # buckets are monotone in score and all three occur
+    assert {out[i] for i in range(40)} == {1, 2, 3}
