@@ -12,15 +12,22 @@ itself:
    digests (first-run-wins; min-id-wins within the delta);
 2. near-dup pass — MinHash sketches of the exact-survivors banded
    against themselves and against the store's committed sketches;
-3. commit — ONE ``signatures`` table row ``(id, digest, sh, sig)`` per
-   kept doc, appended in a SINGLE tableio snapshot (data first, atomic
-   manifest swap second).  Digests and sketches deliberately share a
-   table: two separate appends would open a crash window in which the
-   exact store is ahead of the near-dup store — a retried delta would
-   then be classified dup-of-committed and its sketches never committed,
-   silently losing near-dup recall forever.  One table, one commit
-   point: a crashed run leaves the store at its previous snapshot and
-   the whole run is retryable (under a fresh ``--out``).
+3. cluster pass — incremental connected components: the delta's final
+   labels plus rename records for committed clusters the delta bridged
+   (the committed store contributes only the pair-endpoint semi-join,
+   never a full re-clustering);
+4. commit — ONE ``signatures`` table, ONE atomic tableio snapshot (data
+   first, manifest swap second): a ``role='doc'`` row
+   ``(id, digest, sh, sig, cluster_id)`` per kept doc and a
+   ``role='merge'`` row per rename.  Everything deliberately shares a
+   table: separate appends would open a crash window in which one store
+   is ahead of another — e.g. a retried delta classified
+   dup-of-committed with its sketches never committed, silently losing
+   near-dup recall forever.  One table, one commit point: a crashed run
+   leaves the store at its previous snapshot and the whole run is
+   retryable (under a fresh ``--out``).  Read-side, current labels =
+   stored labels with accumulated merges applied (min-reachable over the
+   rename graph — see ``_current_labels``).
 
 Because sketches and digests are pure per-document functions, the union
 of every run's outputs equals the one-shot full-corpus result (pinned by
@@ -45,6 +52,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _current_labels(committed):
+    """CURRENT cluster label per committed doc: stored 'doc' labels with
+    every accumulated 'merge' record applied.  Renames always point to a
+    smaller label, so across runs the rename graph's min-reachable label
+    IS the final one — one connected_components over the (few) merge
+    rows collapses any chain; no merge rows means the stored labels are
+    already current."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.dedup import connected_components, resolve_labels
+
+    docs = committed.filter("role = 'doc'").select("id", "cluster_id")
+    merges = committed.filter("role = 'merge'").select("id", "cluster_id")
+    if merges.isEmpty():
+        return docs
+    nodes = (
+        merges.select("id")
+        .unionByName(merges.select(F.col("cluster_id").alias("id")))
+        .distinct()
+    )
+    final = connected_components(
+        nodes, merges.select(
+            F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+    )
+    return resolve_labels(docs, final)
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--docs", help="parquet dir: new batch (doc_id, text)")
@@ -66,6 +101,7 @@ def main(argv: list[str] | None = None) -> dict:
     from ocr_spark.dedup import (
         exact_digests,
         exact_duplicates_incremental,
+        incremental_components,
         incremental_minhash_pairs,
         minhash_sketches,
     )
@@ -91,11 +127,20 @@ def main(argv: list[str] | None = None) -> dict:
         os.path.join(args.store, "signatures", "manifest.json")
     )
     committed = io.read(spark, "signatures") if has_store else None
+    committed_doc_rows = (
+        committed.filter("role = 'doc'") if committed is not None else None
+    )
     committed_digests = (
-        committed.select("id", "digest") if committed is not None else None
+        committed_doc_rows.select("id", "digest")
+        if committed_doc_rows is not None else None
     )
     committed_sketches = (
-        committed.select("id", "sh", "sig") if committed is not None else None
+        committed_doc_rows.select("id", "sh", "sig")
+        if committed_doc_rows is not None else None
+    )
+    committed_labels = (
+        _current_labels(committed)
+        if committed is not None else None
     )
 
     # exact pass — the decision table is this run's primary output
@@ -114,16 +159,43 @@ def main(argv: list[str] | None = None) -> dict:
     pairs = incremental_minhash_pairs(
         sketches, committed_sketches, verify_threshold=args.threshold
     )
+    pairs = pairs.persist()  # feeds the run output AND the cluster step
     pairs.write.mode("errorifexists").parquet(f"{args.out}/pairs")
 
-    # commit — kept rows' (digest, sketch) become the next run's
-    # committed side, in ONE atomic snapshot (see the module docstring
-    # for why the two signatures must not commit separately).  Appending
-    # KEPT rows only keeps the store digest-unique by construction (see
-    # exact_duplicates_incremental); the survivors ARE the kept ids, so
-    # this join is a bijection over rows both sides already cached.
+    # cluster maintenance — delta labels + merge records against the
+    # committed store (incremental_components touches only the pair
+    # endpoints' committed rows, never the whole label store)
+    inc = incremental_components(
+        kept_ids, pairs.select("id_a", "id_b"), committed_labels
+    ).persist()
+    inc.write.mode("errorifexists").parquet(f"{args.out}/clusters")
+
+    # commit — kept rows' (digest, sketch, cluster label) plus this run's
+    # merge records become the next run's committed side, in ONE atomic
+    # snapshot (see the module docstring for why the store pieces must
+    # not commit separately).  Appending KEPT rows only keeps the store
+    # digest-unique by construction (see exact_duplicates_incremental);
+    # the survivors ARE the kept ids, so these joins are bijections over
+    # rows already cached.
+    doc_rows = (
+        exact.filter("kept").select("id", "digest")
+        .join(sketches, on="id")
+        .join(inc.filter("role = 'delta'").select("id", "cluster_id"),
+              on="id")
+        .withColumn("role", F.lit("doc"))
+    )
+    merge_rows = inc.filter("role = 'merge'").select(
+        "id",
+        F.lit(None).cast("string").alias("digest"),
+        F.lit(None).cast("array<bigint>").alias("sh"),
+        F.lit(None).cast("array<bigint>").alias("sig"),
+        "cluster_id",
+        F.lit("merge").alias("role"),
+    )
     store_snap = io.append(
-        exact.filter("kept").select("id", "digest").join(sketches, on="id"),
+        doc_rows.select(
+            "id", "digest", "sh", "sig", "cluster_id", "role"
+        ).unionByName(merge_rows),
         "signatures",
     )
 
@@ -139,10 +211,13 @@ def main(argv: list[str] | None = None) -> dict:
         "n_dup_of_committed": int(counts["n_dup_of_committed"] or 0),
         "n_kept": int(counts["n_kept"] or 0),
         "n_near_pairs": spark.read.parquet(f"{args.out}/pairs").count(),
+        "n_merges": inc.filter("role = 'merge'").count(),
         "store_snapshot": store_snap,
     }
     exact.unpersist()
     sketches.unpersist()  # persisted inside incremental_minhash_pairs
+    pairs.unpersist()
+    inc.unpersist()
     json.dump(summary, sys.stdout)
     print()
     if owns_session:

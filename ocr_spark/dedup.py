@@ -1247,3 +1247,114 @@ def strip_dup_passages(
         F.size("toks").cast("bigint").alias("n_tokens_in"),
         F.size("kept").cast("bigint").alias("n_tokens_kept"),
     )
+
+
+def incremental_components(
+    new_ids: DataFrame,
+    new_pairs: DataFrame,
+    committed_labels: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_mode: str = "auto",
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """Cross-run incremental CONNECTED COMPONENTS: label a delta's
+    documents against a committed cluster store without ever re-running
+    components over the committed corpus — the step after
+    :func:`incremental_minhash_pairs` that keeps CLUSTER state (not just
+    pair lists) maintainable across 100 TB ingest runs.
+
+    Inputs: ``new_ids`` ``(id)`` — the delta's documents;``new_pairs``
+    ``(id_a, id_b)`` — near-dup pairs TOUCHING the delta (new × new ∪
+    new × committed, exactly what the incremental pair generator emits);
+    ``committed_labels`` ``(id, cluster_id)`` — the store (None = first
+    run).  Precondition: delta ids are disjoint from committed ids.
+
+    Output, one DataFrame: ``(id, cluster_id, role)`` where
+
+    - ``role='delta'`` — one row per NEW id with its final label;
+    - ``role='merge'`` — a rename record: OLD committed cluster label
+      ``id`` must become ``cluster_id`` (a new doc bridged two committed
+      clusters, or carried a smaller id than a committed rep).  Relabel
+      the store's ``cluster_id`` through these (one join — within a
+      single run the rename map is already final, no chains) and append
+      the delta rows to commit the run.
+
+    Equivalence: committed labels encode committed-internal connectivity
+    exactly (member—rep edges span the same components the committed
+    pairs did), so resolved-store ∪ delta labels equals the one-shot
+    components over ALL documents — the ``dedup_clusters_incremental``
+    contract oracle replays the full-corpus recursive closure against
+    this composition.
+
+    Shape for 100 TB: the committed store contributes ONE semi-join of
+    its label rows against the pair endpoints (touched members only) —
+    the components loop then runs on delta ids + touched members + their
+    reps, a graph proportional to the DELTA's connectivity, never to the
+    store.  Labels of untouched committed docs are never read past the
+    semi-join, never shuffled, never relabeled."""
+    pairs = new_pairs.select("id_a", "id_b")
+    if committed_labels is None:
+        labels = connected_components(
+            new_ids.select("id"), pairs, max_iter, checkpoint_mode,
+            algorithm,
+        )
+        return labels.select(
+            "id", "cluster_id", F.lit("delta").alias("role")
+        )
+    endpoints = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched = committed_labels.join(endpoints, on="id", how="leftsemi")
+    # member—rep edges pull each touched committed component's identity
+    # into the graph through its rep node (self-edges where member == rep
+    # are dropped; they relay nothing)
+    rep_edges = touched.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    edges = pairs.unionByName(rep_edges)
+    nodes = (
+        new_ids.select("id")
+        .unionByName(touched.select("id"))
+        .unionByName(touched.select(F.col("cluster_id").alias("id")))
+        .distinct()
+    )
+    labels = connected_components(
+        nodes, edges, max_iter, checkpoint_mode, algorithm
+    )
+    delta = labels.join(new_ids.select("id"), on="id", how="leftsemi")
+    reps = touched.select(F.col("cluster_id").alias("id")).distinct()
+    merges = labels.join(reps, on="id", how="leftsemi").filter(
+        F.col("cluster_id") != F.col("id")
+    )
+    return delta.select(
+        "id", "cluster_id", F.lit("delta").alias("role")
+    ).unionByName(
+        merges.select("id", "cluster_id", F.lit("merge").alias("role"))
+    )
+
+
+def resolve_labels(
+    committed_labels: DataFrame, merges: DataFrame
+) -> DataFrame:
+    """Apply one run's merge records ``(id=old_label, cluster_id=new)``
+    to a committed label store: one broadcast-sized join (merge sets are
+    per-run small — bounded by the delta's connectivity).  Within a run
+    the rename map is final (components converged), so a single hop
+    resolves; stores accumulating MULTIPLE runs' merges should resolve
+    run-by-run or collapse the chain with one
+    :func:`connected_components` over the merge edges."""
+    m = merges.select(
+        F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
+    )
+    return (
+        committed_labels.join(
+            m, committed_labels["cluster_id"] == m["_old"], "left"
+        )
+        .select(
+            committed_labels["id"],
+            F.coalesce(F.col("_new"), committed_labels["cluster_id"])
+            .alias("cluster_id"),
+        )
+    )

@@ -1048,6 +1048,57 @@ FROM reach GROUP BY id
 """
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental CLUSTER maintenance: one-shot components
+    over the committed cohort (originals + even-id near copies), then
+    the odd-id copies arrive as a delta — incremental pairs against the
+    committed sketches, incremental_components for delta labels + merge
+    records, resolve_labels over the store.  The composed result must
+    equal the one-shot closure over ALL documents, which is exactly what
+    the oracle replays (same recursive CTE as dedup_clusters, full
+    corpus).  The odd-copy delta interleaves ids BELOW committed copies,
+    so rename records are actually exercised, not just appends."""
+    from ocr_spark.dedup import (
+        connected_components,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_sketches,
+        resolve_labels,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    is_delta = (F.col("doc_id") >= 1000000) & (F.col("doc_id") % 2 == 1)
+    committed_docs = corpus.filter(~is_delta)
+    delta_docs = corpus.filter(is_delta)
+
+    committed_pairs = minhash_lsh_pairs(
+        committed_docs, verify_threshold=MINHASH_T
+    )
+    committed_labels = connected_components(
+        committed_docs.select(F.col("doc_id").alias("id")),
+        committed_pairs.select("id_a", "id_b"),
+    )
+    pairs = incremental_minhash_pairs(
+        minhash_sketches(delta_docs),
+        minhash_sketches(committed_docs),
+        verify_threshold=MINHASH_T,
+    )
+    inc = incremental_components(
+        delta_docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+        committed_labels,
+    )
+    resolved = resolve_labels(
+        committed_labels,
+        inc.filter("role = 'merge'").select("id", "cluster_id"),
+    ).unionByName(inc.filter("role = 'delta'").select("id", "cluster_id"))
+    return resolved.select(
+        "id", "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir)
     return corpus.select(
@@ -2790,6 +2841,11 @@ def registry() -> dict[str, Entry]:
             q_strip_dup_passages, _sql_strip_dup_passages(),
         ),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+        "dedup_clusters_incremental": (
+            # the incremental composition must equal the ONE-SHOT closure
+            # — the oracle is deliberately the same full-corpus CTE
+            q_dedup_clusters_incremental, _sql_dedup_clusters(),
+        ),
         "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),

@@ -1421,3 +1421,82 @@ def test_score_buckets_sampled_thresholds_and_null_group(spark):
         assert out[i] == want, (i, out[i], want)
     # buckets are monotone in score and all three occur
     assert {out[i] for i in range(40)} == {1, 2, 3}
+
+
+# ----------------------------------------------- incremental components
+
+def test_incremental_components_first_run_matches_batch(spark):
+    from ocr_spark.dedup import connected_components, incremental_components
+
+    ids = _df(spark, [(i,) for i in range(6)], "id bigint")
+    pairs = _df(spark, [(0, 1), (1, 2), (4, 5)], "id_a bigint, id_b bigint")
+    got = {(r.id, r.cluster_id, r.role)
+           for r in incremental_components(ids, pairs, None).collect()}
+    want = {(r.id, r.cluster_id, "delta")
+            for r in connected_components(ids, pairs).collect()}
+    assert got == want
+
+
+def test_incremental_components_merges_committed_clusters(spark):
+    from ocr_spark.dedup import incremental_components, resolve_labels
+
+    committed = _df(spark, [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50)],
+                    "id bigint, cluster_id bigint")
+    new_ids = _df(spark, [(100,), (200,)], "id bigint")
+    # 100 bridges committed clusters 1 and 10; 200 is a singleton
+    pairs = _df(spark, [(100, 2), (100, 11)], "id_a bigint, id_b bigint")
+    out = incremental_components(new_ids, pairs, committed).collect()
+    delta = {(r.id, r.cluster_id) for r in out if r.role == "delta"}
+    merges = {(r.id, r.cluster_id) for r in out if r.role == "merge"}
+    assert delta == {(100, 1), (200, 200)}
+    assert merges == {(10, 1)}  # cluster 10 renamed; 1 and 50 untouched
+    m = _df(spark, sorted(merges), "id bigint, cluster_id bigint")
+    resolved = {(r.id, r.cluster_id)
+                for r in resolve_labels(committed, m).collect()}
+    assert resolved == {(1, 1), (2, 1), (10, 1), (11, 1), (50, 50)}
+
+
+def test_incremental_components_new_id_becomes_canonical(spark):
+    from ocr_spark.dedup import incremental_components
+
+    committed = _df(spark, [(10, 10), (11, 10)], "id bigint, cluster_id bigint")
+    new_ids = _df(spark, [(3,)], "id bigint")
+    pairs = _df(spark, [(3, 10)], "id_a bigint, id_b bigint")
+    out = incremental_components(new_ids, pairs, committed).collect()
+    assert {(r.id, r.cluster_id, r.role) for r in out} == {
+        (3, 3, "delta"), (10, 3, "merge"),
+    }
+
+
+def test_incremental_components_equals_one_shot_union(spark):
+    """Resolved committed store + delta labels == one-shot components
+    over all nodes and all edges (the equivalence the contract oracle
+    replays at corpus scale)."""
+    from ocr_spark.dedup import (
+        connected_components,
+        incremental_components,
+        resolve_labels,
+    )
+
+    all_ids = list(range(12))
+    all_pairs = [(0, 1), (1, 2), (3, 4), (6, 7), (2, 8), (4, 9), (10, 11)]
+    cut = 6  # ids < 6 committed, >= 6 delta
+    nodes1 = _df(spark, [(i,) for i in all_ids if i < cut], "id bigint")
+    pairs1 = _df(spark, [p for p in all_pairs if max(p) < cut],
+                 "id_a bigint, id_b bigint")
+    committed = connected_components(nodes1, pairs1)
+    nodes2 = _df(spark, [(i,) for i in all_ids if i >= cut], "id bigint")
+    pairs2 = _df(spark, [p for p in all_pairs if max(p) >= cut],
+                 "id_a bigint, id_b bigint")
+    out = incremental_components(nodes2, pairs2, committed)
+    merges = out.filter("role = 'merge'").select("id", "cluster_id")
+    resolved = resolve_labels(committed, merges)
+    got = {(r.id, r.cluster_id) for r in resolved.collect()} | {
+        (r.id, r.cluster_id)
+        for r in out.filter("role = 'delta'").collect()
+    }
+    one_shot = connected_components(
+        _df(spark, [(i,) for i in all_ids], "id bigint"),
+        _df(spark, all_pairs, "id_a bigint, id_b bigint"),
+    )
+    assert got == {(r.id, r.cluster_id) for r in one_shot.collect()}

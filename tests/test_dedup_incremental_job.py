@@ -92,3 +92,68 @@ def test_two_runs_equal_one_run(spark, tmp_path):
           for r in spark.read.parquet(f"{out_b}/pairs").collect()}
     assert not (pa & pb)
     assert any(i < N_A <= j for i, j in pb)  # cross-run pairs exist
+
+    # cluster store: current labels (stored 'doc' labels + accumulated
+    # merges) == one-shot components over the exact survivors' pairs
+    from jobs.run_dedup_incremental import _current_labels
+    from ocr_spark.dedup import connected_components
+    from ocr_spark.tableio import ParquetManifestIO
+
+    committed = ParquetManifestIO(store).read(spark, "signatures")
+    got_labels = {
+        (r.id, r.cluster_id) for r in _current_labels(committed).collect()
+    }
+    want_labels = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            spark.createDataFrame(
+                [(i,) for i in sorted(want_kept)], "id bigint"
+            ),
+            spark.createDataFrame(
+                sorted(want_pairs), "id_a bigint, id_b bigint"
+            ),
+        ).collect()
+    }
+    assert got_labels == want_labels
+    assert "n_merges" in a and "n_merges" in b
+
+
+def test_job_merges_committed_clusters_via_bridge_doc(spark, tmp_path):
+    """A delta doc similar to two separately-committed docs must merge
+    their clusters through the store: run B emits a rename record, and
+    the resolved store equals the one-shot components.  The bridge text
+    (28-token halves of each side, J≈0.39 per pair) is verified to band
+    with BOTH sides under the frozen minhash constants (deterministic,
+    not flaky — the constants are oracle-pinned)."""
+    from jobs.run_dedup_incremental import _current_labels
+    from ocr_spark.tableio import ParquetManifestIO
+
+    a = " ".join(f"x{i}" for i in range(40))
+    b = " ".join(f"y{i}" for i in range(40))
+    bridge = " ".join(
+        [f"x{i}" for i in range(28)] + [f"y{i}" for i in range(28)]
+    )
+    store = str(tmp_path / "store")
+    d1, d2 = str(tmp_path / "docs1"), str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    ).write.parquet(d1)
+    spark.createDataFrame(
+        [(3, bridge)], "doc_id bigint, text string"
+    ).write.parquet(d2)
+
+    ra = job_main(["--docs", d1, "--store", store,
+                   "--out", str(tmp_path / "outA")])
+    rb = job_main(["--docs", d2, "--store", store,
+                   "--out", str(tmp_path / "outB")])
+    assert ra["n_merges"] == 0 and rb["n_merges"] == 1
+    assert rb["n_near_pairs"] == 2  # (1,3) and (2,3)
+
+    committed = ParquetManifestIO(store).read(spark, "signatures")
+    labels = {(r.id, r.cluster_id)
+              for r in _current_labels(committed).collect()}
+    assert labels == {(1, 1), (2, 1), (3, 1)}
+    # the merge record itself is in the store, role-tagged
+    merges = {(r.id, r.cluster_id)
+              for r in committed.filter("role = 'merge'").collect()}
+    assert merges == {(2, 1)}
