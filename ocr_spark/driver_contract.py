@@ -1062,7 +1062,6 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         incremental_components,
         incremental_minhash_pairs,
-        minhash_lsh_pairs,
         minhash_sketches,
         resolve_labels,
     )
@@ -1072,8 +1071,12 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed_docs = corpus.filter(~is_delta)
     delta_docs = corpus.filter(is_delta)
 
-    committed_pairs = minhash_lsh_pairs(
-        committed_docs, verify_threshold=MINHASH_T
+    # one committed sketch pass serves both the committed-stage pairs
+    # and the incremental band join (persist = the store read, in job
+    # form)
+    sk_committed = minhash_sketches(committed_docs).persist()
+    committed_pairs = incremental_minhash_pairs(
+        sk_committed, None, verify_threshold=MINHASH_T
     )
     committed_labels = connected_components(
         committed_docs.select(F.col("doc_id").alias("id")),
@@ -1081,7 +1084,7 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = incremental_minhash_pairs(
         minhash_sketches(delta_docs),
-        minhash_sketches(committed_docs),
+        sk_committed,
         verify_threshold=MINHASH_T,
     )
     inc = incremental_components(
