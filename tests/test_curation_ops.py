@@ -1500,3 +1500,57 @@ def test_incremental_components_equals_one_shot_union(spark):
         _df(spark, all_pairs, "id_a bigint, id_b bigint"),
     )
     assert got == {(r.id, r.cluster_id) for r in one_shot.collect()}
+
+
+def test_dup_passages_matches_python_twin_on_random_corpus(spark):
+    """Differential check on a seeded random corpus over a tiny alphabet
+    (forced gram collisions, heavy island merging): spans and stripped
+    text must match a direct Python implementation of the semantics."""
+    import random
+
+    from ocr_spark.dedup import dup_passages, strip_dup_passages
+
+    rng = random.Random(42)
+    k = 3
+    docs = {
+        i: [rng.choice("abcde") + str(rng.randrange(3))
+            for _ in range(rng.randrange(0, 15))]
+        for i in range(40)
+    }
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    df = _df(spark, rows, "doc_id bigint, text string")
+
+    # python twin
+    gram_docs: dict[tuple, set] = {}
+    for i, t in docs.items():
+        for p in range(len(t) - k + 1):
+            gram_docs.setdefault(tuple(t[p:p + k]), set()).add(i)
+    marked = {
+        i: sorted(
+            p for p in range(len(t) - k + 1)
+            if len(gram_docs[tuple(t[p:p + k])]) >= 2
+        )
+        for i, t in docs.items()
+    }
+    want_spans, want_cov = set(), {i: set() for i in docs}
+    for i, ps in marked.items():
+        run: list[int] = []
+        for p in ps:
+            if run and p - run[-1] > k:
+                want_spans.add((i, run[0], run[-1] + k))
+                run = []
+            run.append(p)
+            want_cov[i].update(range(p, p + k))
+        if run:
+            want_spans.add((i, run[0], run[-1] + k))
+
+    got_spans = {(r.id, r.span_start, r.span_end)
+                 for r in dup_passages(df, k=k).collect()}
+    assert got_spans == want_spans
+
+    got_clean = {r.id: r.clean_text
+                 for r in strip_dup_passages(df, k=k).collect()}
+    for i, t in docs.items():
+        want = " ".join(tok for p, tok in enumerate(t)
+                        if p not in want_cov[i])
+        assert got_clean[i] == want, (i, got_clean[i], want)
