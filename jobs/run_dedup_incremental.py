@@ -89,7 +89,9 @@ def main(argv: list[str] | None = None) -> dict:
                    help="first synthetic doc id (id ranges must be disjoint "
                         "across runs — the store commit is the id authority)")
     p.add_argument("--store", required=True,
-                   help="committed digest/sketch store root (tableio)")
+                   help="committed signature-store root (tableio; one "
+                        "'signatures' table carrying digest + sketch + "
+                        "cluster rows)")
     p.add_argument("--out", required=True, help="output dir for this run")
     p.add_argument("--threshold", type=float, default=0.3,
                    help="near-dup Jaccard verify threshold")
@@ -126,6 +128,21 @@ def main(argv: list[str] | None = None) -> dict:
     has_store = os.path.exists(
         os.path.join(args.store, "signatures", "manifest.json")
     )
+    # A store in the pre-unification digests/sketches layout must fail
+    # LOUDLY: treating it as empty would silently re-keep every
+    # committed duplicate and start a fresh history beside the stale one.
+    if not has_store:
+        legacy = [
+            t for t in ("digests", "sketches")
+            if os.path.exists(os.path.join(args.store, t, "manifest.json"))
+        ]
+        if legacy:
+            raise SystemExit(
+                f"store {args.store!r} uses the removed two-table layout "
+                f"({', '.join(legacy)}); migrate it into one 'signatures' "
+                "table (id, digest, sh, sig, cluster_id, role='doc') "
+                "before running"
+            )
     committed = io.read(spark, "signatures") if has_store else None
     committed_doc_rows = (
         committed.filter("role = 'doc'") if committed is not None else None

@@ -229,8 +229,9 @@ def score_buckets(
       is ever sorted (bounded: |corpus|/d rows); the assignment is a
       narrow broadcast-join + CASE.  Boundary ``t_i`` = max sampled
       score in sample-ntile ``i``; doc bucket = smallest ``i`` with
-      ``score ≤ t_i``, else ``n_buckets``.  A group with NO sampled
-      rows gets bucket NULL — surfaced, not silently guessed; raise
+      ``score ≤ t_i``, else ``n_buckets``.  A group sampled fewer than
+      ``n_buckets − 1`` times (including zero) has missing boundaries
+      and gets bucket NULL — surfaced, not silently guessed; raise
       ``1/d`` or pre-split tiny groups.
 
     Output: ``(id, group, score, bucket)`` — one row per input doc.
@@ -279,10 +280,17 @@ def score_buckets(
         bucket.otherwise(n_buckets) if bucket is not None
         else F.lit(n_buckets)
     )
-    # t1 is non-null for every sampled group (ntile 1 is never empty);
-    # a group absent from `bounds` — nothing sampled — yields NULL.
+    # ALL interior boundaries t1..t(n-1) must exist, which needs at
+    # least n_buckets−1 sampled rows: a group sampled 0 times has no
+    # boundaries at all, and a group sampled fewer than n_buckets−1
+    # times has NULL upper boundaries whose CASE arms silently never
+    # match — every doc above t1 would skew into the tail bucket.  Both
+    # cases surface as bucket NULL instead.
+    missing = F.lit(False)
+    for i in range(1, n_buckets):
+        missing = missing | F.col(f"t{i}").isNull()
     return base.join(F.broadcast(bounds), on="grp", how="left").select(
         "id", "grp", "score",
-        F.when(F.col("t1").isNull(), F.lit(None).cast("bigint"))
+        F.when(missing, F.lit(None).cast("bigint"))
         .otherwise(bucket.cast("bigint")).alias("bucket"),
     )

@@ -933,8 +933,13 @@ UNION ALL
 SELECT doc_id + 1000000 AS doc_id,
        concat(substr(text, 1, 120), ' zq', cast(doc_id AS string)) AS text
 FROM documents
-WHERE doc_id % 3 = 0
+WHERE doc_id % 3 = 0 AND text IS NOT NULL
 """
+# ^ the NULL-text guard is LOAD-BEARING for dialect neutrality: Spark's
+# concat returns NULL when any argument is NULL, DuckDB's SKIPS null
+# arguments (a NULL-text copy would be NULL in Spark but ' zqN' in
+# DuckDB).  Current fixtures have no NULL text, but the corpus must not
+# depend on that.
 
 
 def _passage_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,7 +1424,7 @@ bounds AS (SELECT source,
              max(CASE WHEN sb = 2 THEN lm_score END) AS t2
            FROM sb GROUP BY source)
 SELECT s.doc_id, s.source, s.lm_score,
-  (CASE WHEN b.t1 IS NULL THEN NULL
+  (CASE WHEN b.t1 IS NULL OR b.t2 IS NULL THEN NULL
         WHEN s.lm_score <= b.t1 THEN 1
         WHEN s.lm_score <= b.t2 THEN 2
         ELSE 3 END)::bigint AS bucket

@@ -1554,3 +1554,24 @@ def test_dup_passages_matches_python_twin_on_random_corpus(spark):
         want = " ".join(tok for p, tok in enumerate(t)
                         if p not in want_cov[i])
         assert got_clean[i] == want, (i, got_clean[i], want)
+
+
+def test_score_buckets_under_sampled_group_is_null_not_skewed(spark):
+    """A group whose sample has fewer rows than n_buckets−1 has missing
+    interior boundaries; its docs must surface bucket NULL rather than
+    silently skewing into the tail bucket."""
+    from ocr_spark.assembly import score_buckets
+    from ocr_spark.textstats import py_portable_hash
+
+    one_sampled = [i for i in range(2000, 2400)
+                   if py_portable_hash(f"sb/{i}") % 2 == 0][:1]
+    unsampled = [i for i in range(2000, 2400)
+                 if py_portable_hash(f"sb/{i}") % 2 != 0][:4]
+    rows = [(i, "a", float(i)) for i in range(40)] + [
+        (i, "c", float(i)) for i in one_sampled + unsampled
+    ]
+    df = _df(spark, rows, "doc_id bigint, source string, lm_score double")
+    out = {r.id: r.bucket
+           for r in score_buckets(df, sample_denom=2).collect()}
+    assert all(out[i] is None for i in one_sampled + unsampled)
+    assert {out[i] for i in range(40)} == {1, 2, 3}  # big group unaffected

@@ -157,3 +157,17 @@ def test_job_merges_committed_clusters_via_bridge_doc(spark, tmp_path):
     merges = {(r.id, r.cluster_id)
               for r in committed.filter("role = 'merge'").collect()}
     assert merges == {(2, 1)}
+
+
+def test_job_refuses_legacy_two_table_store(spark, tmp_path):
+    """A store in the removed digests/sketches layout must fail loudly —
+    treating it as empty would silently re-keep every committed
+    duplicate and start a fresh history beside the stale one."""
+    import pytest
+
+    store = tmp_path / "store"
+    (store / "digests").mkdir(parents=True)
+    (store / "digests" / "manifest.json").write_text('{"snapshots": []}')
+    with pytest.raises(SystemExit, match="two-table layout"):
+        job_main(["--synthetic", "5", "--store", str(store),
+                  "--out", str(tmp_path / "out")])
