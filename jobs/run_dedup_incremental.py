@@ -227,7 +227,7 @@ def main(argv: list[str] | None = None) -> dict:
         "n_new": counts["n_new"],
         "n_dup_of_committed": int(counts["n_dup_of_committed"] or 0),
         "n_kept": int(counts["n_kept"] or 0),
-        "n_near_pairs": spark.read.parquet(f"{args.out}/pairs").count(),
+        "n_near_pairs": pairs.count(),  # from cache — no output re-read
         "n_merges": inc.filter("role = 'merge'").count(),
         "store_snapshot": store_snap,
     }

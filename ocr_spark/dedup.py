@@ -437,6 +437,14 @@ def band_table(
 ) -> DataFrame:
     """``(id, band_idx, band_hash)`` LSH band rows of a sketch table —
     the only columns that ever move through the candidate join."""
+    # Same degenerate-silence class as the in-plan sig-width guard below:
+    # band_size > k would band NOTHING (empty band array → zero candidate
+    # pairs, no error), and a non-divisor would silently leave sig's tail
+    # permutations unbanded — recall below the configured band bound.
+    if band_size < 1 or k % band_size != 0:
+        raise ValueError(
+            f"band_size {band_size} must be a positive divisor of k {k}"
+        )
     n_bands = k // band_size
     sig = F.col("sig")
 
@@ -1144,14 +1152,16 @@ def dup_passages(
     around them stay unique.
 
     True suffix-array substring dedup is inherently sequential; the
-    distributed-engine shape is the k-gram approximation: a span is
-    duplicated iff every ``k``-token window inside it occurs in
-    ``min_docs``-or-more distinct documents, and overlapping/adjacent
-    duplicated windows merge into maximal spans (gaps-and-islands over
-    the window start positions — a break where consecutive marked
-    positions are more than ``k`` apart).  This finds exactly the
-    duplicated substrings of length ≥ k, with span boundaries resolved
-    to token granularity.  ALL occurrences are marked (cross-document
+    distributed-engine shape is the k-gram approximation: mark every
+    ``k``-token window that occurs in ``min_docs``-or-more distinct
+    documents, then merge overlapping/adjacent marked windows into
+    maximal spans (gaps-and-islands over the window start positions — a
+    break where consecutive marked positions are more than ``k`` apart).
+    Every TOKEN in an emitted span is covered by at least one duplicated
+    window (the invariant :func:`strip_dup_passages` cuts on); interior
+    windows bridging two marked runs closer than ``k`` apart need not
+    themselves be duplicated — the span is a coverage union, not an
+    every-window certificate.  ALL occurrences are marked (cross-document
     frequency semantics, like :func:`drop_frequent_lines`): choosing a
     single survivor per passage would need a global canonical order —
     real pipelines drop every copy of high-frequency passages.

@@ -1731,10 +1731,12 @@ def q_text_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token votes, so bucket-colliding true pairs land above the 0.85
     verify threshold; the embedding width controls how much
     hash-collision noise unrelated pairs carry (see the EMBED_DIMS note —
-    32 dims passes ~2% of candidates vs ~15% at 16).  4 planes keep the
-    fixture's 2,000 docs in ~16 buckets — at scale raise planes with
-    corpus size, and use the multi-table lever (ann_lsh_pairs_multi) for
-    the sign-flip recall the single table leaves behind."""
+    32 dims passes ~2% of candidates vs ~15% at 16).  6 planes keep the
+    sf0.01 fixture's 1,000 docs in ~64 buckets and the sf0.1 bench's
+    10,000 docs out of the quadratic regime (4 planes measured ~125k
+    verified pairs at sf0.1); raise planes with corpus size, and use the
+    multi-table lever (ann_lsh_pairs_multi) for the sign-flip recall a
+    single table leaves behind."""
     corpus = _near_corpus(spark, sf_dir)
     emb = embed_hash(corpus, dims=EMBED_DIMS)
     return lsh_ann_pairs(
@@ -2025,7 +2027,8 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k with a fully deterministic tie-break."""
     df = _docs_df(spark, sf_dir)
     return (
-        df.select(F.explode(ts.tokens(F.col("text"))).alias("token"))
+        df.select(F.explode_outer(ts.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isNotNull())
         .select(F.lower("token").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

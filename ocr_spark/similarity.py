@@ -89,8 +89,11 @@ def embed_hash(
     ex = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
+            # outer + null filter: see dedup._dup_gram_positions (the
+            # inferred size>0 pre-filter re-evaluates tokens() at scan)
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
         )
+        .filter(F.col("tok").isNotNull())
         .select("id", portable_hash(F.col("tok")).alias("h"))
         .select(
             "id",

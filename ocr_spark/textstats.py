@@ -229,7 +229,10 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
         dup_frac(3).alias("dup_3gram_frac"),
     )
     tok_counts = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
+        # outer + null filter: see dedup._dup_gram_positions (base's toks
+        # projection would re-evaluate under the inferred pre-filter)
+        base.select("doc_id", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -359,8 +362,10 @@ def lm_score(
     runs; here it is exact so the oracle can replay it."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
+        # outer + null filter: see dedup._dup_gram_positions (the
+        # inferred size>0 pre-filter re-evaluates tokens() at scan)
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
     if persist_exploded:
         ex = ex.persist()
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -424,8 +429,10 @@ def tfidf_topk(
     tc = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("token"),
+            # outer + null filter — same trap as lm_score above
+            F.explode_outer(tokens(F.col(text_col))).alias("token"),
         )
+        .filter(F.col("token").isNotNull())
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

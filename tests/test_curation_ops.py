@@ -1575,3 +1575,17 @@ def test_score_buckets_under_sampled_group_is_null_not_skewed(spark):
            for r in score_buckets(df, sample_denom=2).collect()}
     assert all(out[i] is None for i in one_sampled + unsampled)
     assert {out[i] for i in range(40)} == {1, 2, 3}  # big group unaffected
+
+
+def test_band_table_rejects_bad_band_size(spark):
+    """band_size > k would band nothing (zero pairs, silently); a
+    non-divisor leaves tail permutations unbanded — both refused."""
+    from ocr_spark.dedup import band_table, minhash_sketches
+
+    sk = minhash_sketches(
+        _df(spark, [(1, "a b c d")], "doc_id bigint, text string")
+    )
+    for bad in (0, 3, 16):
+        with pytest.raises(ValueError, match="positive divisor"):
+            band_table(sk, k=8, band_size=bad)
+    assert band_table(sk, k=8, band_size=4).count() == 2

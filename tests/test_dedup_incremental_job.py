@@ -171,3 +171,21 @@ def test_job_refuses_legacy_two_table_store(spark, tmp_path):
     with pytest.raises(SystemExit, match="two-table layout"):
         job_main(["--synthetic", "5", "--store", str(store),
                   "--out", str(tmp_path / "out")])
+
+
+def test_job_empty_first_batch_does_not_brick_store(spark, tmp_path):
+    """An empty (or all-NULL-text) first batch commits an empty snapshot
+    that later runs must read through cleanly (Spark writes a
+    schema-bearing empty part file — pinned here so an engine change
+    that stops doing that fails loudly)."""
+    store = str(tmp_path / "store")
+    d0 = str(tmp_path / "docs0")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string"
+    ).write.parquet(d0)
+    r0 = job_main(["--docs", d0, "--store", store,
+                   "--out", str(tmp_path / "out0")])
+    assert (r0["n_new"], r0["n_kept"], r0["store_snapshot"]) == (0, 0, 0)
+    r1 = job_main(["--synthetic", "20", "--store", store,
+                   "--out", str(tmp_path / "out1")])
+    assert r1["n_kept"] > 0 and r1["store_snapshot"] == 1
