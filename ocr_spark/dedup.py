@@ -1119,6 +1119,10 @@ def _dup_gram_positions(
     # scan's (often single-row-group → single-core) partitioning —
     # measured 3.4 s vs 0.6 s for this stage at sf0.1.  The outer form
     # gets no inferred filter; the null check runs on Generate OUTPUT.
+    # Trade-off: outer generators fall out of whole-stage codegen, but
+    # that loss is an order of magnitude smaller than the pushed
+    # re-evaluation (simhash's feature explode measured 37 s plain vs
+    # 2.8 s outer on the repartitioned union corpus).
     gt = (
         df.select(F.col(id_col).alias("id"), grams.alias("grams"))
         .select("id", F.posexplode_outer("grams").alias("pos", "gram_h"))
