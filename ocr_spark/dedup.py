@@ -1083,24 +1083,18 @@ def simhash_pairs(
 
 # ------------------------------------------------------ duplicated passages
 
-def _dup_gram_positions(
+def _gram_table(
     df: DataFrame,
     k: int,
-    min_docs: int,
     text_col: str,
     id_col: str,
     persist_grams: bool = True,
 ) -> DataFrame:
-    """``(id, pos)`` — 0-based token positions that START a ``k``-token
-    window whose gram occurs in at least ``min_docs`` DISTINCT documents.
-
-    The gram table is built per row (narrow: one ``transform`` over the
-    token array, then ``posexplode``); document frequency is one
-    ``(gram, id)`` distinct + one groupBy on the 60-bit gram hash (bigint
-    keys shuffle a fraction of the raw-text bytes, same trade as
-    :func:`drop_frequent_lines`); marking is one equi-join back on the
-    hash.  ``persist_grams`` caches the exploded gram table — it feeds
-    both the frequency build side and the probe side (session-lifetime
+    """``(id, pos, gram_h)`` — one row per ``k``-token window, 0-based
+    start position, 60-bit portable window hash.  Built per row (narrow:
+    one ``transform`` over the token array, then ``posexplode``);
+    ``persist_grams`` caches the exploded table — every caller feeds it
+    to both a frequency build side and the probe side (session-lifetime
     cache entry, same caveat as the minhash sketch)."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -1130,14 +1124,72 @@ def _dup_gram_positions(
     )
     if persist_grams:
         gt = gt.persist()
-    freq = (
+    return gt
+
+
+def gram_doc_freqs(gt: DataFrame) -> DataFrame:
+    """``(gram_h, n_docs)`` distinct-document frequency per window hash
+    over a :func:`_gram_table` — the PERSISTABLE unit of incremental
+    passage dedup (store through the tableio seam; sum ``n_docs`` by
+    ``gram_h`` across snapshots when reading back).  One ``(gram, id)``
+    distinct + one groupBy on the 60-bit hash (bigint keys shuffle a
+    fraction of the raw-text bytes, same trade as
+    :func:`drop_frequent_lines`)."""
+    return (
         gt.select("gram_h", "id")
         .distinct()
         .groupBy("gram_h")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .filter(F.col("doc_freq") >= min_docs)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def _dup_gram_positions(
+    df: DataFrame,
+    k: int,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+    persist_grams: bool = True,
+) -> DataFrame:
+    """``(id, pos)`` — 0-based token positions that START a ``k``-token
+    window whose gram occurs in at least ``min_docs`` DISTINCT documents;
+    marking is one equi-join back on the hash."""
+    gt = _gram_table(df, k, text_col, id_col, persist_grams)
+    freq = gram_doc_freqs(gt).filter(F.col("n_docs") >= min_docs)
     return gt.join(freq.select("gram_h"), on="gram_h").select("id", "pos")
+
+
+def _spans_from_marked(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of marked window starts into maximal spans
+    (see :func:`dup_passages` for the semantics)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos", 1).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") - prev > k), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
+    )
 
 
 def dup_passages(
@@ -1180,37 +1232,54 @@ def dup_passages(
     ubiquitous passage is a hot gram key — its frequency row is on the
     one-row-per-gram side, and AQE skew-join splits the residual probe.
     No stage ever holds more than one document's positions in order."""
-    from pyspark.sql import Window
-
     marked = _dup_gram_positions(
         df, k, min_docs, text_col, id_col, persist_grams
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    prev = F.lag("pos", 1).over(w)
-    brk = F.when(
-        prev.isNull() | (F.col("pos") - prev > k), F.lit(1)
-    ).otherwise(F.lit(0))
-    islands = marked.withColumn("brk", brk).withColumn(
-        "island",
-        F.sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        islands.groupBy("id", "island")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + k).cast("bigint").alias("span_end"),
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+    return _spans_from_marked(marked, k)
+
+
+def dup_passages_incremental(
+    delta: DataFrame,
+    committed_freqs: DataFrame | None = None,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_grams: bool = True,
+) -> DataFrame:
+    """Cross-run incremental PASSAGE dedup: duplicated spans of a DELTA
+    batch against the committed corpus plus the delta itself, without
+    re-gramming the committed corpus — the substring-level member of the
+    incremental family (exact / minhash pairs / clusters).
+
+    ``committed_freqs`` is the accumulated :func:`gram_doc_freqs` store
+    (``(gram_h, n_docs)``, summed by hash across snapshots when read
+    back; None = first batch).  A delta window is marked when its TOTAL
+    distinct-document frequency — delta count plus committed count —
+    reaches ``min_docs``; batches with disjoint ids make that total
+    exactly the one-shot full-corpus frequency, so the delta's spans
+    equal the spans a one-shot :func:`dup_passages` over all documents
+    assigns to these docs (the contract oracle replays exactly that).
+    Committed documents' own historical span emissions are final — the
+    forward-only semantic of a corpus already shipped to training;
+    append the delta's ``gram_doc_freqs`` to commit the run.
+
+    Shape for 100 TB: the committed side contributes ONE aggregated row
+    per distinct gram hash into the frequency join — no text, no
+    positions, no re-gramming; everything else is the batch shape."""
+    gt = _gram_table(delta, k, text_col, id_col, persist_grams)
+    freq = gram_doc_freqs(gt)
+    if committed_freqs is not None:
+        freq = (
+            freq.unionByName(
+                committed_freqs.select("gram_h", "n_docs")
+            )
+            .groupBy("gram_h")
+            .agg(F.sum("n_docs").alias("n_docs"))
         )
-        .select(
-            "id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-            "n_grams",
-        )
-    )
+    frequent = freq.filter(F.col("n_docs") >= min_docs).select("gram_h")
+    marked = gt.join(frequent, on="gram_h").select("id", "pos")
+    return _spans_from_marked(marked, k)
 
 
 def strip_dup_passages(

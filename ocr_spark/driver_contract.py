@@ -971,6 +971,39 @@ def q_strip_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_dup_passages_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental passage dedup through the store seam: the
+    originals' gram doc-frequencies go through tableio snapshot-append
+    and come back from parquet; the copies arrive as the delta.  Output:
+    the DELTA docs' duplicated spans, which must equal the one-shot
+    full-corpus spans restricted to those docs — exactly what the oracle
+    replays."""
+    from ocr_spark.dedup import (
+        _gram_table,
+        dup_passages_incremental,
+        gram_doc_freqs,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    corpus = _passage_corpus(spark, sf_dir)
+    committed_docs = corpus.filter(F.col("doc_id") < 1000000)
+    delta_docs = corpus.filter(F.col("doc_id") >= 1000000)
+
+    io = ParquetManifestIO(_stream_workdir("increm_passages"))
+    io.append(
+        gram_doc_freqs(
+            _gram_table(committed_docs, _PASSAGE_K, "text", "doc_id")
+        ),
+        "gram_freqs",
+    )
+    committed = io.read(spark, "gram_freqs").groupBy("gram_h").agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    return dup_passages_incremental(
+        delta_docs, committed, k=_PASSAGE_K
+    ).withColumnRenamed("id", "doc_id")
+
+
 def _passage_marked_cte(k: int) -> str:
     """Shared oracle CTE chain ending in ``m(doc_id, pos)`` — the marked
     gram start positions (mirrors dedup._dup_gram_positions)."""
@@ -1011,6 +1044,16 @@ SELECT doc_id, min(pos)::bigint AS span_start,
   count(*)::bigint AS n_grams
 FROM m3 GROUP BY doc_id, island
 """
+
+
+def _sql_dup_passages_incremental(k: int = _PASSAGE_K) -> str:
+    """One-shot full-corpus spans restricted to the delta (copies): with
+    disjoint batches, delta+committed gram frequency == total frequency,
+    so the incremental composition must reproduce this exactly."""
+    return (
+        _sql_dup_passages(k).rstrip()
+        + "\nHAVING doc_id >= 1000000\n"
+    )
 
 
 def _sql_strip_dup_passages(k: int = _PASSAGE_K) -> str:
@@ -2848,6 +2891,9 @@ def registry() -> dict[str, Entry]:
             q_dedup_exact_incremental, _sql_dedup_exact_incremental(),
         ),
         "dup_passages": (q_dup_passages, _sql_dup_passages()),
+        "dup_passages_incremental": (
+            q_dup_passages_incremental, _sql_dup_passages_incremental(),
+        ),
         "strip_dup_passages": (
             q_strip_dup_passages, _sql_strip_dup_passages(),
         ),

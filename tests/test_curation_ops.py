@@ -1589,3 +1589,57 @@ def test_band_table_rejects_bad_band_size(spark):
         with pytest.raises(ValueError, match="positive divisor"):
             band_table(sk, k=8, band_size=bad)
     assert band_table(sk, k=8, band_size=4).count() == 2
+
+
+def test_dup_passages_incremental_equals_one_shot_restriction(spark):
+    """Delta spans against a committed gram-frequency store == one-shot
+    full-corpus spans restricted to the delta docs (disjoint batches
+    make delta+committed frequency the exact total), including a window
+    duplicated ONLY across the batch boundary and one only within the
+    delta."""
+    from ocr_spark.dedup import (
+        _gram_table,
+        dup_passages,
+        dup_passages_incremental,
+        gram_doc_freqs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))   # committed ↔ delta
+    intra = " ".join(f"d{i}" for i in range(9))     # delta ↔ delta only
+    batch1 = [(1, f"a1 a2 {shared} a3 a4"), (2, "b1 b2 b3 b4 b5 b6 b7 b8 b9")]
+    batch2 = [
+        (10, f"c1 {shared} c2 {intra}"),
+        (11, f"e1 e2 e3 {intra} e4"),
+    ]
+    full = _df(spark, batch1 + batch2, "doc_id bigint, text string")
+    committed = gram_doc_freqs(_gram_table(
+        _df(spark, batch1, "doc_id bigint, text string"), 8, "text", "doc_id"
+    ))
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dup_passages_incremental(
+            _df(spark, batch2, "doc_id bigint, text string"), committed, k=8
+        ).collect()
+    }
+    want = {
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in dup_passages(full, k=8).collect()
+        if r.id >= 10
+    }
+    assert got == want and got
+    # the cross-batch-only window produced a span in delta doc 10
+    assert any(i == 10 for i, *_ in got)
+    # first batch (no store) == batch-only dup_passages
+    first = {
+        (r.id, r.span_start, r.span_end)
+        for r in dup_passages_incremental(
+            _df(spark, batch1, "doc_id bigint, text string"), None, k=8
+        ).collect()
+    }
+    batch_only = {
+        (r.id, r.span_start, r.span_end)
+        for r in dup_passages(
+            _df(spark, batch1, "doc_id bigint, text string"), k=8
+        ).collect()
+    }
+    assert first == batch_only
