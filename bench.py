@@ -146,9 +146,15 @@ def main() -> None:
     timings = {n: min(ts) for n, ts in samples.items()}
     # worst per-query (max-min)/min across rounds: the measured noise
     # this run; compare against the control spread before blaming a plan
+    # default=0.0: with rounds > 1 every sub-millisecond query rounds to
+    # 0.000 before min(), so the genexpr can be EMPTY — max() without a
+    # default would crash the bench after all queries already ran
     spread = max(
-        (max(ts) - min(ts)) / min(ts)
-        for ts in samples.values() if len(ts) > 1 and min(ts) > 0
+        (
+            (max(ts) - min(ts)) / min(ts)
+            for ts in samples.values() if len(ts) > 1 and min(ts) > 0
+        ),
+        default=0.0,
     ) if rounds > 1 else 0.0
 
     # docs/sec for the flagship: corpus size == documents rowcount at SF

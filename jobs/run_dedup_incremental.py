@@ -160,6 +160,34 @@ def main(argv: list[str] | None = None) -> dict:
         if committed is not None else None
     )
 
+    # Enforce the id-disjointness PRECONDITION the whole incremental
+    # family rests on (see incremental_minhash_pairs' docstring): a
+    # re-submitted batch overlapping committed ids (e.g. an operator
+    # retrying the same --start after a run that DID commit) would
+    # silently double-commit sketch/digest rows, duplicating pairs and
+    # corrupting cluster labels — while every other misuse here (legacy
+    # layout, k mismatch, band_size) already fails loudly.  One semi-join
+    # against the store's doc ids, bounded by the delta's size.
+    if committed_doc_rows is not None:
+        overlap = (
+            docs.join(
+                committed_doc_rows.select("id"),
+                docs.doc_id == F.col("id"),
+                "leftsemi",
+            )
+            .select("doc_id")
+            .limit(5)
+            .collect()
+        )
+        if overlap:
+            raise SystemExit(
+                "delta doc ids overlap committed store ids (e.g. "
+                f"{sorted(r.doc_id for r in overlap)}); each run must "
+                "submit a disjoint id range — the store append is the "
+                "commit point, so a retried range means the prior run "
+                "committed and this submission would double-count it"
+            )
+
     # exact pass — the decision table is this run's primary output
     exact = exact_duplicates_incremental(
         exact_digests(docs), committed_digests

@@ -258,6 +258,15 @@ def exact_duplicates_incremental(
     kept)`` with ``kept = ¬dup_of_committed ∧ id = new_canonical_id``.
     Append the kept rows' digests to the store to commit the run.
 
+    **Behavior changed (round 5):** ``new_canonical_id`` is NULL on
+    ``dup_of_committed`` rows.  It used to carry the delta's min id even
+    there — but that "canonical" is itself dropped (the committed copy
+    wins), so an auditor grouping by it attributed docs to a ghost.  The
+    true committed canonical is a store lookup away (join the store on
+    ``digest``); emitting NULL keeps this operator free of any
+    committed-side grouping (the store contributes a distinct digest
+    probe only — see the shape note below).
+
     Shape for 100 TB: one groupBy(digest) over the DELTA only (min id),
     rejoined on the same key (no extra shuffle — the partitioning is
     reused), plus one left join of delta digests against the store,
@@ -286,7 +295,7 @@ def exact_duplicates_incremental(
         "id",
         "digest",
         dup.alias("dup_of_committed"),
-        "new_canonical_id",
+        F.when(~dup, F.col("new_canonical_id")).alias("new_canonical_id"),
         (~dup & (F.col("id") == F.col("new_canonical_id"))).alias("kept"),
     )
 

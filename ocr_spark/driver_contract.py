@@ -914,7 +914,8 @@ canon AS (SELECT digest, min(id) AS new_canonical_id
           FROM delta GROUP BY digest)
 SELECT d.id, d.digest,
   (d.digest IN (SELECT digest FROM committed)) AS dup_of_committed,
-  c.new_canonical_id,
+  CASE WHEN d.digest IN (SELECT digest FROM committed) THEN NULL
+       ELSE c.new_canonical_id END AS new_canonical_id,
   (d.digest NOT IN (SELECT digest FROM committed)
    AND d.id = c.new_canonical_id) AS kept
 FROM delta d JOIN canon c USING (digest)

@@ -1273,6 +1273,10 @@ def test_exact_incremental_first_run_wins_and_union_equivalence(spark):
     rows2 = {r.id: r for r in second.collect()}
     assert set(rows2) == {10, 11, 12}  # NULL-text 13 excluded
     assert rows2[10].dup_of_committed and not rows2[10].kept
+    # dup-of-committed rows carry NO delta canonical (the delta's min id
+    # is itself dropped — the committed copy is the survivor; behavior
+    # changed round 5, see exact_duplicates_incremental's docstring)
+    assert rows2[10].new_canonical_id is None
     assert rows2[11].kept and rows2[11].new_canonical_id == 11
     assert not rows2[12].kept and rows2[12].new_canonical_id == 11
     kept2 = {r.id for r in second.collect() if r.kept}

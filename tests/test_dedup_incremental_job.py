@@ -173,6 +173,29 @@ def test_job_refuses_legacy_two_table_store(spark, tmp_path):
                   "--out", str(tmp_path / "out")])
 
 
+def test_job_refuses_overlapping_id_range(spark, tmp_path):
+    """A re-submitted batch whose ids overlap the committed store must
+    fail loudly BEFORE any store append: the overlap means the prior run
+    committed, and re-running it would double-commit sketch/digest rows
+    (duplicated pairs, corrupted cluster labels) with no error — the one
+    misuse of the incremental store that used to be documented but not
+    enforced."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    job_main(["--synthetic", "20", "--start", "0",
+              "--store", store, "--out", str(tmp_path / "outA")])
+    with pytest.raises(SystemExit, match="disjoint id range"):
+        # operator retry mistake: same --start after a committed run
+        job_main(["--synthetic", "20", "--start", "10",
+                  "--store", store, "--out", str(tmp_path / "outB")])
+    # the refused run must not have advanced the store
+    manifest = json.load(
+        open(os.path.join(store, "signatures", "manifest.json"))
+    )
+    assert len(manifest["snapshots"]) == 1
+
+
 def test_job_empty_first_batch_does_not_brick_store(spark, tmp_path):
     """An empty (or all-NULL-text) first batch commits an empty snapshot
     that later runs must read through cleanly (Spark writes a
