@@ -37,15 +37,16 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_pairs",
     "text_ann_pairs",        # text → embed_hash → LSH chain (round 4)
-    "quality_score",
+    "doc_stats",             # fused per-doc panel (was quality_score +
+    #                          langid + fingerprint + scrub_pii + simhash16
+    #                          — round-5 registry consolidation)
     "lm_score",              # corpus unigram-surprisal scoring (round 4)
-    "langid",
-    "fingerprint",
     "dedup_exact",
     "strip_dup_passages",    # k-gram substring dedup + token cut (round 4)
     "lineitem_pricing",
     "orders_by_segment",
-    "events_sessions",
+    "events_sessions_stream",  # sessionization via the streaming drain
+    #                            (the batch twin was retired — same oracle)
     "events_dedup_stream",   # stateful streaming drain (checkpointed)
 ]
 

@@ -1020,6 +1020,129 @@ def simhash_blocks(
     ])
 
 
+def simhash_sketches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """``(id, sig)`` per-document SimHash sketch — the PERSISTABLE unit of
+    incremental simhash dedup, mirroring :func:`minhash_sketches`: the
+    signature is a pure per-document function (shingle hashes → bit
+    votes), so sketches written by one run block/verify identically
+    against sketches computed by a later run.  Store through the
+    :mod:`ocr_spark.tableio` seam; see :func:`incremental_simhash_pairs`.
+
+    Unlike the minhash sketch (whose sig WIDTH is checkable at read
+    time), a simhash signature is one bigint — a store written at a
+    different ``bits``/``shingle_n`` is not detectable from the data, so
+    the same-parameters precondition is purely the caller's commit
+    discipline: persist the parameters next to the store."""
+    feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
+    return simhash_from_features(
+        df.select(F.col(id_col).alias("id"), feats.alias("feats")),
+        F.col("feats"),
+        bits=bits,
+    )
+
+
+def _simhash_block_rows(
+    base: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """``(id, sig, block_idx, block_val)`` exploded Manku block rows of an
+    ``(id, sig)`` sketch table — single-sourced so the full-corpus and
+    incremental candidate joins use the SAME key derivation (their
+    run-union equivalence depends on it), like :func:`_band_self_pairs`
+    for the minhash family."""
+    blocks = simhash_blocks(F.col("sig"), bits=bits, max_hamming=max_hamming)
+    return (
+        # outer + null filter: see _dup_gram_positions for why not plain
+        # explode (inferred pre-filter duplicates the block arithmetic).
+        base.select("id", "sig", F.explode_outer(blocks).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("id", "sig", "b.block_idx", "b.block_val")
+    )
+
+
+def _hamming_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
+    """``bit_count(xor)`` verification of candidate (id, sig) pairs."""
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_simhash_pairs(
+    new_sketches: DataFrame,
+    committed_sketches: DataFrame | None = None,
+    max_hamming: int = 3,
+    bits: int = 60,
+    persist_new: bool = True,
+) -> DataFrame:
+    """Cross-run incremental SimHash dedup: hamming-≤ ``max_hamming``
+    pairs TOUCHING the new batch — (new × new) ∪ (new × committed) —
+    without re-pairing the committed corpus against itself, the simhash
+    member of the incremental family (exact / minhash / clusters /
+    passages).
+
+    Same store protocol as :func:`incremental_minhash_pairs`: sketch the
+    delta (:func:`simhash_sketches`), block-join it against itself and
+    against the committed sketch store, verify ``bit_count(xor)``, then
+    append the delta's sketches to commit the run.  The committed side
+    contributes one block-row scan + the equi-join probe — never a
+    committed × committed pair.  Because signatures are pure per-document
+    functions, the union of every run's output equals the full-corpus
+    :func:`simhash_pairs` over all documents (each pair is emitted by the
+    run that introduced its later member) — the ``dedup_simhash_
+    incremental`` contract oracle replays exactly that restriction.
+
+    Preconditions: new ids disjoint from committed ids, and both sides
+    sketched with the same ``bits``/``shingle_n``/``max_hamming`` block
+    split (NOT detectable from a bigint signature at read time — see
+    :func:`simhash_sketches`)."""
+    if persist_new:
+        new_sketches = new_sketches.persist()
+    nb = _simhash_block_rows(new_sketches, bits, max_hamming)
+    nn = (
+        nb.alias("l")
+        .join(nb.alias("r"), on=["block_idx", "block_val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+    )
+    if committed_sketches is None:
+        cand = nn.distinct()
+    else:
+        cb = _simhash_block_rows(committed_sketches, bits, max_hamming)
+        lt = F.col("l.id") < F.col("r.id")
+        nc = (
+            nb.alias("l")
+            .join(cb.alias("r"), on=["block_idx", "block_val"])
+            .filter(F.col("l.id") != F.col("r.id"))
+            .select(
+                F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+                F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+                F.when(lt, F.col("l.sig")).otherwise(F.col("r.sig"))
+                .alias("sig_a"),
+                F.when(lt, F.col("r.sig")).otherwise(F.col("l.sig"))
+                .alias("sig_b"),
+            )
+        )
+        cand = nn.unionByName(nc).distinct()
+    return _hamming_verify(cand, max_hamming)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1052,20 +1175,8 @@ def simhash_pairs(
     a signature and still concentrate — run exact dedup first; AQE
     skew-join splits what remains.
     """
-    feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
-    base = simhash_from_features(
-        df.select(F.col(id_col).alias("id"), feats.alias("feats")),
-        F.col("feats"),
-        bits=bits,
-    )
-    blocks = simhash_blocks(F.col("sig"), bits=bits, max_hamming=max_hamming)
-    banded = (
-        # outer + null filter: see _dup_gram_positions for why not plain
-        # explode (inferred pre-filter duplicates the block arithmetic).
-        base.select("id", "sig", F.explode_outer(blocks).alias("b"))
-        .filter(F.col("b").isNotNull())
-        .select("id", "sig", "b.block_idx", "b.block_val")
-    )
+    base = simhash_sketches(df, text_col, id_col, bits, shingle_n)
+    banded = _simhash_block_rows(base, bits, max_hamming)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["block_idx", "block_val"])
@@ -1078,16 +1189,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-            ).cast("bigint").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _hamming_verify(cand, max_hamming)
 
 
 # ------------------------------------------------------ duplicated passages

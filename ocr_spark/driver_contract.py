@@ -322,20 +322,14 @@ FROM n
 """
 
 
-def q_letters_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir).select(
-        "doc_id",
-        F.expr("concat('A1 ', substr(text, 1, 40), ' ñé2#')").alias("s"),
-    )
-    return df.select(
-        "doc_id", native.letters_only(F.col("s")).alias("letters")
-    )
+# input-synthesis fragment shared by the letters-only member of
+# q_text_cleaners and its oracle
+_LETTERS_INPUT_SQL = "concat('A1 ', substr(text, 1, 40), ' ñé2#')"
 
-
-SQL_LETTERS_ONLY = """
+SQL_LETTERS_ONLY = f"""
 SELECT doc_id,
   trim(regexp_replace(
-    regexp_replace(trim(upper(concat('A1 ', substr(text, 1, 40), ' ñé2#'))),
+    regexp_replace(trim(upper({_LETTERS_INPUT_SQL})),
                    '[^A-ZÁÉÍÓÚÜÑ\\s]', ' ', 'g'),
     '\\s+', ' ', 'g')) AS letters
 FROM documents
@@ -379,18 +373,6 @@ FROM b
 """
 
 
-def q_curp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cards_df(spark, sf_dir)
-    c = F.col("curp")
-    return df.select(
-        "doc_id",
-        c.alias("curp"),
-        native.curp_sex(c).alias("sexo"),
-        native.curp_birthdate(c).alias("fecha_nacimiento"),
-        native.curp_state(c).alias("estado"),
-    )
-
-
 SQL_CURP_PARSE = f"""
 WITH cards AS ({CARDS_SQL})
 SELECT doc_id, curp,
@@ -409,18 +391,6 @@ FROM cards
 """
 
 
-def q_elector_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cards_df(spark, sf_dir)
-    k = F.col("ekey")
-    return df.select(
-        "doc_id",
-        k.alias("ekey"),
-        native.elector_state(k).alias("estado_clave"),
-        native.elector_section(k).alias("seccion_clave"),
-        native.elector_registry_year(k).alias("anio_registro_clave"),
-    )
-
-
 SQL_ELECTOR_PARSE = f"""
 WITH cards AS ({CARDS_SQL})
 SELECT doc_id, ekey,
@@ -435,6 +405,38 @@ SELECT doc_id, ekey,
               y -> cast(y as int) between 1900 and {REF_YEAR + 1})[1], '')
        END AS anio_registro_clave
 FROM cards
+"""
+
+
+def q_id_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused identifier-parser panel — D1 CURP demographics with the
+    century pivot (main.py:531-598) and D2 elector-key parsing
+    (main.py:604-655), both substring + map-literal lookups over the SAME
+    synthesized cards, in one scan.  Separate ``curp_parse`` /
+    ``elector_key_parse`` entries through round 4; fused for the 50-query
+    window — each parser keeps its own oracle-verified columns (oracle =
+    the two original oracles joined on doc_id)."""
+    df = _cards_df(spark, sf_dir)
+    c, k = F.col("curp"), F.col("ekey")
+    return df.select(
+        "doc_id",
+        c.alias("curp"),
+        native.curp_sex(c).alias("sexo"),
+        native.curp_birthdate(c).alias("fecha_nacimiento"),
+        native.curp_state(c).alias("estado"),
+        k.alias("ekey"),
+        native.elector_state(k).alias("estado_clave"),
+        native.elector_section(k).alias("seccion_clave"),
+        native.elector_registry_year(k).alias("anio_registro_clave"),
+    )
+
+
+SQL_ID_PARSERS = f"""
+WITH o1 AS ({SQL_CURP_PARSE}),
+o2 AS ({SQL_ELECTOR_PARSE})
+SELECT o1.doc_id, o1.curp, o1.sexo, o1.fecha_nacimiento, o1.estado,
+       o2.ekey, o2.estado_clave, o2.seccion_clave, o2.anio_registro_clave
+FROM o1 JOIN o2 USING (doc_id)
 """
 
 
@@ -533,17 +535,6 @@ FROM m
 """
 
 
-def q_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir).select(
-        "doc_id", F.expr(_NAMES_SQL).alias("name")
-    )
-    return df.select(
-        "doc_id",
-        F.col("name"),
-        native.clean_name(F.col("name")).alias("cleaned"),
-    )
-
-
 _SW_NAME_LIT = "[" + ", ".join(f"'{w}'" for w in NAME_STOPWORDS) + "]"
 
 SQL_NAME_CLEAN = f"""
@@ -574,38 +565,26 @@ FROM k
 """
 
 
-def q_strip_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            "case when doc_id % 3 = 0 "
-            "then concat('FRACC LA HERRADURA ', '0', "
-            + _two("10 + doc_id % 90")
-            + ", "
-            + _two("doc_id % 100")
-            + ") else 'COL CENTRO SIN CP' end"
-        ).alias("colonia"),
-        F.expr(
-            "concat('0', " + _two("10 + doc_id % 90") + ", "
-            + _two("doc_id % 100") + ")"
-        ).alias("cp"),
-    )
-    return df.select(
-        "doc_id",
-        native.strip_cp_from_colonia(F.col("colonia"), F.col("cp")).alias(
-            "colonia_limpia"
-        ),
-    )
-
+# colonia/cp input synthesis shared by the strip-cp member of
+# q_text_cleaners and its oracle
+_COLONIA_SQL = (
+    "case when doc_id % 3 = 0 "
+    "then concat('FRACC LA HERRADURA ', '0', "
+    + _two("10 + doc_id % 90")
+    + ", "
+    + _two("doc_id % 100")
+    + ") else 'COL CENTRO SIN CP' end"
+)
+_CP_SQL = (
+    "concat('0', " + _two("10 + doc_id % 90") + ", "
+    + _two("doc_id % 100") + ")"
+)
 
 SQL_STRIP_CP = f"""
 WITH inp AS (
   SELECT doc_id,
-    case when doc_id % 3 = 0
-         then concat('FRACC LA HERRADURA ', '0', {_two('10 + doc_id % 90')},
-                     {_two('doc_id % 100')})
-         else 'COL CENTRO SIN CP' end AS colonia,
-    concat('0', {_two('10 + doc_id % 90')}, {_two('doc_id % 100')}) AS cp
+    {_COLONIA_SQL} AS colonia,
+    {_CP_SQL} AS cp
   FROM documents)
 SELECT doc_id,
   CASE WHEN colonia IS NULL OR trim(colonia) = '' OR cp IS NULL
@@ -618,15 +597,6 @@ FROM inp
 """
 
 
-def q_vigencia_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir).select(
-        "doc_id", F.expr(_VIG_SQL).alias("v")
-    )
-    return df.select(
-        "doc_id", native.format_year_pair(F.col("v")).alias("vigencia")
-    )
-
-
 SQL_VIG_FORMAT = f"""
 WITH inp AS (SELECT doc_id, {_VIG_SQL} AS v FROM documents)
 SELECT doc_id,
@@ -634,6 +604,49 @@ SELECT doc_id,
        ELSE trim(regexp_replace(replace(v, '-', ' - '), '\\s+', ' ', 'g'))
        END AS vigencia
 FROM inp
+"""
+
+
+def q_text_cleaners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document text-cleaner panel — P2 letters-only
+    (main.py:1376-1383), P3 name-token blacklist with the original-casing
+    quirk (main.py:661-722), P4 CP-token removal (main.py:1530-1545) and
+    the vigencia year-pair formatter (main.py:918/930/945/1089) computed
+    in ONE scan of the documents table.  The four cleaners were separate
+    registry entries through round 4; they are one query now so every
+    entry fits the driver's 50-query correctness window — each operator
+    keeps its own oracle-verified columns (the oracle is the four
+    original oracle blocks joined on doc_id), and the fused shape is
+    also the production one: per-doc scalar cleaners belong in a single
+    projection, not four scans."""
+    df = _docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_LETTERS_INPUT_SQL).alias("s"),
+        F.expr(_NAMES_SQL).alias("name"),
+        F.expr(_COLONIA_SQL).alias("colonia"),
+        F.expr(_CP_SQL).alias("cp"),
+        F.expr(_VIG_SQL).alias("v"),
+    )
+    return df.select(
+        "doc_id",
+        native.letters_only(F.col("s")).alias("letters"),
+        F.col("name"),
+        native.clean_name(F.col("name")).alias("cleaned"),
+        native.strip_cp_from_colonia(F.col("colonia"), F.col("cp")).alias(
+            "colonia_limpia"
+        ),
+        native.format_year_pair(F.col("v")).alias("vigencia"),
+    )
+
+
+SQL_TEXT_CLEANERS = f"""
+WITH o1 AS ({SQL_LETTERS_ONLY}),
+o2 AS ({SQL_NAME_CLEAN}),
+o3 AS ({SQL_STRIP_CP}),
+o4 AS ({SQL_VIG_FORMAT})
+SELECT o1.doc_id, o1.letters, o2.name, o2.cleaned, o3.colonia_limpia,
+       o4.vigencia
+FROM o1 JOIN o2 USING (doc_id) JOIN o3 USING (doc_id) JOIN o4 USING (doc_id)
 """
 
 
@@ -1151,14 +1164,6 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _near_corpus(spark, sf_dir)
-    return corpus.select(
-        F.col("doc_id").alias("id"),
-        simhash16(ts.tokens(F.col("text"))).alias("simhash"),
-    )
-
-
 def _simhash_pair_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ word-dropped near-dups (+1M) ∪ whitespace-doubled exact
     dups (+2M): the doubled copies tokenize identically (hamming 0), the
@@ -1179,6 +1184,39 @@ def _simhash_pair_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         _simhash_pair_corpus(spark, sf_dir), max_hamming=3, bits=60
+    )
+
+
+def q_dedup_simhash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-run incremental SIMHASH dedup through the real store path
+    (same protocol as ``dedup_incremental``): the committed cohort's
+    (id, sig) sketches go through tableio snapshot-append and come back
+    from parquet; the delta (every 5th doc of the simhash pair corpus)
+    is block-joined against itself and the store.  Oracle = the
+    full-corpus simhash pair set restricted to pairs touching the delta
+    — the run-union equivalence, replayed in SQL."""
+    from ocr_spark.dedup import incremental_simhash_pairs, simhash_sketches
+    from ocr_spark.tableio import ParquetManifestIO
+
+    corpus = _simhash_pair_corpus(spark, sf_dir)
+    delta = corpus.filter(F.col("doc_id") % 5 == 0)
+    committed_docs = corpus.filter(F.col("doc_id") % 5 != 0)
+
+    io = ParquetManifestIO(_stream_workdir("increm_simhash"))
+    io.append(simhash_sketches(committed_docs, bits=60), "simhash")
+    committed = io.read(spark, "simhash")
+    return incremental_simhash_pairs(
+        simhash_sketches(delta, bits=60), committed,
+        max_hamming=3, bits=60,
+    )
+
+
+def _sql_simhash_incremental() -> str:
+    return (
+        _sql_simhash_pairs().rstrip()
+        + "\n  AND (id_a % 5 = 0 OR id_b % 5 = 0)\n"
     )
 
 
@@ -1218,7 +1256,9 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(corpus_sql: str | None = None) -> str:
+    """16-bit token-set SimHash oracle CTE over ``corpus_sql`` (defaults
+    to the near-dup corpus; the doc_stats panel passes plain documents)."""
     toks = _DUCK_TOKENS.format(t="text")
     votes = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) > 0)) "
@@ -1226,7 +1266,7 @@ def _sql_simhash() -> str:
         for b in range(16)
     )
     return f"""
-WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+WITH corpus AS ({corpus_sql or _DUCK_NEAR_CORPUS}),
 h AS (SELECT doc_id AS id,
         list_transform(list_distinct({toks}),
                        t -> ('0x' || substr(md5(t), 1, 15))::bigint) AS hs
@@ -1663,6 +1703,38 @@ def q_ann_lsh_pairs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental embedding ANN through the real store path:
+    the committed cohort's (id, v, nrm, bucket) sketches go through
+    tableio snapshot-append and come back from parquet; the delta (every
+    5th vector) is bucket-joined against itself and the store, with
+    exact-cosine verify from the stored vectors.  Oracle = the one-shot
+    single-table LSH pair set restricted to pairs touching the delta."""
+    from ocr_spark.similarity import ann_sketches, incremental_lsh_ann_pairs
+    from ocr_spark.tableio import ParquetManifestIO
+
+    _register(spark, sf_dir, ["embeddings"])
+    emb = _emb_df(spark)
+    planes = hyperplanes(4)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    committed_docs = emb.filter(F.col("vec_id") % 5 != 0)
+
+    io = ParquetManifestIO(_stream_workdir("increm_ann"))
+    io.append(ann_sketches(committed_docs, planes=planes), "ann")
+    committed = io.read(spark, "ann")
+    return incremental_lsh_ann_pairs(
+        ann_sketches(delta, planes=planes), committed,
+        dims=64, min_cosine=0.25,
+    )
+
+
+def _sql_ann_incremental() -> str:
+    return (
+        _sql_ann_lsh().rstrip()
+        + "\n  AND (id_a % 5 = 0 OR id_b % 5 = 0)\n"
+    )
+
+
 def _sql_ann_lsh_multi(n_tables: int = 3, n_planes: int = 4) -> str:
     def bucket_for(seed: str) -> str:
         bits = []
@@ -2039,17 +2111,6 @@ concat(substr(text, 1, 30),
 """
 
 
-def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir).select(
-        "doc_id", F.expr(_PII_INPUT_SQL).alias("raw")
-    )
-    return df.select(
-        "doc_id",
-        ts.scrub_pii(F.col("raw")).alias("scrubbed"),
-        *ts.pii_counts(F.col("raw")),
-    )
-
-
 def _sql_scrub_pii() -> str:
     scrub = "raw"
     for _name, pattern, token in ts.PII_PATTERNS:
@@ -2213,15 +2274,6 @@ JOIN cont co ON q.doc_id = co.doc_id
 """
 
 
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir)
-    return df.select(
-        "doc_id",
-        "lang",
-        ts.langid(F.col("text")).alias("pred_lang"),
-    )
-
-
 def _sql_langid() -> str:
     toks = _DUCK_TOKENS.format(t="text")
     h = _DUCK_LANG_HITS
@@ -2233,18 +2285,6 @@ h AS (SELECT doc_id, lang, {h['de']} AS h_de, {h['en']} AS h_en,
 SELECT doc_id, lang, {_LANGID_CASE} AS pred_lang
 FROM h
 """
-
-
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs_df(spark, sf_dir)
-    t = F.col("text")
-    return df.select(
-        "doc_id",
-        ts.token_count(t).alias("n_tokens"),
-        ts.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        ts.punct_ratio(t).alias("punct_ratio"),
-        ts.quality_score(t, "en").alias("quality"),
-    )
 
 
 def _sql_quality() -> str:
@@ -2269,15 +2309,35 @@ FROM m
 """
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document STATS PANEL: language-ID, quality scoring, token
+    counting, winnowing/prefix/whole-doc fingerprints, PII scrub +
+    counts, and the 16-bit SimHash signature — ONE scan of the documents
+    table producing every per-doc scalar column a curation job annotates
+    with before any corpus-level pass.  These were five registry entries
+    through round 4 (``langid``, ``quality_score``, ``fingerprint``,
+    ``scrub_pii``, ``dedup_simhash``); fusing them keeps the registry
+    inside the driver's 50-query window AND is the production shape —
+    per-doc scalar columns belong in one projection over one scan, not
+    five scans of the same table.  Each operator keeps its own
+    oracle-verified columns: the oracle joins the five original oracle
+    blocks on doc_id."""
     df = ts.with_winnow_fingerprints(
-        _docs_df(spark, sf_dir).select("doc_id", "text")
+        _docs_df(spark, sf_dir).select("doc_id", "lang", "text")
     )
     winnow = F.col("winnow")
+    t = F.col("text")
     # coalesce for NULL-text parity with the oracle's coalesce(text, '')
-    nn_text = F.coalesce(F.col("text"), F.lit(""))
+    nn_text = F.coalesce(t, F.lit(""))
+    raw = F.expr(_PII_INPUT_SQL)
     return df.select(
         "doc_id",
+        "lang",
+        ts.langid(t).alias("pred_lang"),
+        ts.token_count(t).alias("n_tokens"),
+        ts.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        ts.punct_ratio(t).alias("punct_ratio"),
+        ts.quality_score(t, "en").alias("quality"),
         ts.fingerprint(nn_text).alias("fp"),
         ts.prefix_fingerprint(nn_text).alias("prefix_fp"),
         F.size(winnow).cast("bigint").alias("n_winnow"),
@@ -2287,7 +2347,30 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(F.array_sort(winnow), lambda h: h.cast("string")),
             )
         ).alias("winnow_digest"),
+        ts.scrub_pii(raw).alias("scrubbed"),
+        *ts.pii_counts(raw),
+        simhash16(ts.tokens(t)).alias("simhash"),
     )
+
+
+def _sql_doc_stats() -> str:
+    pii_cols = ", ".join(
+        f"o4.{name}_n" for name, _p, _t in ts.PII_PATTERNS
+    )
+    return f"""
+WITH o1 AS ({_sql_langid()}),
+o2 AS ({_sql_quality()}),
+o3 AS ({_sql_fingerprint()}),
+o4 AS ({_sql_scrub_pii()}),
+o5 AS ({_sql_simhash("SELECT doc_id, text, lang FROM documents")})
+SELECT o1.doc_id, o1.lang, o1.pred_lang,
+       o2.n_tokens, o2.n_bpe_tokens, o2.punct_ratio, o2.quality,
+       o3.fp, o3.prefix_fp, o3.n_winnow, o3.winnow_digest,
+       o4.scrubbed, {pii_cols},
+       o5.simhash
+FROM o1 JOIN o2 USING (doc_id) JOIN o3 USING (doc_id)
+JOIN o4 USING (doc_id) JOIN o5 ON o1.doc_id = o5.id
+"""
 
 
 def _sql_fingerprint(k: int = 5, w: int = 4) -> str:
@@ -2385,28 +2468,12 @@ GROUP BY c_mktsegment
 """
 
 
-def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    _register(spark, sf_dir, ["events"])
-    ev = spark.table("events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast-to-double keeps sub-second precision; unix_timestamp truncates
-    # to whole seconds and would disagree with the oracle's epoch() on
-    # gaps within 1s of the threshold
-    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ (UTC
-    # session) → fractional epoch seconds; NTZ cannot cast to double directly
-    gap = epoch - F.lag(epoch).over(w)
-    with_break = ev.withColumn(
-        "brk",
-        F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0)),
-    )
-    return with_break.groupBy("user_id").agg(
-        (F.sum("brk") + 1).cast("bigint").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
+# Batch sessionization / hourly-window twins retired from the registry in
+# round 5: their STREAMING counterparts (q_events_sessions_stream /
+# q_events_hourly_stream) drain through foreachBatch and are gated against
+# these IDENTICAL oracles, so the batch entries double-covered the same
+# semantics while crowding the driver's 50-query window.  The SQL stays —
+# it is the streams' oracle.
 SQL_EVENTS_SESSIONS = """
 WITH g AS (
   SELECT user_id,
@@ -2418,24 +2485,6 @@ SELECT user_id, (sum(brk) + 1)::bigint AS n_sessions,
        count(*)::bigint AS n_events
 FROM g GROUP BY user_id
 """
-
-
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _register(spark, sf_dir, ["events"])
-    ev = spark.table("events")
-    return (
-        ev.groupBy(
-            F.date_format(
-                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-            ).alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double").alias("total_value"),
-        )
-    )
 
 
 SQL_EVENTS_HOURLY = """
@@ -2520,33 +2569,15 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 (JSON ingest): parse the events ``props`` JSON column natively
-    (`get_json_object` → Catalyst JSON path, no UDF) and aggregate."""
-    _register(spark, sf_dir, ["events"])
-    ev = spark.table("events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("total_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-SQL_EVENTS_PROPS_JSON = """
-SELECT event_type, count(*)::bigint AS n_events,
-  sum(json_extract_string(props, '$.k')::bigint)::bigint AS total_k,
-  min(json_extract_string(props, '$.k')::bigint)::bigint AS min_k,
-  max(json_extract_string(props, '$.k')::bigint)::bigint AS max_k
-FROM events
-GROUP BY event_type
-"""
-
+# q_events_props_json / q_supplier_by_region / q_part_filter_agg /
+# q_top_orders_per_customer were retired in round 5: their operator shapes
+# (native JSON path extraction, broadcast snowflake walk, pushed
+# filter + agg, per-group top-k) are each still covered by a surviving
+# entry (events_dedup_stream parses the SAME props JSON natively;
+# orders_by_segment / curp_state_join are the broadcast joins;
+# lineitem_pricing the pushed-filter agg; tfidf_topk the window top-k) —
+# they crowded the flagship family out of the driver's 50-query window
+# in CORRECTNESS_r04, which is a worse trade than losing four demo rows.
 
 def q_curp_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 state lookup as a BROADCAST JOIN against a dimension DataFrame
@@ -2584,92 +2615,6 @@ keyed AS (
   FROM cards)
 SELECT doc_id, coalesce(estado, '') AS estado
 FROM keyed LEFT JOIN dim USING (code)
-"""
-
-
-def q_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join broadcast chain region ⋈ nation ⋈ supplier (the classic
-    snowflake walk; both dims broadcast, zero shuffle joins)."""
-    _register(spark, sf_dir, ["region", "nation", "supplier"])
-    region = spark.table("region")
-    nation = spark.table("nation")
-    supplier = spark.table("supplier")
-    return (
-        supplier.join(
-            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
-        )
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-            .cast("double").alias("total_acctbal"),
-        )
-    )
-
-
-SQL_SUPPLIER_BY_REGION = """
-SELECT r_name, count(*)::bigint AS n_suppliers,
-  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_acctbal
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def q_part_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate + LIKE filter that must push to the scan, then agg."""
-    _register(spark, sf_dir, ["part"])
-    part = spark.table("part")
-    return (
-        part.filter(
-            (F.col("p_retailprice") > 950.0)
-            & F.col("p_type").isin("PROMO", "STANDARD")
-        )
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
-            .cast("double").alias("total_price"),
-        )
-    )
-
-
-SQL_PART_FILTER_AGG = """
-SELECT p_brand, count(*)::bigint AS n_parts,
-  cast(sum(cast(p_retailprice as decimal(18,2))) as double) AS total_price
-FROM part
-WHERE p_retailprice > 950.0 AND p_type IN ('PROMO', 'STANDARD')
-GROUP BY p_brand
-"""
-
-
-def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k (k=3) by value — WindowGroupLimit pushdown shape."""
-    from pyspark.sql import Window
-
-    _register(spark, sf_dir, ["orders"])
-    orders = spark.table("orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.withColumn(
-            "rank_in_cust", F.row_number().over(w).cast("bigint")
-        )
-        .filter(F.col("rank_in_cust") <= 3)
-        .select("o_custkey", "o_orderkey", "rank_in_cust")
-    )
-
-
-SQL_TOP_ORDERS_PER_CUSTOMER = """
-SELECT o_custkey, o_orderkey,
-  row_number() OVER (PARTITION BY o_custkey
-                     ORDER BY o_totalprice DESC, o_orderkey ASC)
-    ::bigint AS rank_in_cust
-FROM orders
-QUALIFY rank_in_cust <= 3
 """
 
 
@@ -2871,26 +2816,54 @@ SQL_FRAME_SAMPLE = _truth_sql(
 # ---------------------------------------------------------------------------
 
 def registry() -> dict[str, Entry]:
+    """The driver evaluates the FIRST 50 entries in registry order —
+    CORRECTNESS_r04 proved that the hard way when the registry grew to 62
+    and the 12 highest-value queries (the flagship among them) silently
+    fell off the back.  Round-5 contract: (a) the registry holds at most
+    50 entries, enforced by tests/test_entry_contract.py's hygiene test;
+    (b) the pipeline-stage and streaming queries — the ones that prove
+    the north-rule invariant — come FIRST so even a future overflow
+    cannot evict them; (c) closely-related per-doc scalar operators ride
+    fused panels (text_cleaners, id_parsers, doc_stats) whose oracles are
+    the original per-operator oracle blocks joined on doc_id, so every
+    operator keeps its own verified columns."""
     return {
-        # reference extraction operators (native Catalyst, DuckDB oracle)
+        # ---- pipeline stages (the north-rule invariant) — FIRST, always
+        "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
+        "split_name": (q_split_name, SQL_SPLIT_NAME),
+        "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
+        "media_meta": (q_media_meta, SQL_MEDIA_META),
+        "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+        # ---- streaming twins, drained availableNow and checked against
+        # the IDENTICAL batch oracles (batch-stream equivalence under the
+        # gate; the batch sessionization/hourly entries were retired —
+        # same oracle, double coverage)
+        "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY),
+        "events_sessions_stream": (
+            q_events_sessions_stream, SQL_EVENTS_SESSIONS,
+        ),
+        "events_dedup_stream": (
+            q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM,
+        ),
+        # ---- joins / relational shapes over the driver tables
+        "curp_state_join": (q_curp_state_join, _sql_curp_state_join()),
+        "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+        "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+        # ---- reference extraction operators (native Catalyst)
         "normalize_lines": (q_normalize_lines, _ducked(SQL_NORMALIZE_LINES)),
-        "letters_only": (q_letters_only, SQL_LETTERS_ONLY),
+        "text_cleaners": (q_text_cleaners, SQL_TEXT_CLEANERS),
         "classify_credential": (q_classify_credential, _ducked(SQL_CLASSIFY)),
-        "curp_parse": (q_curp_parse, SQL_CURP_PARSE),
-        "elector_key_parse": (q_elector_key_parse, SQL_ELECTOR_PARSE),
+        "id_parsers": (q_id_parsers, SQL_ID_PARSERS),
         "field_completions": (q_field_completions, SQL_COMPLETIONS),
         "regex_extractors": (q_regex_extractors, _ducked(SQL_REGEX_EXTRACTORS)),
-        "name_clean": (q_name_clean, SQL_NAME_CLEAN),
-        "strip_cp": (q_strip_cp, SQL_STRIP_CP),
-        "vigencia_format": (q_vigencia_format, SQL_VIG_FORMAT),
-        # training-data curation operators
+        # ---- dedup family
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
-        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
-        "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
         "dedup_exact_incremental": (
             q_dedup_exact_incremental, _sql_dedup_exact_incremental(),
         ),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+        "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
         "dup_passages": (q_dup_passages, _sql_dup_passages()),
         "dup_passages_incremental": (
             q_dup_passages_incremental, _sql_dup_passages_incremental(),
@@ -2904,22 +2877,24 @@ def registry() -> dict[str, Entry]:
             # — the oracle is deliberately the same full-corpus CTE
             q_dedup_clusters_incremental, _sql_dedup_clusters(),
         ),
-        "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+        "dedup_simhash_incremental": (
+            q_dedup_simhash_incremental, _sql_simhash_incremental(),
+        ),
+        "line_dedup": (q_line_dedup, _sql_line_dedup()),
+        # ---- similarity / ANN family
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
         "ann_lsh_pairs_multi": (q_ann_lsh_pairs_multi, _sql_ann_lsh_multi()),
+        "ann_incremental": (q_ann_incremental, _sql_ann_incremental()),
         "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
         "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf()),
         "ann_ivf_trained": (q_ann_ivf_trained, _sql_ann_ivf_trained()),
         "embed_hash": (q_embed_hash, _sql_embed_hash()),
         "text_ann_pairs": (q_text_ann_pairs, _sql_text_ann_pairs()),
-        "langid": (q_langid, _sql_langid()),
-        "quality_score": (q_quality, _sql_quality()),
-        "fingerprint": (q_fingerprint, _sql_fingerprint()),
+        # ---- text stats / curation
+        "doc_stats": (q_doc_stats, _sql_doc_stats()),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-        "scrub_pii": (q_scrub_pii, _sql_scrub_pii()),
-        "line_dedup": (q_line_dedup, _sql_line_dedup()),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -2931,32 +2906,4 @@ def registry() -> dict[str, Entry]:
         "tfidf_topk": (q_tfidf_topk, _sql_tfidf_topk()),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "curate_corpus": (q_curate_corpus, _sql_curate_corpus()),
-        # relational / windowed demos over the driver tables
-        "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
-        "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
-        "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-        "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-        # streaming twins, drained availableNow and checked against the
-        # IDENTICAL batch oracles (batch-stream equivalence under the gate)
-        "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY),
-        "events_sessions_stream": (
-            q_events_sessions_stream, SQL_EVENTS_SESSIONS,
-        ),
-        "events_dedup_stream": (
-            q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM,
-        ),
-        "events_props_json": (q_events_props_json, SQL_EVENTS_PROPS_JSON),
-        "curp_state_join": (q_curp_state_join, _sql_curp_state_join()),
-        "supplier_by_region": (q_supplier_by_region, SQL_SUPPLIER_BY_REGION),
-        "part_filter_agg": (q_part_filter_agg, SQL_PART_FILTER_AGG),
-        "top_orders_per_customer": (
-            q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER,
-        ),
-        # pipeline stages (pandas-UDF control flow → precomputed-truth or
-        # input-shape oracles; see the "pipeline ops" section above)
-        "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
-        "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
-        "split_name": (q_split_name, SQL_SPLIT_NAME),
-        "media_meta": (q_media_meta, SQL_MEDIA_META),
-        "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     }

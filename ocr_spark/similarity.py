@@ -584,6 +584,108 @@ def _guarded_bucket(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def ann_sketches(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    dims: int = DEFAULT_DIMS,
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """``(id, v, nrm, bucket)`` per-vector ANN sketch — the PERSISTABLE
+    unit of incremental embedding near-dup search, mirroring
+    ``dedup.minhash_sketches``: the bucket and norm are pure per-vector
+    functions of the (literal) plane set, so sketches written by one run
+    bucket/verify identically against sketches computed by a later run.
+    Store through the :mod:`ocr_spark.tableio` seam; the plane set (seed,
+    ``n_planes``, ``dims``) is part of the store's contract — persist
+    those parameters next to it (a mismatched reader raises via
+    :func:`_guarded_bucket` on width mismatches, but a SAME-width
+    different-seed plane set is not detectable from the data)."""
+    planes = planes or hyperplanes(n_planes, dims=dims)
+    dims = len(planes[0])
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _guarded_norm(F.col(vec_col), dims).alias("nrm"),
+        _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def incremental_lsh_ann_pairs(
+    new_sketches: DataFrame,
+    committed_sketches: DataFrame | None = None,
+    dims: int = DEFAULT_DIMS,
+    min_cosine: float = 0.6,
+    persist_new: bool = True,
+) -> DataFrame:
+    """Cross-run incremental embedding ANN: cosine-≥ ``min_cosine`` pairs
+    TOUCHING the new batch — (new × new) ∪ (new × committed) — without
+    re-pairing the committed corpus against itself; the embedding member
+    of the incremental dedup family (exact / minhash / simhash /
+    clusters / passages all have the same shape).
+
+    Store protocol mirrors ``dedup.incremental_minhash_pairs``: sketch
+    the delta (:func:`ann_sketches`), bucket-join it against itself and
+    against the committed sketch store, verify exact cosine from the
+    carried vectors + precomputed norms, then append the delta's
+    sketches to commit the run.  The committed side contributes one
+    sketch scan + the bucket equi-join probe — never a committed ×
+    committed pair.  Buckets/norms are pure per-vector functions of the
+    plane literals, so the union of every run's output equals the
+    full-corpus single-table :func:`lsh_ann_pairs` over all vectors
+    (each pair is emitted by the run that introduced its later member) —
+    replayed exactly by the ``ann_incremental`` contract oracle.
+
+    One bucket per vector (single-table LSH), so no pair can be emitted
+    twice WITHIN a side — the only distinct is structural (new × new vs
+    new × committed are disjoint by the id-disjointness precondition,
+    shared with the whole incremental family).  The verify reads flat
+    scalar columns below the codegen cutoff and the carried array above
+    it (see :func:`_flat_cols`)."""
+    def _flat(sdf: DataFrame) -> DataFrame:
+        # re-derive the verify payload from the STORED vector: a store
+        # written at a different width raises through _guarded_norm
+        # (nrm feeds every verified pair, so Catalyst cannot prune it)
+        return sdf.select(
+            "id",
+            "bucket",
+            _guarded_norm(F.col("v"), dims).alias("nrm"),
+            *_flat_cols(F.col("v"), dims, "x"),
+        )
+
+    nb = _flat(new_sketches)
+    if persist_new:
+        nb = nb.persist()
+
+    def _verify(joined: DataFrame) -> DataFrame:
+        # cosine is symmetric, so canonicalizing ids after the join is
+        # free — no column swap needed for the vector payload
+        return joined.select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+            _flat_cosine(
+                "l.x", "r.x", dims,
+                norm_a=F.col("l.nrm"), norm_b=F.col("r.nrm"),
+            ).alias("cosine_sim"),
+        ).filter(F.col("cosine_sim") >= min_cosine)
+
+    nn = _verify(
+        nb.alias("l")
+        .join(nb.alias("r"), on="bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+    )
+    if committed_sketches is None:
+        return nn
+    cb = _flat(committed_sketches)
+    nc = _verify(
+        nb.alias("l")
+        .join(cb.alias("r"), on="bucket")
+        .filter(F.col("l.id") != F.col("r.id"))
+    )
+    return nn.unionByName(nc)
+
+
 def lsh_ann_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1087,6 +1087,113 @@ def test_incremental_dedup_two_batches_equal_one_run(spark, tmp_path):
     assert io.snapshots("sketches") == [0, 1]
     assert io.read(spark, "sketches").count() == 24
 
+
+def test_incremental_simhash_two_batches_equal_one_run(spark, tmp_path):
+    """SimHash member of the incremental family: the union of per-run
+    block-join outputs equals the one-shot full-corpus pair set, run 2
+    never re-emits a committed-only pair, and cross-batch pairs exist
+    (exact text duplicates across batches band at hamming 0 regardless
+    of signature randomness — the non-vacuity anchor)."""
+    from ocr_spark.dedup import (
+        incremental_simhash_pairs,
+        simhash_pairs,
+        simhash_sketches,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    def variant(t: int, v: int) -> str:
+        toks = [f"t{t}w{i}" for i in range(30)]
+        if v:  # variant 0 is the template; v>0 swaps one word
+            toks[v * 7] = f"t{t}swap{v}"
+        return " ".join(toks)
+
+    rows = [(t * 100 + v, variant(t, v))
+            for t in range(6) for v in range(3)]
+    # cross-batch EXACT dup: batch B carries a byte-identical copy of
+    # template 0 (hamming 0 — guaranteed to pair)
+    rows.append((9902, variant(0, 0)))
+    full = _df(spark, rows, "doc_id bigint, text string")
+    a = full.filter(F.col("doc_id") % 100 < 2)
+    b = full.filter(F.col("doc_id") % 100 == 2)
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    sk_a = simhash_sketches(a)
+    run1 = {(r.id_a, r.id_b, r.hamming)
+            for r in incremental_simhash_pairs(sk_a, None).collect()}
+    io.append(sk_a, "simhash")
+
+    committed = io.read(spark, "simhash")
+    run2 = {(r.id_a, r.id_b, r.hamming)
+            for r in incremental_simhash_pairs(
+                simhash_sketches(b), committed).collect()}
+
+    want = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs(full).collect()}
+    assert run1 | run2 == want
+    assert not (run1 & run2)
+    b_ids = {r.doc_id for r in b.select("doc_id").collect()}
+    assert all(p[0] in b_ids or p[1] in b_ids for p in run2)
+    # the planted exact dup pairs across batches at hamming 0
+    assert (0, 9902, 0) in run2
+
+
+def test_incremental_ann_two_batches_equal_one_run(spark, tmp_path):
+    """Embedding-ANN member of the incremental family: union of per-run
+    bucket-join outputs equals the one-shot single-table lsh_ann_pairs,
+    run 2 never re-emits a committed-only pair, and a planted identical
+    vector across batches guarantees a cross-batch pair (same bucket,
+    cosine 1.0)."""
+    from ocr_spark.similarity import (
+        ann_sketches,
+        hyperplanes,
+        incremental_lsh_ann_pairs,
+        lsh_ann_pairs,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    import math
+
+    def vec(seed: int, jitter: float = 0.0) -> list[float]:
+        raw = [
+            math.sin(seed * 1.7 + j) + (jitter if j == 0 else 0.0)
+            for j in range(4)
+        ]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    rows = (
+        [(t * 100 + v, vec(t, jitter=0.05 * v))
+         for t in range(5) for v in range(3)]
+        + [(9902, vec(0))]  # identical to vector 0 → guaranteed pair
+    )
+    full = _df(spark, rows, "vec_id bigint, embedding array<double>")
+    a = full.filter(F.col("vec_id") % 100 < 2)
+    b = full.filter(F.col("vec_id") % 100 == 2)
+    planes = hyperplanes(3, dims=4)
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    sk_a = ann_sketches(a, planes=planes)
+    run1 = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in incremental_lsh_ann_pairs(
+                sk_a, None, dims=4, min_cosine=0.8).collect()}
+    io.append(sk_a, "ann")
+
+    committed = io.read(spark, "ann")
+    run2 = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in incremental_lsh_ann_pairs(
+                ann_sketches(b, planes=planes), committed,
+                dims=4, min_cosine=0.8).collect()}
+
+    want = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in lsh_ann_pairs(
+                full, planes=planes, min_cosine=0.8).collect()}
+    assert run1 | run2 == want
+    assert not (run1 & run2)
+    b_ids = {r.vec_id for r in b.select("vec_id").collect()}
+    assert all(p[0] in b_ids or p[1] in b_ids for p in run2)
+    assert (0, 9902, 1.0) in run2
+
+
 def test_flat_ann_dims_mismatch_fails_fast(spark):
     """A declared ``dims`` that disagrees with the actual embedding width
     must raise, not score a plausible-but-wrong prefix cosine (declared <
