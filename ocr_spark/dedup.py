@@ -1194,6 +1194,16 @@ def simhash_pairs(
 
 # ------------------------------------------------------ duplicated passages
 
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, toks)`` — the shared tokenize pass of the passage-dedup
+    family.  :func:`strip_dup_passages` persists it so the gram build and
+    the token-cut join read ONE tokenization instead of re-tokenizing the
+    corpus per consumer (a second full narrow pass at 100 TB)."""
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+
+
 def _gram_table(
     df: DataFrame,
     k: int,
@@ -1207,7 +1217,18 @@ def _gram_table(
     ``persist_grams`` caches the exploded table — every caller feeds it
     to both a frequency build side and the probe side (session-lifetime
     cache entry, same caveat as the minhash sketch)."""
-    toks = tokens(F.col(text_col))
+    return _gram_table_from_toks(
+        _tokenized(df, text_col, id_col), k, persist_grams
+    )
+
+
+def _gram_table_from_toks(
+    tdf: DataFrame, k: int, persist_grams: bool = True
+) -> DataFrame:
+    """:func:`_gram_table` over a pre-tokenized ``(id, toks)`` frame —
+    the seam that lets :func:`strip_dup_passages` reuse one tokenize
+    pass for both the gram table and the token-cut join."""
+    toks = F.col("toks")
     n = F.size(toks)
     # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly.
     grams = F.when(
@@ -1229,7 +1250,7 @@ def _gram_table(
     # re-evaluation (simhash's feature explode measured 37 s plain vs
     # 2.8 s outer on the repartitioned union corpus).
     gt = (
-        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        tdf.select("id", grams.alias("grams"))
         .select("id", F.posexplode_outer("grams").alias("pos", "gram_h"))
         .filter(F.col("pos").isNotNull())
     )
@@ -1414,14 +1435,22 @@ def strip_dup_passages(
     (``collect_list`` after the islands merge — spans per doc are few by
     construction), broadcast back onto the doc row by id; the token cut
     is then a narrow per-row ``filter`` by index.  No second explode of
-    the corpus."""
-    spans = dup_passages(df, k, min_docs, text_col, id_col, persist_grams)
+    the corpus, and — since round 5 — no second TOKENIZE either: the
+    ``(id, toks)`` frame is computed once (persisted under
+    ``persist_grams``) and feeds both the gram table and the cut join
+    (it was previously re-derived from the raw text in the cut join — a
+    second full narrow pass over the corpus at 100 TB)."""
+    tdf = _tokenized(df, text_col, id_col)
+    if persist_grams:
+        tdf = tdf.persist()
+    gt = _gram_table_from_toks(tdf, k, persist_grams)
+    freq = gram_doc_freqs(gt).filter(F.col("n_docs") >= min_docs)
+    marked = gt.join(freq.select("gram_h"), on="gram_h").select("id", "pos")
+    spans = _spans_from_marked(marked, k)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
+    base = tdf
     empty = F.array().cast(
         "array<struct<span_start:bigint,span_end:bigint>>"
     )

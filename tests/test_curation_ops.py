@@ -1404,6 +1404,28 @@ def test_mixture_sample_rejects_overflowing_budget():
 
 # ------------------------------------------------------ duplicated passages
 
+def test_strip_dup_passages_tokenizes_once(spark, monkeypatch):
+    """The cut join must REUSE the gram pass's tokenization, not re-derive
+    it from the raw text (a second full narrow pass over the corpus at
+    100 TB).  tokens() is invoked at plan-BUILD time, so counting its
+    calls pins the number of tokenize passes in the plan exactly."""
+    import ocr_spark.dedup as dd
+
+    calls = []
+    real = dd.tokens
+
+    def counting(col):
+        calls.append(1)
+        return real(col)
+
+    monkeypatch.setattr(dd, "tokens", counting)
+    df = _df(spark, [(1, "a b c d e")], "doc_id bigint, text string")
+    out = dd.strip_dup_passages(df, k=2, persist_grams=False)
+    assert len(calls) == 1
+    # and the plan still evaluates correctly end-to-end
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].clean_text == "a b c d e"
+
 def _passage_corpus(spark):
     shared = " ".join(f"s{i}" for i in range(10))   # 10-token shared run
     shared2 = " ".join(f"t{i}" for i in range(9))   # 9-token shared run
