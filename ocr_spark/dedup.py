@@ -995,27 +995,77 @@ def simhash_block_widths(bits: int, n_blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash_blocks(
-    sig: Column, bits: int = 60, max_hamming: int = 3
+    sig: Column,
+    bits: int = 60,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> Column:
     """``array<struct<block_idx,block_val>>`` — the Manku block-
-    permutation candidate key of a simhash signature, split into
-    ``max_hamming + 1`` contiguous blocks.  Single-sourced (like
-    :func:`min_shingle_bucket` for the ngram path) so candidate-count
-    telemetry (tools/dedup_stress.py) explodes the SAME key the
-    operator joins on — a drift would silently measure blowup for a
-    join that no longer exists."""
-    n_blocks = max_hamming + 1
+    permutation candidate key of a simhash signature (Manku/Jain/Sarma
+    WWW'07 §3).  Single-sourced (like :func:`min_shingle_bucket` for the
+    ngram path) so candidate-count telemetry (tools/dedup_stress.py)
+    explodes the SAME key the operator joins on — a drift would silently
+    measure blowup for a join that no longer exists.
+
+    ``n_blocks`` defaults to ``max_hamming + 1`` contiguous blocks, one
+    candidate table per block (key space ``2^(bits/n_blocks)`` each —
+    the round-4 measured scale ceiling: 4 × 2^15 keys is FIXED in n, so
+    candidates grow ~n²/2^17 and the operator is infeasible at 10^9
+    docs).  **The scale lever is raising** ``n_blocks`` **past that
+    minimum**: with ``b`` blocks, a pair within the hamming budget ``h``
+    agrees on at least ``b − h`` of them, so one table per
+    ``(b − h)``-subset of blocks (all ``C(b, b−h)`` of them, keyed by the
+    concatenated member block values) keeps FULL recall while widening
+    each key to ``(b−h)·bits/b`` bits — the paper's probe-count vs
+    key-width trade.  At ``bits=60, h=3, n_blocks=6`` that is 20 tables
+    × 2^30 keys instead of 4 × 2^15: 5× the explode rows, ~2^15× the key
+    space (measured at 150k docs: see BENCH/BASELINE.md round-5 dedup
+    stress — candidates/doc 11.3 → ~0 background).  Row volume per doc
+    is ``C(b, b−h)`` — keep it ≤ the guard below."""
+    n_blocks = max_hamming + 1 if n_blocks is None else n_blocks
     if n_blocks > bits:
-        raise ValueError("max_hamming + 1 blocks must fit in the signature")
+        raise ValueError("n_blocks blocks must fit in the signature")
+    if n_blocks < max_hamming + 1:
+        # pigeonhole needs ≥ h+1 blocks: with fewer, a pair at hamming h
+        # can differ in EVERY block and the join silently loses recall
+        raise ValueError(
+            f"n_blocks {n_blocks} < max_hamming + 1 = {max_hamming + 1} "
+            "breaks the pigeonhole recall guarantee"
+        )
+    from itertools import combinations
+    from math import comb
+
+    combo_size = n_blocks - max_hamming
+    n_combos = comb(n_blocks, combo_size)
+    if n_combos > 256:
+        raise ValueError(
+            f"C({n_blocks}, {combo_size}) = {n_combos} candidate tables "
+            "per doc — the explode volume defeats the purpose; lower "
+            "n_blocks (or raise bits)"
+        )
+    widths = simhash_block_widths(bits, n_blocks)
+
+    def block_val(i: int) -> Column:
+        shift, width = widths[i]
+        return F.shiftright(sig, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+    def combo_val(members: tuple[int, ...]) -> Column:
+        # concatenated member block values; total width ≤ bits ≤ 60, so
+        # the packed key always fits a bigint
+        acc = F.lit(0).cast("bigint")
+        offset = 0
+        for m in members:
+            acc = acc + F.shiftleft(block_val(m), offset)
+            offset += widths[m][1]
+        return acc
+
     return F.array(*[
         F.struct(
-            F.lit(i).alias("block_idx"),
-            F.shiftright(sig, shift).bitwiseAND(
-                F.lit((1 << width) - 1)
-            ).alias("block_val"),
+            F.lit(ci).alias("block_idx"),
+            combo_val(members).alias("block_val"),
         )
-        for i, (shift, width) in enumerate(
-            simhash_block_widths(bits, n_blocks)
+        for ci, members in enumerate(
+            combinations(range(n_blocks), combo_size)
         )
     ])
 
@@ -1048,20 +1098,27 @@ def simhash_sketches(
 
 
 def _simhash_block_rows(
-    base: DataFrame, bits: int, max_hamming: int
+    base: DataFrame,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id, sig, block_idx, block_val)`` exploded Manku block rows of an
-    ``(id, sig)`` sketch table — single-sourced so the full-corpus and
-    incremental candidate joins use the SAME key derivation (their
-    run-union equivalence depends on it), like :func:`_band_self_pairs`
-    for the minhash family."""
-    blocks = simhash_blocks(F.col("sig"), bits=bits, max_hamming=max_hamming)
+    """``(id, sig, [carry...,] block_idx, block_val)`` exploded Manku
+    block rows of an ``(id, sig)`` sketch table — single-sourced so the
+    full-corpus and incremental candidate joins use the SAME key
+    derivation (their run-union equivalence depends on it), like
+    :func:`_band_self_pairs` for the minhash family.  ``carry`` names
+    extra columns (e.g. a cohort key) to ride along each block row."""
+    blocks = simhash_blocks(
+        F.col("sig"), bits=bits, max_hamming=max_hamming, n_blocks=n_blocks
+    )
     return (
         # outer + null filter: see _dup_gram_positions for why not plain
         # explode (inferred pre-filter duplicates the block arithmetic).
-        base.select("id", "sig", F.explode_outer(blocks).alias("b"))
+        base.select("id", "sig", *carry, F.explode_outer(blocks).alias("b"))
         .filter(F.col("b").isNotNull())
-        .select("id", "sig", "b.block_idx", "b.block_val")
+        .select("id", "sig", *carry, "b.block_idx", "b.block_val")
     )
 
 
@@ -1084,6 +1141,7 @@ def incremental_simhash_pairs(
     committed_sketches: DataFrame | None = None,
     max_hamming: int = 3,
     bits: int = 60,
+    n_blocks: int | None = None,
     persist_new: bool = True,
 ) -> DataFrame:
     """Cross-run incremental SimHash dedup: hamming-≤ ``max_hamming``
@@ -1104,12 +1162,12 @@ def incremental_simhash_pairs(
     incremental`` contract oracle replays exactly that restriction.
 
     Preconditions: new ids disjoint from committed ids, and both sides
-    sketched with the same ``bits``/``shingle_n``/``max_hamming`` block
-    split (NOT detectable from a bigint signature at read time — see
-    :func:`simhash_sketches`)."""
+    sketched with the same ``bits``/``shingle_n``/``max_hamming``/
+    ``n_blocks`` block split (NOT detectable from a bigint signature at
+    read time — see :func:`simhash_sketches`)."""
     if persist_new:
         new_sketches = new_sketches.persist()
-    nb = _simhash_block_rows(new_sketches, bits, max_hamming)
+    nb = _simhash_block_rows(new_sketches, bits, max_hamming, n_blocks)
     nn = (
         nb.alias("l")
         .join(nb.alias("r"), on=["block_idx", "block_val"])
@@ -1124,7 +1182,9 @@ def incremental_simhash_pairs(
     if committed_sketches is None:
         cand = nn.distinct()
     else:
-        cb = _simhash_block_rows(committed_sketches, bits, max_hamming)
+        cb = _simhash_block_rows(
+            committed_sketches, bits, max_hamming, n_blocks
+        )
         lt = F.col("l.id") < F.col("r.id")
         nc = (
             nb.alias("l")
@@ -1150,6 +1210,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     shingle_n: int = DEFAULT_SHINGLE,
+    n_blocks: int | None = None,
+    block_col: Column | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with FULL recall at ``hamming ≤ max_hamming``.
 
@@ -1167,19 +1229,41 @@ def simhash_pairs(
     17.5M candidates for 20K true pairs at sf0.1 on the driver corpus —
     1000× precision loss); shingle features decorrelate the signatures.
 
-    Scale shape: the join key space is ``n_blocks × 2^(bits/n_blocks)``
-    (4 × 2^15 at the defaults) — versus the previous prefix-only blocking
-    whose constant 16 buckets made the self-join O(n²/16) at any corpus
-    size.  Only ``(id, sig, block)`` rows move through the explode/join
-    (sig is one bigint).  Residual hazard: byte-identical documents share
-    a signature and still concentrate — run exact dedup first; AQE
+    Scale shape: the join key space is ``n_tables × 2^(key_width)`` —
+    4 × 2^15 at the defaults, which is FIXED in n and therefore a
+    measured quadratic ceiling (~n²/2^17 candidates; infeasible at 10^9
+    docs — round-4 stress).  TWO levers fix that at scale:
+
+    - ``n_blocks`` > ``max_hamming + 1`` switches to the Manku
+      combination scheme (see :func:`simhash_blocks`): same FULL recall
+      at hamming ≤ ``max_hamming``, key space widened exponentially
+      (n_blocks=6 → 20 tables × 2^30 keys; candidates/doc measured flat
+      at 150k docs, BENCH/BASELINE.md round 5).
+    - ``block_col`` scopes candidates to a caller cohort (language,
+      domain, shard) — an expression over ``df``'s columns AND-ed into
+      the join key, so cross-cohort pairs are never generated at all.
+      Costs one id-keyed join to attach the cohort to the signature
+      table (reuses the signature groupBy's hash partitioning).
+
+    Only ``(id, sig, block)`` rows move through the explode/join (sig is
+    one bigint).  Residual hazard: byte-identical documents share a
+    signature and still concentrate — run exact dedup first; AQE
     skew-join splits what remains.
     """
     base = simhash_sketches(df, text_col, id_col, bits, shingle_n)
-    banded = _simhash_block_rows(base, bits, max_hamming)
+    carry: tuple[str, ...] = ()
+    join_keys = ["block_idx", "block_val"]
+    if block_col is not None:
+        cohorts = df.select(
+            F.col(id_col).alias("id"), block_col.alias("cohort")
+        )
+        base = base.join(cohorts, on="id")
+        carry = ("cohort",)
+        join_keys = ["cohort", "block_idx", "block_val"]
+    banded = _simhash_block_rows(base, bits, max_hamming, n_blocks, carry)
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), on=["block_idx", "block_val"])
+        .join(banded.alias("r"), on=join_keys)
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),

@@ -1137,6 +1137,69 @@ def test_incremental_simhash_two_batches_equal_one_run(spark, tmp_path):
     assert (0, 9902, 0) in run2
 
 
+def test_simhash_wide_blocks_same_pairs(spark):
+    """The Manku combination-key scale lever (n_blocks > max_hamming+1)
+    must be RESULT-IDENTICAL to the minimum block split — both have full
+    recall at hamming ≤ max_hamming by pigeonhole, and the verify is the
+    same bit_count cut.  Equality of the verified pair sets is the whole
+    guarantee: the lever only widens the candidate key space."""
+    from ocr_spark.dedup import simhash_pairs
+
+    rows = []
+    for t in range(6):
+        # LONG docs: a 1-token swap flips ~3 of ~98 shingle features, so
+        # the 60-bit signature moves only a few bits (short docs would
+        # put every near pair past hamming 3 and make the test vacuous)
+        toks = [f"t{t}w{i}" for i in range(100)]
+        rows.append((t * 10, " ".join(toks)))
+        near = list(toks)
+        near[50] = f"t{t}swap"
+        rows.append((t * 10 + 1, " ".join(near)))
+    rows.append((999, rows[0][1]))  # exact dup: hamming 0, always pairs
+    df = _df(spark, rows, "doc_id bigint, text string")
+
+    narrow = {(r.id_a, r.id_b, r.hamming)
+              for r in simhash_pairs(df, max_hamming=3).collect()}
+    wide = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs(df, max_hamming=3, n_blocks=6).collect()}
+    assert wide == narrow
+    assert (0, 999, 0) in narrow
+    # non-vacuous beyond the planted exact dup: some near pair verified
+    assert any(h > 0 for (_a, _b, h) in narrow)
+
+
+def test_simhash_block_col_scopes_candidates(spark):
+    """block_col AND-s a cohort into the join key: byte-identical docs in
+    DIFFERENT cohorts (hamming 0 — unconditionally paired without the
+    cohort) must not pair; the within-cohort duplicate still does."""
+    from ocr_spark.dedup import simhash_pairs
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = _df(
+        spark,
+        [(1, text, "en"), (2, text, "en"), (3, text, "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    plain = {(r.id_a, r.id_b) for r in simhash_pairs(df).collect()}
+    assert plain == {(1, 2), (1, 3), (2, 3)}
+    scoped = {(r.id_a, r.id_b)
+              for r in simhash_pairs(df, block_col=F.col("lang")).collect()}
+    assert scoped == {(1, 2)}
+
+
+def test_simhash_blocks_guards():
+    """Too few blocks breaks pigeonhole recall; absurd combination counts
+    defeat the explode — both must refuse loudly at plan-build time."""
+    import pytest as _pytest
+
+    from ocr_spark.dedup import simhash_blocks
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_blocks(F.lit(0), bits=60, max_hamming=3, n_blocks=3)
+    with _pytest.raises(ValueError, match="candidate tables"):
+        simhash_blocks(F.lit(0), bits=60, max_hamming=10, n_blocks=30)
+
+
 def test_incremental_ann_two_batches_equal_one_run(spark, tmp_path):
     """Embedding-ANN member of the incremental family: union of per-run
     bucket-join outputs equals the one-shot single-table lsh_ann_pairs,
