@@ -1,0 +1,123 @@
+"""spark-submit entry point for incremental-store compaction.
+
+    spark-submit --py-files ocr_spark.zip jobs/compact_store.py \
+        --store /data/dedup_store --table signatures --mode signatures
+    spark-submit --py-files ocr_spark.zip jobs/compact_store.py \
+        --store /data/passage_store --table gram_freqs \
+        --mode sum-by --key gram_h --value n_docs
+
+Every incremental store in this engine accretes ONE tableio snapshot per
+ingest run forever (that is what makes each run's commit atomic and
+retry-safe), so read-side cost grows with run count: the gram-frequency
+store re-sums ``n_docs`` by hash across all snapshots on every read, and
+the signature store re-resolves its accumulated merge records.  This job
+folds a store back to a single snapshot — the Iceberg
+``rewrite_data_files`` / ``expire_snapshots`` maintenance analogue — with
+the SAME atomic commit discipline as a run (data first, manifest swap
+second), so a crash mid-compaction leaves the store untouched.
+
+Modes (all produce byte-identical downstream results — pinned by
+tests/test_compact_store.py):
+
+- ``identity`` (default): union the snapshots, rewrite as one.  For
+  sketch stores whose rows are already per-doc unique.
+- ``sum-by``: ``groupBy(--key).agg(sum(--value))`` — for accretive
+  frequency stores (gram_doc_freqs), where read-side summing is the
+  thing being amortized; after compaction the store holds one row per
+  key until the next run appends.
+- ``signatures``: the run_dedup_incremental store — applies every
+  accumulated ``role='merge'`` rename to the ``role='doc'`` labels
+  (min-reachable over the rename graph, exactly the read path's
+  ``_current_labels``) and keeps only resolved doc rows, so future reads
+  skip merge resolution entirely until new merges accrue.
+
+Time travel before the compaction point is discarded by design (that is
+the storage being reclaimed); ``--vacuum`` additionally deletes the
+now-unreferenced data directories (only safe when no concurrent reader
+can hold the pre-compaction manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _signatures_fold(df):
+    """Resolve accumulated merges into the doc labels; drop merge rows.
+
+    Mirrors run_dedup_incremental._current_labels (the read path), then
+    re-attaches the per-doc sketch payload so the compacted store is a
+    drop-in replacement for the accreted one."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_dedup_incremental import _current_labels
+
+    labels = _current_labels(df)
+    payload = df.filter("role = 'doc'").select("id", "digest", "sh", "sig")
+    return (
+        payload.join(labels, on="id")
+        .select(
+            "id", "digest", "sh", "sig", "cluster_id",
+            F.lit("doc").alias("role"),
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", required=True, help="tableio store root")
+    p.add_argument("--table", required=True, help="table name to compact")
+    p.add_argument("--mode", default="identity",
+                   choices=["identity", "sum-by", "signatures"])
+    p.add_argument("--key", help="sum-by: group key column")
+    p.add_argument("--value", help="sum-by: summed value column")
+    p.add_argument("--vacuum", action="store_true",
+                   help="delete unreferenced pre-compaction data dirs")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_spark.session import get_spark
+    from ocr_spark.tableio import ParquetManifestIO
+
+    if args.mode == "sum-by" and not (args.key and args.value):
+        p.error("--mode sum-by requires --key and --value")
+
+    transform = None
+    if args.mode == "sum-by":
+        key, value = args.key, args.value
+
+        def transform(df):  # noqa: F811 - mode-selected fold
+            return df.groupBy(key).agg(F.sum(value).alias(value))
+    elif args.mode == "signatures":
+        transform = _signatures_fold
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("ocr-spark-compact-store", master="submit")
+    io = ParquetManifestIO(args.store)
+    before = io.snapshots(args.table)
+    snap = io.compact(spark, args.table, transform, vacuum=args.vacuum)
+    rows = io.read(spark, args.table).count()
+    summary = {
+        "table": args.table,
+        "mode": args.mode,
+        "snapshots_before": len(before),
+        "snapshot_id": snap,
+        "rows_after": rows,
+        "vacuumed": bool(args.vacuum),
+    }
+    json.dump(summary, sys.stdout)
+    print()
+    if owns_session:
+        spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

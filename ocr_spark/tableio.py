@@ -48,23 +48,37 @@ class ParquetManifestIO:
         with open(path) as f:
             return json.load(f)
 
+    def _resolve(self, table: str, d: str) -> str:
+        """Manifest data paths are RELATIVE to the table dir (round 5):
+        a store copied or moved wholesale keeps working — with absolute
+        paths a forked store silently read (and vacuumed!) the
+        original's data directories.  Absolute entries from older
+        manifests still resolve as written."""
+        if os.path.isabs(d):
+            return d
+        return os.path.join(self.root, table, d)
+
     def append(self, df: DataFrame, table: str) -> int:
         """Write ``df`` as a new snapshot; returns the snapshot id.
 
         Data first, manifest second: the write is invisible until the
-        atomic manifest swap commits it.
-        """
+        atomic manifest swap commits it.  Ids are max+1, not
+        len(snapshots): after a :meth:`compact` the manifest holds one
+        snapshot carrying the pre-compaction max id, and the next append
+        must keep ids monotone (a len-based id would collide with
+        history and break ``read(asof=...)`` ordering)."""
         manifest = self._load(table)
-        snap_id = len(manifest["snapshots"])
+        snap_id = (
+            max((s["id"] for s in manifest["snapshots"]), default=-1) + 1
+        )
         # Unique suffix: an orphan from a crashed append must never collide
         # with the retry (a deterministic s<N> path would fail
         # errorifexists forever and brick the table).
-        data_dir = os.path.join(
-            self.root, table, f"data/s{snap_id:06d}-{secrets.token_hex(4)}"
-        )
+        rel_dir = f"data/s{snap_id:06d}-{secrets.token_hex(4)}"
+        data_dir = os.path.join(self.root, table, rel_dir)
         df.write.mode("errorifexists").parquet(data_dir)
 
-        manifest["snapshots"].append({"id": snap_id, "dir": data_dir})
+        manifest["snapshots"].append({"id": snap_id, "dir": rel_dir})
         table_dir = os.path.join(self.root, table)
         fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
         with os.fdopen(fd, "w") as f:
@@ -82,10 +96,63 @@ class ParquetManifestIO:
             raise FileNotFoundError(
                 f"table {table!r} has no committed snapshots"
             )
-        return spark.read.parquet(*[s["dir"] for s in snaps])
+        return spark.read.parquet(
+            *[self._resolve(table, s["dir"]) for s in snaps]
+        )
 
     def snapshots(self, table: str) -> list[int]:
         return [s["id"] for s in self._load(table)["snapshots"]]
+
+    def compact(self, spark: SparkSession, table: str,
+                transform=None, vacuum: bool = False) -> int:
+        """Fold every committed snapshot into ONE, optionally applying
+        ``transform`` (a DataFrame → DataFrame fold, e.g. sum-by-key for
+        an accretive frequency store) — the maintenance operation that
+        keeps an incremental store's snapshot count (and its read-side
+        union/re-aggregation cost) from growing one entry per ingest run
+        forever.
+
+        Same commit discipline as :meth:`append`: compacted data lands
+        in a fresh directory first, then the manifest is atomically
+        swapped to a SINGLE snapshot carrying the pre-compaction max id
+        (so later appends stay monotone and a reader that raced the swap
+        saw either the full old history or the compacted form — both
+        reconstruct the same table).  Time travel BEFORE the compaction
+        point is intentionally discarded — that is the storage being
+        reclaimed; ``read(asof=<pre-compaction id>)`` keeps working and
+        returns the compacted equivalent.  Old data directories become
+        unreferenced orphans; ``vacuum=True`` deletes them after the
+        swap (only safe when no concurrent reader can still hold the old
+        manifest — the same contract as Iceberg's expire-snapshots).
+        Returns the surviving snapshot id."""
+        import shutil
+
+        manifest = self._load(table)
+        if not manifest["snapshots"]:
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshots"
+            )
+        keep_id = max(s["id"] for s in manifest["snapshots"])
+        old_dirs = [
+            self._resolve(table, s["dir"]) for s in manifest["snapshots"]
+        ]
+        df = self.read(spark, table)
+        if transform is not None:
+            df = transform(df)
+        rel_dir = f"data/c{keep_id:06d}-{secrets.token_hex(4)}"
+        data_dir = os.path.join(self.root, table, rel_dir)
+        df.write.mode("errorifexists").parquet(data_dir)
+
+        table_dir = os.path.join(self.root, table)
+        new_manifest = {"snapshots": [{"id": keep_id, "dir": rel_dir}]}
+        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        if vacuum:
+            for d in old_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        return keep_id
 
 
 class IcebergIO:  # pragma: no cover - needs an Iceberg catalog
