@@ -636,6 +636,118 @@ def incremental_minhash_pairs(
     return _verify_pairs(cand, sh_source, verify_threshold)
 
 
+def _line_table(
+    df: DataFrame, lines_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """``(base, exploded)`` — the shared front end of the line-dedup
+    family: ``base`` is ``(id, lines)`` with NULL arrays coalesced empty
+    and NULL elements stripped; ``exploded`` is ``(id, pos, line,
+    line_h)`` rows keyed by the 60-bit portable line hash.  Single-
+    sourced so the batch and incremental paths can never drift on the
+    hash or the null handling (their run-union equivalence depends on
+    counting the same lines)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.coalesce(
+                F.col(lines_col), F.array().cast("array<string>")
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("lines"),
+    )
+    exploded = base.select(
+        # outer + null filter: avoids the inferred size>0 pre-filter
+        # re-evaluating a caller-synthesized lines expression at the
+        # scan (see _dup_gram_positions).  Docs with empty lines arrays
+        # contribute nothing either way; null ELEMENTS were already
+        # stripped in `base`.
+        "id", F.posexplode_outer("lines").alias("pos", "line")
+    ).filter(F.col("pos").isNotNull()).withColumn(
+        "line_h", portable_hash(F.col("line"))
+    )
+    return base, exploded
+
+
+def line_doc_freqs_from_exploded(exploded: DataFrame) -> DataFrame:
+    """``(line_h, doc_freq)`` distinct-document frequency per line hash
+    over a :func:`_line_table` explode — with the per-run corpus size,
+    the PERSISTABLE unit of incremental line dedup (sum ``doc_freq`` by
+    hash across snapshots on read-back, like the gram-frequency store)."""
+    return exploded.groupBy("line_h").agg(
+        F.count_distinct("id").alias("doc_freq")
+    )
+
+
+def line_doc_freqs(
+    df: DataFrame, lines_col: str = "lines", id_col: str = "doc_id"
+) -> DataFrame:
+    """Convenience: :func:`line_doc_freqs_from_exploded` straight from a
+    documents frame.  Persist alongside the run's DOC COUNT — the
+    frequency table is only half the threshold (kept ⟺ total doc_freq <
+    max_doc_frac × total n_docs); the incremental caller supplies the
+    committed count as ``committed_n_docs``."""
+    _base, exploded = _line_table(df, lines_col, id_col)
+    return line_doc_freqs_from_exploded(exploded)
+
+
+def drop_frequent_lines_incremental(
+    delta: DataFrame,
+    committed_freqs: DataFrame | None = None,
+    committed_n_docs: int = 0,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.3,
+    persist_exploded: bool = True,
+) -> DataFrame:
+    """Cross-run incremental CCNet-style line dedup: the DELTA batch's
+    documents filtered against line frequencies accumulated over the
+    whole corpus — delta counts plus the committed store — without
+    re-exploding the committed corpus; the line-level member of the
+    incremental family (exact / minhash / simhash / ANN / clusters /
+    passages).
+
+    ``committed_freqs`` is the accumulated :func:`line_doc_freqs` store
+    (``(line_h, doc_freq)``, summed by hash across snapshots when read
+    back; None = first batch) and ``committed_n_docs`` the committed
+    corpus size (persist it next to the store — e.g. in its own one-row
+    table).  A delta line is kept when its TOTAL distinct-document
+    frequency stays under ``max_doc_frac`` of the TOTAL corpus size;
+    with disjoint batches both totals equal the one-shot values, so the
+    delta's output equals :func:`drop_frequent_lines` over ALL documents
+    restricted to the delta's ids — pinned by the two-batch test.
+    Committed documents' own historical outputs are final (the
+    forward-only semantic shared with :func:`dup_passages_incremental`);
+    append the delta's freqs + count to commit the run.
+
+    Shape for 100 TB: the committed side contributes ONE aggregated row
+    per distinct line hash into the frequency join and one integer into
+    the threshold — no text, no positions, no re-explosion."""
+    base, exploded = _line_table(delta, lines_col, id_col)
+    if persist_exploded:
+        exploded = exploded.persist()
+    freq = line_doc_freqs_from_exploded(exploded)
+    if committed_freqs is not None:
+        freq = (
+            freq.unionByName(
+                committed_freqs.select("line_h", "doc_freq")
+            )
+            .groupBy("line_h")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
+        )
+    n_docs = base.agg(
+        (F.count(F.lit(1)) + F.lit(committed_n_docs)).alias("n_docs")
+    )
+    kept = (
+        exploded.join(freq, on="line_h")
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("doc_freq").cast("double")
+            < F.lit(max_doc_frac) * F.col("n_docs").cast("double")
+        )
+    )
+    return _reassemble_kept_lines(base, kept)
+
+
 def drop_frequent_lines(
     df: DataFrame,
     lines_col: str = "lines",
@@ -670,30 +782,10 @@ def drop_frequent_lines(
     ``clearCache()``.  Output: ``(id, kept_lines, n_lines_in,
     n_lines_kept)``.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.coalesce(
-                F.col(lines_col), F.array().cast("array<string>")
-            ),
-            lambda x: x.isNotNull(),
-        ).alias("lines"),
-    )
-    exploded = base.select(
-        # outer + null filter: avoids the inferred size>0 pre-filter
-        # re-evaluating a caller-synthesized lines expression at the
-        # scan (see _dup_gram_positions).  Docs with empty lines arrays
-        # contribute nothing either way; null ELEMENTS were already
-        # stripped in `base`.
-        "id", F.posexplode_outer("lines").alias("pos", "line")
-    ).filter(F.col("pos").isNotNull()).withColumn(
-        "line_h", portable_hash(F.col("line"))
-    )
+    base, exploded = _line_table(df, lines_col, id_col)
     if persist_exploded:
         exploded = exploded.persist()
-    doc_freq = exploded.groupBy("line_h").agg(
-        F.count_distinct("id").alias("doc_freq")
-    )
+    doc_freq = line_doc_freqs_from_exploded(exploded)
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
         exploded.join(doc_freq, on="line_h")
@@ -703,6 +795,13 @@ def drop_frequent_lines(
             < F.lit(max_doc_frac) * F.col("n_docs").cast("double")
         )
     )
+    return _reassemble_kept_lines(base, kept)
+
+
+def _reassemble_kept_lines(base: DataFrame, kept: DataFrame) -> DataFrame:
+    """Shared tail of the line-dedup family: surviving ``(id, pos,
+    line)`` rows re-assembled per document in original order, every doc
+    emitted (empty survivors → empty array)."""
     survivors = kept.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "line"))),

@@ -1137,6 +1137,63 @@ def test_incremental_simhash_two_batches_equal_one_run(spark, tmp_path):
     assert (0, 9902, 0) in run2
 
 
+def test_incremental_line_dedup_equals_one_shot_restriction(spark, tmp_path):
+    """Line-level member of the incremental family: the delta filtered
+    against committed line frequencies + committed corpus size must equal
+    the one-shot drop_frequent_lines over ALL documents restricted to the
+    delta's ids.  The boilerplate line crosses the 30% threshold ONLY
+    when both batches are counted — so the test fails if the committed
+    store's frequencies or doc count are ignored."""
+    from ocr_spark.dedup import (
+        drop_frequent_lines,
+        drop_frequent_lines_incremental,
+        line_doc_freqs,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    boiler = "subscribe to our newsletter"
+    # committed: 5 of 6 docs carry the boilerplate (5/6 ≥ 0.3)
+    rows_a = [(i, [boiler, f"content a{i}"]) for i in range(5)] + [
+        (5, ["content a5 only"]),
+    ]
+    # delta: 1 of 10 — BELOW threshold in isolation (0.1 < 0.3), ABOVE it
+    # corpus-wide (6/16 = 0.375 ≥ 0.3), so only the store can drop it
+    rows_b = [(10, [boiler, "content b10", None])] + [
+        (10 + i, [f"content b{10 + i}"]) for i in range(1, 10)
+    ]
+    schema = "doc_id bigint, lines array<string>"
+    a = _df(spark, rows_a, schema)
+    b = _df(spark, rows_b, schema)
+    full = a.unionByName(b)
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    io.append(line_doc_freqs(a), "line_freqs")
+    committed = io.read(spark, "line_freqs").groupBy("line_h").agg(
+        F.sum("doc_freq").alias("doc_freq")
+    )
+
+    got = {
+        r.id: (tuple(r.kept_lines), r.n_lines_in, r.n_lines_kept)
+        for r in drop_frequent_lines_incremental(
+            b, committed, committed_n_docs=a.count()
+        ).collect()
+    }
+    want = {
+        r.id: (tuple(r.kept_lines), r.n_lines_in, r.n_lines_kept)
+        for r in drop_frequent_lines(full).collect()
+        if r.id >= 10
+    }
+    assert got == want
+    # the store is LOAD-BEARING: with it the boilerplate drops…
+    assert got[10][0] == ("content b10",)
+    # …without it the delta-local frequency (1/10) keeps the line
+    first_batch_only = {
+        r.id: tuple(r.kept_lines)
+        for r in drop_frequent_lines_incremental(b, None).collect()
+    }
+    assert boiler in first_batch_only[10]
+
+
 def test_simhash_wide_blocks_same_pairs(spark):
     """The Manku combination-key scale lever (n_blocks > max_hamming+1)
     must be RESULT-IDENTICAL to the minimum block split — both have full
