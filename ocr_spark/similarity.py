@@ -123,14 +123,21 @@ def embed_hash(
     for j in range(dims):
         sq = F.col(f"s{j}") * F.col(f"s{j}")  # exact bigint
         ssq = sq if ssq is None else ssq + sq
-    norm = F.sqrt(ssq.cast("double"))
+    # The norm is materialized as its OWN projection, not inlined into
+    # the array: inlined, the dims-term sqrt tree is duplicated into all
+    # 2×dims branches below (~dims² nodes), which overflows Janino's
+    # stack at dims=32 and silently drops the whole stage out of codegen
+    # (interpreted fallback).  CollapseProject keeps the split because
+    # the alias is expensive and referenced more than once; arithmetic
+    # is bit-identical (same fold order, one sqrt, same IEEE divides).
+    normed = filled.withColumn("nrm", F.sqrt(ssq.cast("double")))
     vec = F.array(*[
-        F.when(norm == 0.0, F.lit(0.0)).otherwise(
-            F.col(f"s{j}").cast("double") / norm
+        F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
+            F.col(f"s{j}").cast("double") / F.col("nrm")
         )
         for j in range(dims)
     ])
-    return filled.select("id", vec.alias("vec"))
+    return normed.select("id", vec.alias("vec"))
 
 
 # Beyond this width the unrolled sum stops paying: the generated method

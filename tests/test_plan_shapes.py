@@ -127,3 +127,27 @@ def test_gram_explode_has_no_inferred_prefilter_at_scan(spark):
         if "DataFilters" in line or "PushedFilters" in line:
             assert "transform" not in line, line
     assert "PosExplode" in plan or "posexplode" in plan
+
+
+def test_embed_hash_codegen_compiles(spark):
+    """embed_hash's normalize step must keep the norm in its OWN
+    projection: inlined into the array it duplicates the dims-term sqrt
+    tree into all 2×dims branches, which overflows Janino's stack at
+    dims=32 and silently drops the whole stage to interpreted eval.
+    With fallback disabled, a compile failure raises instead of hiding."""
+    from ocr_spark.similarity import embed_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = {r.id: r.vec for r in embed_hash(docs).collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert set(rows) == {1, 2, 3}
+    assert rows[3] == [0.0] * 32          # token-less → zero vector
+    import math
+    assert math.isclose(sum(v * v for v in rows[1]), 1.0, rel_tol=1e-9)
