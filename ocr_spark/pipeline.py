@@ -142,10 +142,21 @@ def media_path(
     # Explicit skew salting: media-heavy docs spread over salt_buckets
     # partitions; sizing is independent of the text path.
     salt = F.pmod(F.xxhash64("media_ref", "offset"), F.lit(cfg.salt_buckets))
-    if cfg.media_partitions:
-        media = media.repartition(cfg.media_partitions, F.col("doc_id"), salt)
-    else:
-        media = media.repartition(F.col("doc_id"), salt)
+    # The exchange width is always NUMBER-pinned: an unnumbered column
+    # repartition is fair game for AQE's byte-based coalescing, and bytes
+    # are a poor proxy for inference cost — measured: AQE folded ~8,300
+    # images (~2.5 MB of refs+payloads) into ONE task, serializing the
+    # whole OCR stage (1.3 busy cores at local[32]; 8 MB advisory size
+    # caps a byte-light media exchange at a handful of tasks no matter
+    # how many executors exist).  At production scale the same mis-sizing
+    # holds — an 8 MB partition of media refs can be hours of OCR — so
+    # the CPU-heavy stage's width comes from the session's shuffle
+    # parallelism (or the caller's explicit media_partitions), never from
+    # AQE's byte heuristic.
+    n_media = cfg.media_partitions or int(
+        media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    media = media.repartition(n_media, F.col("doc_id"), salt)
 
     ocr = media.mapInPandas(
         make_ocr_batch_fn(
