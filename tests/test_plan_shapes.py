@@ -84,6 +84,23 @@ def test_pipeline_media_salting_present(spark):
     assert "xxhash64" in plan
 
 
+def test_pipeline_media_exchange_is_number_pinned(spark):
+    """The salted media exchange must be REPARTITION_BY_NUM: an
+    unnumbered column repartition is fair game for AQE's byte-based
+    coalescing, and bytes are a poor proxy for inference cost — measured
+    folding ~8,300 images (~2.5 MB) into ONE task, serializing the OCR
+    stage (169 s → 11.5 s at local[32] once pinned)."""
+    # formatted mode puts Exchange arguments in the details section:
+    # "Arguments: hashpartitioning(doc_id, pmod(xxhash64(...), 16), N),
+    #  REPARTITION_BY_NUM, ..."
+    plan = _plan(q_extract_pipeline(spark, SF))
+    salted = [l for l in plan.splitlines()
+              if "hashpartitioning" in l and "xxhash64" in l]
+    assert salted, "salted media exchange missing from plan"
+    for line in salted:
+        assert "REPARTITION_BY_NUM" in line, line
+
+
 def test_simhash_pairs_plan_bounded_and_codegen(spark):
     """The 60-bit signature must be a hash-aggregate (codegen), not a
     tree of interpreted higher-order aggregates, and the whole pair
