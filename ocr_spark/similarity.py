@@ -71,72 +71,78 @@ def embed_hash(
     the final IEEE divide-by-norm).  Token-less documents get the zero
     vector (NOT null — they flow through LSH as a real, joinable bucket).
 
-    Shape for scale: explode(tokens) → ONE codegen hash aggregate with
-    ``dims`` conditional sums (the same proven shape as
+    Shape for scale: explode_outer(tokens) → ONE codegen hash aggregate
+    with ``dims`` conditional sums (the same proven shape as
     ``simhash_from_features`` — a per-row higher-order fold would be
     interpreted per token × dim), shuffling only (id, dims×bigint) rows
-    with map-side partial aggregation; the left join back restores
-    token-less docs.  32 dims is the oracle-checked contract width AND
-    the default — below it, hash-collision noise inflates unrelated-pair
-    cosine (measured at driver_contract.EMBED_DIMS: at 16 dims, 14.6% of
-    LSH candidates cleared a 0.85 verify); above ~32 the unrolled
-    per-pair dot outgrows whole-stage codegen limits, so raise planes
-    (bucket selectivity), not dims, as the corpus grows.
+    with map-side partial aggregation.  Token-less docs are covered by
+    the SAME aggregate: explode_outer emits one null-token row per empty
+    doc, which contributes (d=0, sgn=0) — a zero vote — so every doc has
+    a group and there is NO join-back.  (The previous left-join-back
+    fused a BroadcastHashJoin into the normalize stage, whose generated
+    method then outgrew the JVM 64 KB limit at dims=32 and silently
+    dropped the whole stage to interpreted eval; the joinless plan is
+    one exchange smaller AND compiles.)  32 dims is the oracle-checked
+    contract width AND the default — below it, hash-collision noise
+    inflates unrelated-pair cosine (measured at
+    driver_contract.EMBED_DIMS: at 16 dims, 14.6% of LSH candidates
+    cleared a 0.85 verify); above ~32 the unrolled per-pair dot
+    outgrows whole-stage codegen limits, so raise planes (bucket
+    selectivity), not dims, as the corpus grows.
     """
     from ocr_spark.textstats import portable_hash, tokens
 
     h = F.col("h")
+    tok_null = F.col("tok").isNull()
     ex = (
         df.select(
             F.col(id_col).alias("id"),
-            # outer + null filter: see dedup._dup_gram_positions (the
-            # inferred size>0 pre-filter re-evaluates tokens() at scan)
+            # outer: empty docs keep one null-token row (zero vote below)
+            # AND no inferred size>0 pre-filter re-evaluates tokens() at
+            # the scan (see dedup._dup_gram_positions)
             F.explode_outer(tokens(F.col(text_col))).alias("tok"),
         )
-        .filter(F.col("tok").isNotNull())
-        .select("id", portable_hash(F.col("tok")).alias("h"))
+        .select("id", "tok", portable_hash(F.col("tok")).alias("h"))
         .select(
             "id",
-            F.pmod(h, F.lit(dims)).cast("int").alias("d"),
-            F.when(
+            F.when(tok_null, F.lit(0))
+            .otherwise(F.pmod(h, F.lit(dims)))
+            .cast("int").alias("d"),
+            F.when(tok_null, F.lit(0))
+            .when(
                 F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1)).alias("sgn"),
         )
     )
-    sums = ex.groupBy("id").agg(*[
+    # every doc has ≥1 row (explode_outer), so each sum is 0, not NULL,
+    # for token-less docs — no coalesce, no join-back
+    filled = ex.groupBy("id").agg(*[
         F.sum(F.when(F.col("d") == j, F.col("sgn")).otherwise(F.lit(0)))
         .cast("bigint").alias(f"s{j}")
         for j in range(dims)
     ])
-    filled = (
-        df.select(F.col(id_col).alias("id"))
-        .join(sums, on="id", how="left")
-        .select(
-            "id",
-            *[
-                F.coalesce(F.col(f"s{j}"), F.lit(0)).alias(f"s{j}")
-                for j in range(dims)
-            ],
-        )
-    )
     ssq = None
     for j in range(dims):
         sq = F.col(f"s{j}") * F.col(f"s{j}")  # exact bigint
         ssq = sq if ssq is None else ssq + sq
-    # The norm is materialized as its OWN projection, not inlined into
-    # the array: inlined, the dims-term sqrt tree is duplicated into all
-    # 2×dims branches below (~dims² nodes), which overflows Janino's
-    # stack at dims=32 and silently drops the whole stage out of codegen
-    # (interpreted fallback).  CollapseProject keeps the split because
-    # the alias is expensive and referenced more than once; arithmetic
-    # is bit-identical (same fold order, one sqrt, same IEEE divides).
+    # The norm is materialized as its OWN projection (CollapseProject
+    # keeps the split: expensive alias, referenced more than once), and
+    # the divides run through ONE interpreted transform() over a plain
+    # column-ref array rather than dims unrolled when/divide branches:
+    # unrolled, the normalize tree lands inside whatever codegen method
+    # consumes it (measured: the aggregate's doAggregateWithKeysOutput,
+    # and before the join-back removal a BroadcastHashJoin's doConsume)
+    # and pushes it past the JVM 64 KB method limit — Janino then fails
+    # and the WHOLE stage silently drops to interpreted eval.  The HOF
+    # runs once per DOCUMENT (never per candidate pair, where
+    # interpreted folds are the measured trap — see UNROLL_MAX_DIMS);
+    # arithmetic is bit-identical (same casts, same IEEE divides, one
+    # sqrt).
     normed = filled.withColumn("nrm", F.sqrt(ssq.cast("double")))
-    vec = F.array(*[
-        F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
-            F.col(f"s{j}").cast("double") / F.col("nrm")
-        )
-        for j in range(dims)
-    ])
+    raw = F.array(*[F.col(f"s{j}").cast("double") for j in range(dims)])
+    vec = F.when(
+        F.col("nrm") == 0.0, F.array(*([F.lit(0.0)] * dims))
+    ).otherwise(F.transform(raw, lambda x: x / F.col("nrm")))
     return normed.select("id", vec.alias("vec"))
 
 

@@ -147,11 +147,16 @@ def test_gram_explode_has_no_inferred_prefilter_at_scan(spark):
 
 
 def test_embed_hash_codegen_compiles(spark):
-    """embed_hash's normalize step must keep the norm in its OWN
-    projection: inlined into the array it duplicates the dims-term sqrt
-    tree into all 2×dims branches, which overflows Janino's stack at
-    dims=32 and silently drops the whole stage to interpreted eval.
-    With fallback disabled, a compile failure raises instead of hiding."""
+    """embed_hash's generated code must stay under the JVM 64 KB method
+    limit IN SITU — the dims-wide normalize tree lands inside whatever
+    codegen method consumes it (measured: the aggregate's output method;
+    before the join-back removal, a BroadcastHashJoin doConsume), where
+    Janino fails and the whole stage silently drops to interpreted eval.
+    A tiny frame missed the fusion, so this drives the CONTRACT-SCALE
+    query (agg → normalize → posexplode in one stage) plus the semantic
+    edge cases, all with fallback disabled so a compile failure raises
+    instead of hiding."""
+    from ocr_spark.driver_contract import q_embed_hash
     from ocr_spark.similarity import embed_hash
 
     docs = spark.createDataFrame(
@@ -162,8 +167,10 @@ def test_embed_hash_codegen_compiles(spark):
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
         rows = {r.id: r.vec for r in embed_hash(docs).collect()}
+        n = q_embed_hash(spark, SF).count()      # the fused contract plan
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+    assert n > 0
     assert set(rows) == {1, 2, 3}
     assert rows[3] == [0.0] * 32          # token-less → zero vector
     import math
