@@ -1343,6 +1343,10 @@ def simhash_pairs(
       the join key, so cross-cohort pairs are never generated at all.
       Costs one id-keyed join to attach the cohort to the signature
       table (reuses the signature groupBy's hash partitioning).
+      A NULL cohort is its OWN cohort (groupBy semantics): the value is
+      struct-wrapped so the equi-join matches null-safely — without the
+      wrap, NULL != NULL would silently drop every undetected-language/
+      missing-domain doc from all pairing, even against identical docs.
 
     Only ``(id, sig, block)`` rows move through the explode/join (sig is
     one bigint).  Residual hazard: byte-identical documents share a
@@ -1354,7 +1358,9 @@ def simhash_pairs(
     join_keys = ["block_idx", "block_val"]
     if block_col is not None:
         cohorts = df.select(
-            F.col(id_col).alias("id"), block_col.alias("cohort")
+            F.col(id_col).alias("id"),
+            # struct wrap = null-safe equi-join key (see docstring)
+            F.struct(block_col.alias("v")).alias("cohort"),
         )
         base = base.join(cohorts, on="id")
         carry = ("cohort",)
@@ -1469,7 +1475,20 @@ def _dup_gram_positions(
     """``(id, pos)`` — 0-based token positions that START a ``k``-token
     window whose gram occurs in at least ``min_docs`` DISTINCT documents;
     marking is one equi-join back on the hash."""
-    gt = _gram_table(df, k, text_col, id_col, persist_grams)
+    return _dup_gram_positions_from_toks(
+        _tokenized(df, text_col, id_col), k, min_docs, persist_grams
+    )
+
+
+def _dup_gram_positions_from_toks(
+    tdf: DataFrame, k: int, min_docs: int, persist_grams: bool = True
+) -> DataFrame:
+    """:func:`_dup_gram_positions` over a pre-tokenized ``(id, toks)``
+    frame — the SINGLE source of the marking semantics (gram table →
+    distinct-doc frequency ≥ ``min_docs`` → hash-keyed join back);
+    :func:`strip_dup_passages` enters here so its marks can never drift
+    from :func:`dup_passages`'s."""
+    gt = _gram_table_from_toks(tdf, k, persist_grams)
     freq = gram_doc_freqs(gt).filter(F.col("n_docs") >= min_docs)
     return gt.join(freq.select("gram_h"), on="gram_h").select("id", "pos")
 
@@ -1626,9 +1645,7 @@ def strip_dup_passages(
     tdf = _tokenized(df, text_col, id_col)
     if persist_grams:
         tdf = tdf.persist()
-    gt = _gram_table_from_toks(tdf, k, persist_grams)
-    freq = gram_doc_freqs(gt).filter(F.col("n_docs") >= min_docs)
-    marked = gt.join(freq.select("gram_h"), on="gram_h").select("id", "pos")
+    marked = _dup_gram_positions_from_toks(tdf, k, min_docs, persist_grams)
     spans = _spans_from_marked(marked, k)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")

@@ -605,22 +605,25 @@ def ann_sketches(
     dims: int = DEFAULT_DIMS,
     n_planes: int = DEFAULT_PLANES,
 ) -> DataFrame:
-    """``(id, v, nrm, bucket)`` per-vector ANN sketch — the PERSISTABLE
+    """``(id, v, bucket)`` per-vector ANN sketch — the PERSISTABLE
     unit of incremental embedding near-dup search, mirroring
-    ``dedup.minhash_sketches``: the bucket and norm are pure per-vector
-    functions of the (literal) plane set, so sketches written by one run
-    bucket/verify identically against sketches computed by a later run.
-    Store through the :mod:`ocr_spark.tableio` seam; the plane set (seed,
-    ``n_planes``, ``dims``) is part of the store's contract — persist
-    those parameters next to it (a mismatched reader raises via
-    :func:`_guarded_bucket` on width mismatches, but a SAME-width
-    different-seed plane set is not detectable from the data)."""
+    ``dedup.minhash_sketches``: the bucket is a pure per-vector function
+    of the (literal) plane set, so sketches written by one run bucket
+    identically against sketches computed by a later run.  The verify
+    norm is NOT stored: the reader re-derives it from ``v``
+    (:func:`incremental_lsh_ann_pairs`), which keeps one source of truth
+    and doubles as the width guard — persisting it too would be ~8 dead
+    bytes per vector at the 10^9-row posture.  Store through the
+    :mod:`ocr_spark.tableio` seam; the plane set (seed, ``n_planes``,
+    ``dims``) is part of the store's contract — persist those parameters
+    next to it (a mismatched reader raises via :func:`_guarded_bucket`
+    on width mismatches, but a SAME-width different-seed plane set is
+    not detectable from the data)."""
     planes = planes or hyperplanes(n_planes, dims=dims)
     dims = len(planes[0])
     return corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _guarded_norm(F.col(vec_col), dims).alias("nrm"),
         _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
     )
 
@@ -641,11 +644,12 @@ def incremental_lsh_ann_pairs(
     Store protocol mirrors ``dedup.incremental_minhash_pairs``: sketch
     the delta (:func:`ann_sketches`), bucket-join it against itself and
     against the committed sketch store, verify exact cosine from the
-    carried vectors + precomputed norms, then append the delta's
-    sketches to commit the run.  The committed side contributes one
-    sketch scan + the bucket equi-join probe — never a committed ×
-    committed pair.  Buckets/norms are pure per-vector functions of the
-    plane literals, so the union of every run's output equals the
+    carried vectors (norms re-derived here — see :func:`ann_sketches`),
+    then append the delta's sketches to commit the run.  The committed
+    side contributes one sketch scan + the bucket equi-join probe —
+    never a committed × committed pair.  Buckets are pure per-vector
+    functions of the plane literals, so the union of every run's output
+    equals the
     full-corpus single-table :func:`lsh_ann_pairs` over all vectors
     (each pair is emitted by the run that introduced its later member) —
     replayed exactly by the ``ann_incremental`` contract oracle.

@@ -22,14 +22,27 @@ this module provides the append/snapshot flavor for derived tables
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import secrets
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "manifest.json"
+_LOCK = ".manifest.lock"
+# A writer that crashed inside the (sub-second) manifest-swap critical
+# section leaves its lock file behind; any later writer may steal a lock
+# older than this.  Set far above the critical section's duration — the
+# data write (the slow part) happens OUTSIDE the lock.
+_LOCK_STALE_S = 300.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot was committed between a compaction's fold and its
+    manifest swap; the store was left untouched."""
 
 
 class ParquetManifestIO:
@@ -47,6 +60,47 @@ class ParquetManifestIO:
             return {"snapshots": []}
         with open(path) as f:
             return json.load(f)
+
+    @contextlib.contextmanager
+    def _writer_lock(self, table: str, timeout_s: float = 60.0):
+        """Mutual exclusion for manifest READ-MODIFY-SWAP sections.
+
+        ``os.replace`` makes each individual swap atomic, but two
+        concurrent read-modify-swap sequences can still lose an update
+        (both load the same manifest; the second swap erases the first's
+        snapshot).  Real Iceberg serializes commits with a catalog CAS;
+        this sandbox backend serializes them with an ``O_CREAT|O_EXCL``
+        lock file held only around the load→swap section — never during
+        the Spark data write, so contention is sub-second.  A lock older
+        than ``_LOCK_STALE_S`` is presumed orphaned by a crashed writer
+        and stolen."""
+        table_dir = os.path.join(self.root, table)
+        os.makedirs(table_dir, exist_ok=True)
+        lock = os.path.join(table_dir, _LOCK)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                        os.unlink(lock)  # stale: crashed writer
+                        continue
+                except OSError:
+                    continue  # lock released between stat and unlink
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire writer lock {lock!r} within "
+                        f"{timeout_s}s; if no writer is live, delete it"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
 
     def _resolve(self, table: str, d: str) -> str:
         """Manifest data paths are RELATIVE to the table dir (round 5):
@@ -67,31 +121,51 @@ class ParquetManifestIO:
         snapshot carrying the pre-compaction max id, and the next append
         must keep ids monotone (a len-based id would collide with
         history and break ``read(asof=...)`` ordering)."""
-        manifest = self._load(table)
-        snap_id = (
-            max((s["id"] for s in manifest["snapshots"]), default=-1) + 1
+        # Provisional id for the directory NAME only (cosmetic); the real
+        # id is recomputed under the writer lock, where the manifest
+        # cannot change underneath us.  Unique suffix: an orphan from a
+        # crashed append must never collide with the retry (a
+        # deterministic s<N> path would fail errorifexists forever and
+        # brick the table).
+        prov_id = (
+            max((s["id"] for s in self._load(table)["snapshots"]),
+                default=-1) + 1
         )
-        # Unique suffix: an orphan from a crashed append must never collide
-        # with the retry (a deterministic s<N> path would fail
-        # errorifexists forever and brick the table).
-        rel_dir = f"data/s{snap_id:06d}-{secrets.token_hex(4)}"
+        rel_dir = f"data/s{prov_id:06d}-{secrets.token_hex(4)}"
         data_dir = os.path.join(self.root, table, rel_dir)
         df.write.mode("errorifexists").parquet(data_dir)
 
-        manifest["snapshots"].append({"id": snap_id, "dir": rel_dir})
         table_dir = os.path.join(self.root, table)
-        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        with self._writer_lock(table):
+            manifest = self._load(table)
+            snap_id = (
+                max((s["id"] for s in manifest["snapshots"]), default=-1)
+                + 1
+            )
+            manifest["snapshots"].append({"id": snap_id, "dir": rel_dir})
+            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(table))  # atomic commit
         return snap_id
 
     def read(self, spark: SparkSession, table: str,
              asof: int | None = None) -> DataFrame:
-        """Union of all committed snapshots (≤ ``asof`` when given)."""
-        snaps = self._load(table)["snapshots"]
+        """Union of all committed snapshots (≤ ``asof`` when given).
+
+        Time travel to an id below the compaction horizon (every
+        surviving snapshot id > ``asof``) raises — the pre-compaction
+        states were the storage :meth:`compact` reclaimed."""
+        all_snaps = self._load(table)["snapshots"]
+        snaps = all_snaps
         if asof is not None:
-            snaps = [s for s in snaps if s["id"] <= asof]
+            snaps = [s for s in all_snaps if s["id"] <= asof]
+            if not snaps and all_snaps:
+                raise ValueError(
+                    f"table {table!r}: snapshots <= {asof} were compacted "
+                    f"away (oldest surviving id: "
+                    f"{min(s['id'] for s in all_snaps)})"
+                )
         if not snaps:
             raise FileNotFoundError(
                 f"table {table!r} has no committed snapshots"
@@ -117,14 +191,23 @@ class ParquetManifestIO:
         swapped to a SINGLE snapshot carrying the pre-compaction max id
         (so later appends stay monotone and a reader that raced the swap
         saw either the full old history or the compacted form — both
-        reconstruct the same table).  Time travel BEFORE the compaction
-        point is intentionally discarded — that is the storage being
-        reclaimed; ``read(asof=<pre-compaction id>)`` keeps working and
-        returns the compacted equivalent.  Old data directories become
-        unreferenced orphans; ``vacuum=True`` deletes them after the
-        swap (only safe when no concurrent reader can still hold the old
-        manifest — the same contract as Iceberg's expire-snapshots).
-        Returns the surviving snapshot id."""
+        reconstruct the same table).  Time travel BELOW the surviving id
+        is intentionally discarded — that is the storage being reclaimed;
+        ``read(asof=<id below the horizon>)`` raises, while
+        ``read(asof=<surviving id or later>)`` returns the compacted
+        equivalent.  Old data directories become unreferenced orphans;
+        ``vacuum=True`` deletes them after the swap (only safe when no
+        concurrent reader can still hold the old manifest — the same
+        contract as Iceberg's expire-snapshots).
+
+        Concurrency: the fold reads the manifest WITHOUT the writer lock
+        (it runs a Spark job), so a concurrent append may commit while
+        the fold runs.  The swap re-loads the manifest under the lock
+        and, if the snapshot set is no longer exactly the one folded,
+        raises :class:`ConcurrentWriteError` and leaves the store
+        untouched (the compacted directory stays an unreferenced orphan)
+        — the same optimistic-conflict discipline as an Iceberg commit;
+        re-run the compaction.  Returns the surviving snapshot id."""
         import shutil
 
         manifest = self._load(table)
@@ -132,6 +215,7 @@ class ParquetManifestIO:
             raise FileNotFoundError(
                 f"table {table!r} has no committed snapshots"
             )
+        folded = [(s["id"], s["dir"]) for s in manifest["snapshots"]]
         keep_id = max(s["id"] for s in manifest["snapshots"])
         old_dirs = [
             self._resolve(table, s["dir"]) for s in manifest["snapshots"]
@@ -145,10 +229,22 @@ class ParquetManifestIO:
 
         table_dir = os.path.join(self.root, table)
         new_manifest = {"snapshots": [{"id": keep_id, "dir": rel_dir}]}
-        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(new_manifest, f)
-        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        with self._writer_lock(table):
+            current = [
+                (s["id"], s["dir"])
+                for s in self._load(table)["snapshots"]
+            ]
+            if current != folded:
+                raise ConcurrentWriteError(
+                    f"table {table!r}: snapshots changed during "
+                    f"compaction (folded {[i for i, _ in folded]}, now "
+                    f"{[i for i, _ in current]}); store untouched — "
+                    "re-run the compaction"
+                )
+            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(new_manifest, f)
+            os.replace(tmp, self._manifest_path(table))  # atomic commit
         if vacuum:
             for d in old_dirs:
                 shutil.rmtree(d, ignore_errors=True)

@@ -1244,6 +1244,25 @@ def test_simhash_block_col_scopes_candidates(spark):
     assert scoped == {(1, 2)}
 
 
+def test_simhash_block_col_null_cohort_pairs_with_itself(spark):
+    """A NULL cohort is its OWN cohort (groupBy semantics): identical
+    docs whose cohort expression is NULL (undetected language, missing
+    domain) must still pair with each other — a plain equi-join's
+    NULL != NULL would silently drop them from ALL pairing — while
+    NULL-vs-non-NULL stays unpaired."""
+    from ocr_spark.dedup import simhash_pairs
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = _df(
+        spark,
+        [(1, text, None), (2, text, None), (3, text, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    scoped = {(r.id_a, r.id_b)
+              for r in simhash_pairs(df, block_col=F.col("lang")).collect()}
+    assert scoped == {(1, 2)}
+
+
 def test_simhash_blocks_guards():
     """Too few blocks breaks pigeonhole recall; absurd combination counts
     defeat the explode — both must refuse loudly at plan-build time."""

@@ -50,6 +50,85 @@ def test_read_uncommitted_table_raises(spark, tmp_path):
         io.read(spark, "missing")
 
 
+def test_asof_below_compaction_horizon_raises(spark, tmp_path):
+    """Time travel to an id whose state compact() reclaimed must raise a
+    clear 'compacted away' error (not a misleading 'no committed
+    snapshots'), while asof at-or-above the surviving id keeps working
+    and returns the compacted equivalent."""
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    io.append(_df(spark, [2]), "t")
+    io.append(_df(spark, [3]), "t")
+    io.compact(spark, "t")
+    got = sorted(r.v for r in io.read(spark, "t", asof=2).collect())
+    assert got == [1, 2, 3]
+    with pytest.raises(ValueError, match="compacted away"):
+        io.read(spark, "t", asof=1)
+
+
+def test_compact_conflicting_append_raises_and_preserves(spark, tmp_path):
+    """Optimistic-conflict discipline: a snapshot committed between
+    compact()'s fold and its manifest swap must abort the swap
+    (ConcurrentWriteError) and leave every committed row readable —
+    never silently erase the racing append's snapshot."""
+    import contextlib
+
+    from ocr_spark.tableio import ConcurrentWriteError
+
+    io = ParquetManifestIO(str(tmp_path))
+    io2 = ParquetManifestIO(str(tmp_path))  # the "concurrent" writer
+    io.append(_df(spark, [1]), "t")
+    io.append(_df(spark, [2]), "t")
+
+    orig_lock = io._writer_lock
+    fired = []
+
+    @contextlib.contextmanager
+    def race_then_lock(table, timeout_s=60.0):
+        # simulate a writer that wins the lock first: commit snapshot 2
+        # after compact's fold read, before its swap takes the lock
+        if not fired:
+            fired.append(True)
+            io2.append(_df(spark, [3]), table)
+        with orig_lock(table, timeout_s=timeout_s):
+            yield
+
+    io._writer_lock = race_then_lock
+    with pytest.raises(ConcurrentWriteError, match="re-run"):
+        io.compact(spark, "t", vacuum=True)
+    io._writer_lock = orig_lock
+    got = sorted(r.v for r in io.read(spark, "t").collect())
+    assert got == [1, 2, 3]  # nothing erased, racing append intact
+    assert io.snapshots("t") == [0, 1, 2]
+    # the store is still compactable once no writer races it
+    io.compact(spark, "t", vacuum=True)
+    got = sorted(r.v for r in io.read(spark, "t").collect())
+    assert got == [1, 2, 3]
+    assert io.snapshots("t") == [2]
+
+
+def test_writer_lock_contention_and_stale_steal(spark, tmp_path):
+    """A held lock blocks a second writer until timeout; a lock file
+    older than the stale threshold is presumed orphaned by a crashed
+    writer and stolen."""
+    import os as _os
+    import time as _time
+
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    lock = tmp_path / "t" / ".manifest.lock"
+    lock.touch()
+    with pytest.raises(TimeoutError, match="writer lock"):
+        with io._writer_lock("t", timeout_s=0.2):
+            pass
+    # age the lock past the stale threshold: next writer steals it
+    old = _time.time() - 10_000
+    _os.utime(lock, (old, old))
+    io.append(_df(spark, [2]), "t")
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+    assert not lock.exists()
+
+
 def test_backend_selector():
     assert isinstance(get_table_io("parquet", root="/tmp/x"),
                       ParquetManifestIO)
