@@ -334,7 +334,13 @@ STREAM_SENTINEL_USER = -987654321
 # default pays ~200 state-store + python-worker invocations per batch for
 # a handful of keys.  The drains run on fresh checkpoints, so pin a count
 # sized for the drained data and restore the session value afterwards.
-DRAIN_STATE_PARTITIONS = 32
+# 8 measured best at sf0.1 (100k events / 1.5k users, local[32], min of
+# 2): sessions 11.5 -> 9.7 s, dedup 2.3 -> 1.3 s, windowed 6.7 -> 6.1 s
+# vs 32 — per-partition state-store + pandas-state-worker startup is the
+# fixed cost, and 2 loses the parallelism back (sessions 13.6 s).  A
+# drain over much larger finite inputs should pass ``state_partitions``
+# to re-widen (the production streams keep the session's own setting).
+DRAIN_STATE_PARTITIONS = 8
 
 
 class _shuffle_partitions:
@@ -403,6 +409,7 @@ def _sentinel_row(spark, events: DataFrame, lead_s: float,
 def drain_windowed_counts(
     spark: SparkSession, events: DataFrame, work_dir: str,
     window: str = "1 hour", watermark: str = "2 hours",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain ``stream_windowed_counts`` over ``events`` (columns per
     ``EVENTS_STREAM_DDL``) until every real window is finalized; return
@@ -414,7 +421,8 @@ def drain_windowed_counts(
     sent = _sentinel_row(spark, events, lead,
                          event_type=STREAM_SENTINEL_EVENT_TYPE)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
-    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+    with _shuffle_partitions(
+            spark, state_partitions or DRAIN_STATE_PARTITIONS):
         q = stream_windowed_counts(spark, inp, out, ckpt, window=window,
                                    watermark=watermark, available_now=True)
         _await_drain(q, 300)
@@ -427,13 +435,15 @@ def drain_windowed_counts(
 def drain_dedup_exact(
     spark: SparkSession, events: DataFrame, work_dir: str,
     key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain ``stream_dedup_exact`` over ``events`` (columns per
     ``EVENTS_DEDUP_DDL``, duplicates included) and return the emitted
     first-occurrences.  No sentinel needed: dedup emits immediately."""
     inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
     events.coalesce(1).write.mode("overwrite").parquet(inp)
-    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+    with _shuffle_partitions(
+            spark, state_partitions or DRAIN_STATE_PARTITIONS):
         q = stream_dedup_exact(spark, inp, out, ckpt, key_cols=key_cols,
                                watermark=watermark, available_now=True)
         _await_drain(q, 300)
@@ -443,6 +453,7 @@ def drain_dedup_exact(
 def drain_sessions(
     spark: SparkSession, events: DataFrame, work_dir: str,
     gap_s: float = 1800.0, watermark: str = "10 minutes",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain ``sessionize_stream`` over ``events`` until every real
     session's ``end + gap`` is behind the watermark; return the emitted
@@ -451,7 +462,8 @@ def drain_sessions(
     lead = interval_seconds(watermark) + gap_s + 3600
     sent = _sentinel_row(spark, events, lead, user_id=STREAM_SENTINEL_USER)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
-    with _shuffle_partitions(spark, DRAIN_STATE_PARTITIONS):
+    with _shuffle_partitions(
+            spark, state_partitions or DRAIN_STATE_PARTITIONS):
         q = sessionize_stream(spark, inp, out, ckpt, gap_s=gap_s,
                               watermark=watermark, available_now=True)
         _await_drain(q, 300)
