@@ -34,7 +34,11 @@ tests/test_compact_store.py):
 Time travel before the compaction point is discarded by design (that is
 the storage being reclaimed); ``--vacuum`` additionally deletes the
 now-unreferenced data directories (only safe when no concurrent reader
-can hold the pre-compaction manifest).
+can hold the pre-compaction manifest).  ``--vacuum-orphans AGE_S``
+separately reclaims directories NO manifest references — the leavings of
+crashed appends and conflict-aborted compactions — sparing anything
+younger than AGE_S (a possible in-flight append); it runs even when the
+compaction itself aborts on :class:`ConcurrentWriteError`.
 """
 
 from __future__ import annotations
@@ -78,6 +82,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--value", help="sum-by: summed value column")
     p.add_argument("--vacuum", action="store_true",
                    help="delete unreferenced pre-compaction data dirs")
+    p.add_argument("--vacuum-orphans", type=float, metavar="AGE_S",
+                   help="also delete never-referenced data dirs (crashed "
+                        "appends, aborted compactions) older than AGE_S "
+                        "seconds")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -102,7 +110,16 @@ def main(argv: list[str] | None = None) -> dict:
     spark = get_spark("ocr-spark-compact-store", master="submit")
     io = ParquetManifestIO(args.store)
     before = io.snapshots(args.table)
-    snap = io.compact(spark, args.table, transform, vacuum=args.vacuum)
+    orphans: list[str] = []
+    try:
+        snap = io.compact(spark, args.table, transform, vacuum=args.vacuum)
+    finally:
+        # orphan reclamation is independent of the compaction outcome: a
+        # conflict-aborted compaction is precisely what CREATES an orphan
+        if args.vacuum_orphans is not None:
+            orphans = io.vacuum_orphans(
+                args.table, min_age_s=args.vacuum_orphans
+            )
     rows = io.read(spark, args.table).count()
     summary = {
         "table": args.table,
@@ -111,6 +128,7 @@ def main(argv: list[str] | None = None) -> dict:
         "snapshot_id": snap,
         "rows_after": rows,
         "vacuumed": bool(args.vacuum),
+        "orphans_deleted": orphans,
     }
     json.dump(summary, sys.stdout)
     print()

@@ -250,6 +250,48 @@ class ParquetManifestIO:
                 shutil.rmtree(d, ignore_errors=True)
         return keep_id
 
+    def vacuum_orphans(self, table: str,
+                       min_age_s: float = 3600.0) -> list[str]:
+        """Delete data directories the current manifest does not
+        reference — the leavings of crashed appends (data written, lock
+        or manifest swap never reached) and :class:`ConcurrentWriteError`
+        -aborted compactions — Iceberg's remove-orphan-files for this
+        backend.  Committed data is never touched: the listing and the
+        deletes run under the writer lock, so no manifest swap can
+        commit a directory mid-vacuum.
+
+        ``min_age_s`` guards the one racy case the lock cannot see: an
+        in-flight :meth:`append` writes its data directory BEFORE taking
+        the lock, so a young unreferenced directory may be a commit in
+        progress (a directory's mtime refreshes while Spark writes into
+        it, so any live write keeps itself young).  Same contract as
+        Iceberg's ``older_than``.  Returns the deleted paths relative to
+        the table dir."""
+        import shutil
+
+        deleted: list[str] = []
+        with self._writer_lock(table):
+            referenced = {
+                os.path.realpath(self._resolve(table, s["dir"]))
+                for s in self._load(table)["snapshots"]
+            }
+            data_root = os.path.join(self.root, table, "data")
+            if os.path.isdir(data_root):
+                for name in sorted(os.listdir(data_root)):
+                    d = os.path.join(data_root, name)
+                    if not os.path.isdir(d):
+                        continue
+                    if os.path.realpath(d) in referenced:
+                        continue
+                    try:
+                        age = time.time() - os.path.getmtime(d)
+                    except OSError:
+                        continue  # deleted/racing: nothing to reclaim
+                    if age >= min_age_s:
+                        shutil.rmtree(d, ignore_errors=True)
+                        deleted.append(f"data/{name}")
+        return deleted
+
 
 class IcebergIO:  # pragma: no cover - needs an Iceberg catalog
     """Production backend: the same three calls against a real catalog

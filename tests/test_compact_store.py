@@ -84,6 +84,32 @@ def test_gram_freq_store_compaction_identical_delta(spark, tmp_path):
     assert io.snapshots("gram_freqs") == [1, 2]
 
 
+def test_compact_job_vacuum_orphans_flag(spark, tmp_path):
+    """--vacuum-orphans AGE_S reclaims never-referenced data dirs
+    (crashed appends) older than AGE_S alongside the compaction, without
+    touching committed data or young (possibly in-flight) dirs."""
+    import time
+
+    store = str(tmp_path / "store")
+    io = ParquetManifestIO(store)
+    io.append(_df(spark, [(1,)], "v int"), "t")
+    io.append(_df(spark, [(2,)], "v int"), "t")
+    orphan = os.path.join(store, "t", "data", "s000077-beef0000")
+    _df(spark, [(777,)], "v int").write.parquet(orphan)
+    past = time.time() - 10_000
+    os.utime(orphan, (past, past))
+
+    summary = compact_main([
+        "--store", store, "--table", "t",
+        "--vacuum", "--vacuum-orphans", "3600",
+    ])
+    assert summary["orphans_deleted"] == ["data/s000077-beef0000"]
+    assert not os.path.exists(orphan)
+    assert summary["rows_after"] == 2
+    assert io.snapshots("t") == [1]
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+
+
 def test_signatures_store_compaction_identical_next_run(spark, tmp_path):
     """Signatures-mode compaction resolves accumulated merges into the
     doc labels and drops the merge rows; the current-labels view and a

@@ -129,6 +129,41 @@ def test_writer_lock_contention_and_stale_steal(spark, tmp_path):
     assert not lock.exists()
 
 
+def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
+    spark, tmp_path
+):
+    """remove-orphan-files semantics: an unreferenced data directory
+    (crashed append / aborted compaction) older than ``min_age_s`` is
+    deleted; committed directories and YOUNG unreferenced directories
+    (possibly an append in progress — data lands before the manifest
+    commit) are untouched."""
+    import os as _os
+    import time as _time
+
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    io.append(_df(spark, [2]), "t")
+    old_orphan = tmp_path / "t" / "data" / "s000099-dead0000"
+    young_orphan = tmp_path / "t" / "data" / "s000100-cafe0000"
+    _df(spark, [888]).write.parquet(str(old_orphan))
+    _df(spark, [999]).write.parquet(str(young_orphan))
+    past = _time.time() - 10_000
+    _os.utime(old_orphan, (past, past))
+
+    deleted = io.vacuum_orphans("t", min_age_s=3600.0)
+    assert deleted == ["data/s000099-dead0000"]
+    assert not old_orphan.exists()
+    assert young_orphan.exists()  # may be an in-flight append
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+
+    # min_age_s=0 reclaims the young one too; committed data still reads
+    assert io.vacuum_orphans("t", min_age_s=0.0) == [
+        "data/s000100-cafe0000"
+    ]
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+    assert io.vacuum_orphans("t", min_age_s=0.0) == []  # idempotent
+
+
 def test_backend_selector():
     assert isinstance(get_table_io("parquet", root="/tmp/x"),
                       ParquetManifestIO)
