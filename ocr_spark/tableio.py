@@ -263,8 +263,12 @@ class ParquetManifestIO:
         ``min_age_s`` guards the one racy case the lock cannot see: an
         in-flight :meth:`append` writes its data directory BEFORE taking
         the lock, so a young unreferenced directory may be a commit in
-        progress (a directory's mtime refreshes while Spark writes into
-        it, so any live write keeps itself young).  Same contract as
+        progress.  Age is the NEWEST mtime anywhere under the directory,
+        not the top-level dir's own: Spark's committer stages task files
+        deep under ``_temporary/``, so a multi-hour write leaves the
+        top-level mtime stale minutes in while the tree underneath keeps
+        refreshing — the tree-wide newest mtime is what "any live write
+        keeps itself young" actually requires.  Same contract as
         Iceberg's ``older_than``.  Returns the deleted paths relative to
         the table dir."""
         import shutil
@@ -284,7 +288,15 @@ class ParquetManifestIO:
                     if os.path.realpath(d) in referenced:
                         continue
                     try:
-                        age = time.time() - os.path.getmtime(d)
+                        newest = os.path.getmtime(d)
+                        for sub, _dirs, files in os.walk(d):
+                            newest = max(
+                                newest,
+                                os.path.getmtime(sub),
+                                *(os.path.getmtime(os.path.join(sub, f))
+                                  for f in files),
+                            )
+                        age = time.time() - newest
                     except OSError:
                         continue  # deleted/racing: nothing to reclaim
                     if age >= min_age_s:

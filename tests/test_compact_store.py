@@ -97,7 +97,12 @@ def test_compact_job_vacuum_orphans_flag(spark, tmp_path):
     orphan = os.path.join(store, "t", "data", "s000077-beef0000")
     _df(spark, [(777,)], "v int").write.parquet(orphan)
     past = time.time() - 10_000
-    os.utime(orphan, (past, past))
+    # age is the tree-wide newest mtime (an in-flight write's staged
+    # files keep it young), so a dead orphan is old all the way down
+    for sub, _dirs, files in os.walk(orphan):
+        os.utime(sub, (past, past))
+        for f in files:
+            os.utime(os.path.join(sub, f), (past, past))
 
     summary = compact_main([
         "--store", store, "--table", "t",

@@ -145,15 +145,33 @@ def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
     io.append(_df(spark, [2]), "t")
     old_orphan = tmp_path / "t" / "data" / "s000099-dead0000"
     young_orphan = tmp_path / "t" / "data" / "s000100-cafe0000"
+    live_write = tmp_path / "t" / "data" / "s000101-beef0000"
     _df(spark, [888]).write.parquet(str(old_orphan))
     _df(spark, [999]).write.parquet(str(young_orphan))
     past = _time.time() - 10_000
-    _os.utime(old_orphan, (past, past))
+
+    def _backdate_tree(root):
+        for sub, _dirs, files in _os.walk(root):
+            _os.utime(sub, (past, past))
+            for f in files:
+                _os.utime(_os.path.join(sub, f), (past, past))
+
+    _backdate_tree(old_orphan)
+    # the in-flight long-write case: Spark stages task files deep under
+    # _temporary/, so the TOP-LEVEL dir's mtime goes stale while the
+    # write is still live — age must be the tree-wide newest mtime
+    staging = live_write / "_temporary" / "0" / "attempt_0"
+    staging.mkdir(parents=True)
+    (staging / "part-00000.parquet").write_bytes(b"in-flight")
+    _os.utime(live_write, (past, past))
 
     deleted = io.vacuum_orphans("t", min_age_s=3600.0)
     assert deleted == ["data/s000099-dead0000"]
     assert not old_orphan.exists()
     assert young_orphan.exists()  # may be an in-flight append
+    assert live_write.exists()  # live write: fresh file deep in the tree
+    import shutil as _shutil
+    _shutil.rmtree(live_write)
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
 
     # min_age_s=0 reclaims the young one too; committed data still reads
