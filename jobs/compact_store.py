@@ -32,13 +32,21 @@ tests/test_compact_store.py):
   skip merge resolution entirely until new merges accrue.
 
 Time travel before the compaction point is discarded by design (that is
-the storage being reclaimed); ``--vacuum`` additionally deletes the
-now-unreferenced data directories (only safe when no concurrent reader
-can hold the pre-compaction manifest).  ``--vacuum-orphans AGE_S``
-separately reclaims directories NO manifest references — the leavings of
-crashed appends and conflict-aborted compactions — sparing anything
-younger than AGE_S (a possible in-flight append); it runs even when the
-compaction itself aborts on :class:`ConcurrentWriteError`.
+the storage being reclaimed).  Storage reclamation is three separate
+opt-ins, each with a distinct safety contract: ``--vacuum`` deletes the
+pre-compaction directories immediately (only safe when no concurrent
+reader can hold the pre-compaction manifest); without it they are
+recorded as *expired* in the manifest, and a LATER run's
+``--vacuum-expired`` deletes them once readers have drained;
+``--vacuum-orphans AGE_S`` reclaims directories no manifest ever
+referenced — the leavings of crashed appends and conflict-aborted
+compactions — sparing anything younger than AGE_S (a possible in-flight
+append) and sparing expired-but-unvacuumed history (a late reader may
+still scan it).  Expired reclamation runs BEFORE the compaction (only
+earlier runs' history is ever touched); orphan reclamation runs after,
+even when the compaction itself aborts on
+:class:`ConcurrentWriteError` (an aborted compaction is precisely what
+creates an orphan).
 """
 
 from __future__ import annotations
@@ -81,11 +89,22 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--key", help="sum-by: group key column")
     p.add_argument("--value", help="sum-by: summed value column")
     p.add_argument("--vacuum", action="store_true",
-                   help="delete unreferenced pre-compaction data dirs")
+                   help="delete the pre-compaction data dirs (plus any "
+                        "previously expired ones); without it they are "
+                        "recorded as expired, awaiting --vacuum-expired")
+    p.add_argument("--vacuum-expired", action="store_true",
+                   help="delete dirs expired by EARLIER un-vacuumed "
+                        "compactions (safe once no reader holds a "
+                        "pre-compaction manifest)")
     p.add_argument("--vacuum-orphans", type=float, metavar="AGE_S",
                    help="also delete never-referenced data dirs (crashed "
                         "appends, aborted compactions) older than AGE_S "
-                        "seconds")
+                        "seconds; expired-but-unvacuumed history is "
+                        "spared (that needs the --vacuum* opt-ins)")
+    p.add_argument("--count-rows", action="store_true",
+                   help="report rows_after in the summary (a second full "
+                        "read of the compacted table — skip on huge "
+                        "stores)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -111,6 +130,10 @@ def main(argv: list[str] | None = None) -> dict:
     io = ParquetManifestIO(args.store)
     before = io.snapshots(args.table)
     orphans: list[str] = []
+    # BEFORE the compaction, so only EARLIER runs' expired dirs are
+    # reclaimed — after it, this run's own just-expired dirs would be
+    # deleted too, exactly the premature deletion expiry exists to avoid
+    expired = io.vacuum_expired(args.table) if args.vacuum_expired else []
     try:
         snap = io.compact(spark, args.table, transform, vacuum=args.vacuum)
     finally:
@@ -120,7 +143,7 @@ def main(argv: list[str] | None = None) -> dict:
             orphans = io.vacuum_orphans(
                 args.table, min_age_s=args.vacuum_orphans
             )
-    rows = io.read(spark, args.table).count()
+    rows = io.read(spark, args.table).count() if args.count_rows else None
     summary = {
         "table": args.table,
         "mode": args.mode,
@@ -129,6 +152,7 @@ def main(argv: list[str] | None = None) -> dict:
         "rows_after": rows,
         "vacuumed": bool(args.vacuum),
         "orphans_deleted": orphans,
+        "expired_deleted": expired,
     }
     json.dump(summary, sys.stdout)
     print()

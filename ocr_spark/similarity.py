@@ -620,7 +620,6 @@ def ann_sketches(
     on width mismatches, but a SAME-width different-seed plane set is
     not detectable from the data)."""
     planes = planes or hyperplanes(n_planes, dims=dims)
-    dims = len(planes[0])
     return corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

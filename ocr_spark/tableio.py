@@ -33,11 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "manifest.json"
 _LOCK = ".manifest.lock"
-# A writer that crashed inside the (sub-second) manifest-swap critical
-# section leaves its lock file behind; any later writer may steal a lock
-# older than this.  Set far above the critical section's duration — the
-# data write (the slow part) happens OUTSIDE the lock.
-_LOCK_STALE_S = 300.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -69,38 +64,46 @@ class ParquetManifestIO:
         concurrent read-modify-swap sequences can still lose an update
         (both load the same manifest; the second swap erases the first's
         snapshot).  Real Iceberg serializes commits with a catalog CAS;
-        this sandbox backend serializes them with an ``O_CREAT|O_EXCL``
-        lock file held only around the load→swap section — never during
-        the Spark data write, so contention is sub-second.  A lock older
-        than ``_LOCK_STALE_S`` is presumed orphaned by a crashed writer
-        and stolen."""
+        this sandbox backend serializes them with a kernel ``flock`` on a
+        persistent lock file, held only around the load→swap section —
+        never during the Spark data write, so contention is sub-second.
+
+        ``flock`` rather than an ``O_CREAT|O_EXCL`` + stale-steal file
+        lock: the kernel releases a crashed holder's lock with its
+        process, so there is no staleness concept to misjudge — and the
+        steal itself (stat, then unlink, then recreate) is a TOCTOU race
+        in which two waiters can each unlink the other's fresh lock and
+        both enter the critical section, losing a committed snapshot.
+        The lock file is never unlinked (unlinking would let a third
+        writer lock a NEW inode at the same path while a waiter still
+        holds the old one).  Advisory, but every writer goes through
+        here; local-POSIX scope is this backend's contract — production
+        concurrency is the Iceberg catalog's CAS."""
+        import fcntl
+
         table_dir = os.path.join(self.root, table)
         os.makedirs(table_dir, exist_ok=True)
         lock = os.path.join(table_dir, _LOCK)
-        deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
-                        os.unlink(lock)  # stale: crashed writer
-                        continue
-                except OSError:
-                    continue  # lock released between stat and unlink
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire writer lock {lock!r} within "
-                        f"{timeout_s}s; if no writer is live, delete it"
-                    )
-                time.sleep(0.05)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            yield
+            deadline = time.monotonic() + timeout_s
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire writer lock {lock!r} "
+                            f"within {timeout_s}s; another writer holds it"
+                        )
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)
+            os.close(fd)
 
     def _resolve(self, table: str, d: str) -> str:
         """Manifest data paths are RELATIVE to the table dir (round 5):
@@ -195,10 +198,10 @@ class ParquetManifestIO:
         is intentionally discarded — that is the storage being reclaimed;
         ``read(asof=<id below the horizon>)`` raises, while
         ``read(asof=<surviving id or later>)`` returns the compacted
-        equivalent.  Old data directories become unreferenced orphans;
-        ``vacuum=True`` deletes them after the swap (only safe when no
-        concurrent reader can still hold the old manifest — the same
-        contract as Iceberg's expire-snapshots).
+        equivalent.  ``vacuum=True`` deletes the old data directories
+        after the swap (only safe when no concurrent reader can still
+        hold the old manifest — the same contract as Iceberg's
+        expire-snapshots).
 
         Concurrency: the fold reads the manifest WITHOUT the writer lock
         (it runs a Spark job), so a concurrent append may commit while
@@ -207,7 +210,15 @@ class ParquetManifestIO:
         raises :class:`ConcurrentWriteError` and leaves the store
         untouched (the compacted directory stays an unreferenced orphan)
         — the same optimistic-conflict discipline as an Iceberg commit;
-        re-run the compaction.  Returns the surviving snapshot id."""
+        re-run the compaction.  Returns the surviving snapshot id.
+
+        Without ``vacuum``, the pre-compaction directories are recorded
+        in the manifest's ``expired`` list rather than simply dropped:
+        they are awaiting an explicit :meth:`vacuum_expired` (once no
+        reader can still hold the old manifest), and the record keeps
+        :meth:`vacuum_orphans` — whose job is CRASH leavings only — from
+        conflating them with orphans and deleting them out from under a
+        long-running reader."""
         import shutil
 
         manifest = self._load(table)
@@ -217,9 +228,7 @@ class ParquetManifestIO:
             )
         folded = [(s["id"], s["dir"]) for s in manifest["snapshots"]]
         keep_id = max(s["id"] for s in manifest["snapshots"])
-        old_dirs = [
-            self._resolve(table, s["dir"]) for s in manifest["snapshots"]
-        ]
+        old_rel = [s["dir"] for s in manifest["snapshots"]]
         df = self.read(spark, table)
         if transform is not None:
             df = transform(df)
@@ -228,11 +237,11 @@ class ParquetManifestIO:
         df.write.mode("errorifexists").parquet(data_dir)
 
         table_dir = os.path.join(self.root, table)
-        new_manifest = {"snapshots": [{"id": keep_id, "dir": rel_dir}]}
         with self._writer_lock(table):
+            current_manifest = self._load(table)
             current = [
                 (s["id"], s["dir"])
-                for s in self._load(table)["snapshots"]
+                for s in current_manifest["snapshots"]
             ]
             if current != folded:
                 raise ConcurrentWriteError(
@@ -241,14 +250,45 @@ class ParquetManifestIO:
                     f"{[i for i, _ in current]}); store untouched — "
                     "re-run the compaction"
                 )
+            prior_expired = current_manifest.get("expired", [])
+            new_manifest = {
+                "snapshots": [{"id": keep_id, "dir": rel_dir}],
+                # vacuum=True reclaims prior expired dirs below too;
+                # otherwise the fold's old dirs join the expired queue
+                "expired": [] if vacuum else prior_expired + old_rel,
+            }
             fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
             with os.fdopen(fd, "w") as f:
                 json.dump(new_manifest, f)
             os.replace(tmp, self._manifest_path(table))  # atomic commit
         if vacuum:
-            for d in old_dirs:
-                shutil.rmtree(d, ignore_errors=True)
+            for d in old_rel + prior_expired:
+                shutil.rmtree(self._resolve(table, d), ignore_errors=True)
         return keep_id
+
+    def vacuum_expired(self, table: str) -> list[str]:
+        """Delete the directories a previous ``compact(vacuum=False)``
+        expired — call once no reader can still hold a pre-compaction
+        manifest (Iceberg's expire-snapshots file cleanup, decoupled
+        from the compaction commit).  Returns the deleted entries."""
+        import shutil
+
+        with self._writer_lock(table):
+            manifest = self._load(table)
+            expired = manifest.get("expired", [])
+            if not expired:
+                return []
+            manifest["expired"] = []
+            table_dir = os.path.join(self.root, table)
+            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(table))
+        # deletions need no lock: these dirs left the manifest above and
+        # nothing ever re-registers an existing directory
+        for d in expired:
+            shutil.rmtree(self._resolve(table, d), ignore_errors=True)
+        return expired
 
     def vacuum_orphans(self, table: str,
                        min_age_s: float = 3600.0) -> list[str]:
@@ -256,9 +296,17 @@ class ParquetManifestIO:
         reference — the leavings of crashed appends (data written, lock
         or manifest swap never reached) and :class:`ConcurrentWriteError`
         -aborted compactions — Iceberg's remove-orphan-files for this
-        backend.  Committed data is never touched: the listing and the
-        deletes run under the writer lock, so no manifest swap can
-        commit a directory mid-vacuum.
+        backend.  Committed data is never touched: the candidate listing
+        runs under the writer lock (no manifest swap can commit a
+        directory mid-listing), and directories a ``compact`` EXPIRED
+        rather than vacuumed are spared — they are tracked history a
+        late reader may still be scanning, reclaimable only through the
+        explicit :meth:`vacuum_expired` opt-in.  The mtime walk and the
+        deletes themselves run OUTSIDE the lock (they can take minutes
+        on multi-GB crash leavings, and a blocked append times out at
+        60 s): that is safe because append/compact only ever create
+        fresh uniquely-suffixed directories, so a directory unreferenced
+        at listing time can never become referenced afterwards.
 
         ``min_age_s`` guards the one racy case the lock cannot see: an
         in-flight :meth:`append` writes its data directory BEFORE taking
@@ -273,35 +321,40 @@ class ParquetManifestIO:
         the table dir."""
         import shutil
 
-        deleted: list[str] = []
+        candidates: list[str] = []
         with self._writer_lock(table):
-            referenced = {
-                os.path.realpath(self._resolve(table, s["dir"]))
-                for s in self._load(table)["snapshots"]
+            manifest = self._load(table)
+            protected = {
+                os.path.realpath(self._resolve(table, d))
+                for d in (
+                    [s["dir"] for s in manifest["snapshots"]]
+                    + manifest.get("expired", [])
+                )
             }
             data_root = os.path.join(self.root, table, "data")
             if os.path.isdir(data_root):
-                for name in sorted(os.listdir(data_root)):
-                    d = os.path.join(data_root, name)
-                    if not os.path.isdir(d):
-                        continue
-                    if os.path.realpath(d) in referenced:
-                        continue
-                    try:
-                        newest = os.path.getmtime(d)
-                        for sub, _dirs, files in os.walk(d):
-                            newest = max(
-                                newest,
-                                os.path.getmtime(sub),
-                                *(os.path.getmtime(os.path.join(sub, f))
-                                  for f in files),
-                            )
-                        age = time.time() - newest
-                    except OSError:
-                        continue  # deleted/racing: nothing to reclaim
-                    if age >= min_age_s:
-                        shutil.rmtree(d, ignore_errors=True)
-                        deleted.append(f"data/{name}")
+                candidates = [
+                    d for name in sorted(os.listdir(data_root))
+                    if os.path.isdir(d := os.path.join(data_root, name))
+                    and os.path.realpath(d) not in protected
+                ]
+        deleted: list[str] = []
+        for d in candidates:
+            try:
+                newest = os.path.getmtime(d)
+                for sub, _dirs, files in os.walk(d):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(sub),
+                        *(os.path.getmtime(os.path.join(sub, f))
+                          for f in files),
+                    )
+                age = time.time() - newest
+            except OSError:
+                continue  # deleted/racing: nothing to reclaim
+            if age >= min_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+                deleted.append(f"data/{os.path.basename(d)}")
         return deleted
 
 

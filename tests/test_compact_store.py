@@ -106,12 +106,50 @@ def test_compact_job_vacuum_orphans_flag(spark, tmp_path):
 
     summary = compact_main([
         "--store", store, "--table", "t",
-        "--vacuum", "--vacuum-orphans", "3600",
+        "--vacuum", "--vacuum-orphans", "3600", "--count-rows",
     ])
     assert summary["orphans_deleted"] == ["data/s000077-beef0000"]
     assert not os.path.exists(orphan)
     assert summary["rows_after"] == 2
     assert io.snapshots("t") == [1]
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+
+
+def test_unvacuumed_compaction_expires_dirs_safe_from_orphan_vacuum(
+    spark, tmp_path
+):
+    """compact without --vacuum records the old dirs as EXPIRED: a
+    long-running reader may still hold the pre-compaction manifest, so
+    --vacuum-orphans (whose job is crash leavings) must spare them; a
+    later --vacuum-expired is the explicit reclamation opt-in."""
+    store = str(tmp_path / "store")
+    io = ParquetManifestIO(store)
+    io.append(_df(spark, [(1,)], "v int"), "t")
+    io.append(_df(spark, [(2,)], "v int"), "t")
+    manifest = json.load(open(os.path.join(store, "t", "manifest.json")))
+    old_dirs = [
+        os.path.join(store, "t", s["dir"]) for s in manifest["snapshots"]
+    ]
+
+    summary = compact_main([
+        "--store", store, "--table", "t", "--vacuum-orphans", "0",
+    ])
+    assert summary["rows_after"] is None  # no --count-rows: no re-scan
+    assert summary["orphans_deleted"] == []  # expired history spared
+    assert summary["expired_deleted"] == []
+    assert all(os.path.exists(d) for d in old_dirs)
+    # a reader that held the PRE-compaction manifest can still scan them
+    assert sorted(
+        r.v for r in spark.read.parquet(*old_dirs).collect()
+    ) == [1, 2]
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+
+    # readers drained: the next maintenance run reclaims expired history
+    summary2 = compact_main([
+        "--store", store, "--table", "t", "--vacuum-expired",
+    ])
+    assert len(summary2["expired_deleted"]) == 2
+    assert all(not os.path.exists(d) for d in old_dirs)
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
 
 

@@ -107,26 +107,41 @@ def test_compact_conflicting_append_raises_and_preserves(spark, tmp_path):
     assert io.snapshots("t") == [2]
 
 
-def test_writer_lock_contention_and_stale_steal(spark, tmp_path):
-    """A held lock blocks a second writer until timeout; a lock file
-    older than the stale threshold is presumed orphaned by a crashed
-    writer and stolen."""
+def test_writer_lock_contention_and_crash_release(spark, tmp_path):
+    """A HELD flock blocks a second writer until timeout; a lock file
+    left behind by a crashed writer carries no flock, so the next writer
+    acquires immediately — no staleness heuristic, no steal race (the
+    old stat→unlink→recreate steal let two waiters unlink each other's
+    fresh lock and both enter the critical section)."""
+    import fcntl
     import os as _os
     import time as _time
 
     io = ParquetManifestIO(str(tmp_path))
     io.append(_df(spark, [1]), "t")
     lock = tmp_path / "t" / ".manifest.lock"
-    lock.touch()
+
+    # contention: flock conflicts between open-file descriptions even
+    # within one process — a genuine holder blocks the writer
+    fd = _os.open(str(lock), _os.O_CREAT | _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     with pytest.raises(TimeoutError, match="writer lock"):
         with io._writer_lock("t", timeout_s=0.2):
             pass
-    # age the lock past the stale threshold: next writer steals it
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    _os.close(fd)
+
+    # crashed writer: its leftover lock FILE (no live flock — the kernel
+    # released it with the process), however old or new, never blocks
     old = _time.time() - 10_000
     _os.utime(lock, (old, old))
+    t0 = _time.monotonic()
     io.append(_df(spark, [2]), "t")
+    assert _time.monotonic() - t0 < 30  # no stale-threshold wait
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
-    assert not lock.exists()
+    # the lock file persists by design: unlinking would let a third
+    # writer lock a NEW inode at the path while a waiter holds the old
+    assert lock.exists()
 
 
 def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
