@@ -47,6 +47,14 @@ earlier runs' history is ever touched); orphan reclamation runs after,
 even when the compaction itself aborts on
 :class:`ConcurrentWriteError` (an aborted compaction is precisely what
 creates an orphan).
+
+``--maintenance-only`` runs just the requested reclamation without the
+fold: routine expired/orphan cleanup on an already-compacted store costs
+metadata operations, not a full table rewrite (which would itself
+re-expire the directory it replaces, never converging).  By default the
+job reads the compacted table back and reports ``rows_after`` — the
+cheap sanity check that the fold produced a readable store;
+``--no-count-rows`` skips that second read on huge stores.
 """
 
 from __future__ import annotations
@@ -101,10 +109,17 @@ def main(argv: list[str] | None = None) -> dict:
                         "appends, aborted compactions) older than AGE_S "
                         "seconds; expired-but-unvacuumed history is "
                         "spared (that needs the --vacuum* opt-ins)")
-    p.add_argument("--count-rows", action="store_true",
-                   help="report rows_after in the summary (a second full "
-                        "read of the compacted table — skip on huge "
-                        "stores)")
+    p.add_argument("--no-count-rows", dest="count_rows",
+                   action="store_false",
+                   help="skip the post-compaction read-back (rows_after "
+                        "becomes null in the summary) — a second full "
+                        "read of the compacted table, worth skipping "
+                        "only on huge stores")
+    p.add_argument("--maintenance-only", action="store_true",
+                   help="run only the requested --vacuum-expired / "
+                        "--vacuum-orphans reclamation, skipping the "
+                        "compaction fold (and its full table rewrite); "
+                        "snapshot_id/rows_after are null in the summary")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -134,16 +149,36 @@ def main(argv: list[str] | None = None) -> dict:
     # reclaimed — after it, this run's own just-expired dirs would be
     # deleted too, exactly the premature deletion expiry exists to avoid
     expired = io.vacuum_expired(args.table) if args.vacuum_expired else []
+    snap = None
     try:
-        snap = io.compact(spark, args.table, transform, vacuum=args.vacuum)
-    finally:
-        # orphan reclamation is independent of the compaction outcome: a
-        # conflict-aborted compaction is precisely what CREATES an orphan
-        if args.vacuum_orphans is not None:
-            orphans = io.vacuum_orphans(
-                args.table, min_age_s=args.vacuum_orphans
+        if not args.maintenance_only:
+            snap = io.compact(
+                spark, args.table, transform, vacuum=args.vacuum
             )
-    rows = io.read(spark, args.table).count() if args.count_rows else None
+    except BaseException:
+        # orphan reclamation is independent of the compaction outcome (a
+        # conflict-aborted compaction is precisely what CREATES an
+        # orphan), but it must never REPLACE the in-flight error: a
+        # lock-timeout raised here would bury the actionable
+        # ConcurrentWriteError ("store untouched — re-run") diagnosis.
+        if args.vacuum_orphans is not None:
+            try:
+                orphans = io.vacuum_orphans(
+                    args.table, min_age_s=args.vacuum_orphans
+                )
+            except Exception as ve:
+                print(f"warning: orphan vacuum failed after compaction "
+                      f"error: {ve}", file=sys.stderr)
+        raise
+    if args.vacuum_orphans is not None:
+        orphans = io.vacuum_orphans(
+            args.table, min_age_s=args.vacuum_orphans
+        )
+    rows = (
+        io.read(spark, args.table).count()
+        if args.count_rows and not args.maintenance_only
+        else None
+    )
     summary = {
         "table": args.table,
         "mode": args.mode,

@@ -140,6 +140,18 @@ class ParquetManifestIO:
 
         table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
+            # The manifest must never reference a missing directory: an
+            # orphan vacuum with a too-small ``min_age_s`` may have
+            # reclaimed the dir while this append waited for the lock
+            # (the vacuum re-validates membership under the lock, but
+            # this dir was not yet referenced).  Fail loudly here rather
+            # than commit a dangling reference every later read trips on.
+            if not os.path.isdir(data_dir):
+                raise ConcurrentWriteError(
+                    f"table {table!r}: data dir {rel_dir!r} vanished "
+                    "before commit (orphan vacuum with too-small "
+                    "min_age_s?); nothing committed — re-run the append"
+                )
             manifest = self._load(table)
             snap_id = (
                 max((s["id"] for s in manifest["snapshots"]), default=-1)
@@ -238,6 +250,12 @@ class ParquetManifestIO:
 
         table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
+            if not os.path.isdir(data_dir):  # same guard as append
+                raise ConcurrentWriteError(
+                    f"table {table!r}: compacted dir {rel_dir!r} vanished "
+                    "before commit (orphan vacuum with too-small "
+                    "min_age_s?); store untouched — re-run the compaction"
+                )
             current_manifest = self._load(table)
             current = [
                 (s["id"], s["dir"])
@@ -296,33 +314,49 @@ class ParquetManifestIO:
         reference — the leavings of crashed appends (data written, lock
         or manifest swap never reached) and :class:`ConcurrentWriteError`
         -aborted compactions — Iceberg's remove-orphan-files for this
-        backend.  Committed data is never touched: the candidate listing
-        runs under the writer lock (no manifest swap can commit a
-        directory mid-listing), and directories a ``compact`` EXPIRED
-        rather than vacuumed are spared — they are tracked history a
-        late reader may still be scanning, reclaimable only through the
-        explicit :meth:`vacuum_expired` opt-in.  The mtime walk and the
-        deletes themselves run OUTSIDE the lock (they can take minutes
-        on multi-GB crash leavings, and a blocked append times out at
-        60 s): that is safe because append/compact only ever create
-        fresh uniquely-suffixed directories, so a directory unreferenced
-        at listing time can never become referenced afterwards.
+        backend.  Directories a ``compact`` EXPIRED rather than vacuumed
+        are spared — they are tracked history a late reader may still be
+        scanning, reclaimable only through the explicit
+        :meth:`vacuum_expired` opt-in.  The mtime walks and the deletes
+        themselves run OUTSIDE the lock (they can take minutes on
+        multi-GB crash leavings, and a blocked append times out at 60 s).
 
-        ``min_age_s`` guards the one racy case the lock cannot see: an
-        in-flight :meth:`append` writes its data directory BEFORE taking
-        the lock, so a young unreferenced directory may be a commit in
-        progress.  Age is the NEWEST mtime anywhere under the directory,
-        not the top-level dir's own: Spark's committer stages task files
-        deep under ``_temporary/``, so a multi-hour write leaves the
-        top-level mtime stale minutes in while the tree underneath keeps
-        refreshing — the tree-wide newest mtime is what "any live write
-        keeps itself young" actually requires.  Same contract as
-        Iceberg's ``older_than``.  Returns the deleted paths relative to
-        the table dir."""
+        Committed data is never touched, even racing an in-flight
+        append, via a two-sided protocol: (1) each aged candidate is
+        re-validated against a FRESH manifest under the writer lock and
+        atomically renamed aside before the (lock-free) delete — so a
+        dir committed after the initial listing is re-seen and spared;
+        (2) :meth:`append`/:meth:`compact` verify their data dir still
+        exists under the same lock before swapping the manifest — so a
+        dir this vacuum renamed away during the append's data write can
+        never be committed as a dangling reference (the append fails
+        loudly instead; only possible when ``min_age_s`` undercuts the
+        write's duration).
+
+        ``min_age_s`` guards the benign case: an in-flight
+        :meth:`append` writes its data directory BEFORE taking the lock,
+        so a young unreferenced directory is usually a commit in
+        progress — sparing it avoids aborting that append.  Age is
+        measured against a timestamp captured at listing time (walking
+        earlier multi-GB candidates must not age later ones into
+        eligibility), and is the NEWEST mtime anywhere under the
+        directory, not the top-level dir's own: Spark's committer stages
+        task files deep under ``_temporary/``, so a multi-hour write
+        leaves the top-level mtime stale minutes in while the tree
+        underneath keeps refreshing.  The walk stops at the FIRST young
+        file — a live staging tree is spared in O(1), not O(files).
+        Same contract as Iceberg's ``older_than``.  Returns the deleted
+        paths relative to the table dir (including any crash-leaked
+        ``tmp*.manifest`` files, which are reclaimed under the listing
+        lock — a writer's mkstemp→replace runs entirely inside the lock,
+        so any tmp manifest visible while we hold it is orphaned)."""
         import shutil
 
         candidates: list[str] = []
+        deleted: list[str] = []
+        table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
+            now = time.time()  # listing-time clock: ages are vs THIS
             manifest = self._load(table)
             protected = {
                 os.path.realpath(self._resolve(table, d))
@@ -331,30 +365,57 @@ class ParquetManifestIO:
                     + manifest.get("expired", [])
                 )
             }
-            data_root = os.path.join(self.root, table, "data")
+            data_root = os.path.join(table_dir, "data")
             if os.path.isdir(data_root):
                 candidates = [
                     d for name in sorted(os.listdir(data_root))
                     if os.path.isdir(d := os.path.join(data_root, name))
                     and os.path.realpath(d) not in protected
                 ]
-        deleted: list[str] = []
+            for name in sorted(os.listdir(table_dir)):
+                if name.startswith("tmp") and name.endswith(".manifest"):
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(table_dir, name))
+                        deleted.append(name)
+        fresh_after = now - min_age_s  # any mtime past this ⇒ spare
         for d in candidates:
             try:
-                newest = os.path.getmtime(d)
-                for sub, _dirs, files in os.walk(d):
-                    newest = max(
-                        newest,
-                        os.path.getmtime(sub),
-                        *(os.path.getmtime(os.path.join(sub, f))
-                          for f in files),
-                    )
-                age = time.time() - newest
+                spare = os.path.getmtime(d) > fresh_after
+                if not spare:
+                    for sub, _dirs, files in os.walk(d):
+                        if os.path.getmtime(sub) > fresh_after or any(
+                            os.path.getmtime(os.path.join(sub, f))
+                            > fresh_after
+                            for f in files
+                        ):
+                            spare = True
+                            break
             except OSError:
                 continue  # deleted/racing: nothing to reclaim
-            if age >= min_age_s:
-                shutil.rmtree(d, ignore_errors=True)
-                deleted.append(f"data/{os.path.basename(d)}")
+            if spare:
+                continue
+            # Re-validate + rename aside under the lock (cheap, atomic);
+            # the expensive recursive delete happens on the renamed path
+            # outside it.  Unique suffix: a crash between rename and
+            # rmtree leaves a dir the next vacuum reclaims as an orphan.
+            trash = f"{d}.vacuum-{secrets.token_hex(4)}"
+            with self._writer_lock(table):
+                m2 = self._load(table)
+                referenced = {
+                    os.path.realpath(self._resolve(table, p))
+                    for p in (
+                        [s["dir"] for s in m2["snapshots"]]
+                        + m2.get("expired", [])
+                    )
+                }
+                if os.path.realpath(d) in referenced:
+                    continue  # committed while we walked: spare it
+                try:
+                    os.rename(d, trash)
+                except OSError:
+                    continue  # vanished/racing: nothing to reclaim
+            shutil.rmtree(trash, ignore_errors=True)
+            deleted.append(f"data/{os.path.basename(d)}")
         return deleted
 
 

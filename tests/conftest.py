@@ -1,6 +1,24 @@
 from __future__ import annotations
 
+import os
+
 import pytest
+
+
+@pytest.fixture(scope="session")
+def backdate_tree():
+    """Set every mtime under a tree to ``past`` — the shared helper for
+    aging a fake crash-orphan past vacuum_orphans' tree-wide-newest-mtime
+    guard (one definition so the aging semantics can't drift between
+    test files)."""
+
+    def _backdate(root, past: float) -> None:
+        for sub, _dirs, files in os.walk(root):
+            os.utime(sub, (past, past))
+            for f in files:
+                os.utime(os.path.join(sub, f), (past, past))
+
+    return _backdate
 
 
 @pytest.fixture(scope="session")

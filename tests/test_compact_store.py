@@ -84,7 +84,7 @@ def test_gram_freq_store_compaction_identical_delta(spark, tmp_path):
     assert io.snapshots("gram_freqs") == [1, 2]
 
 
-def test_compact_job_vacuum_orphans_flag(spark, tmp_path):
+def test_compact_job_vacuum_orphans_flag(spark, tmp_path, backdate_tree):
     """--vacuum-orphans AGE_S reclaims never-referenced data dirs
     (crashed appends) older than AGE_S alongside the compaction, without
     touching committed data or young (possibly in-flight) dirs."""
@@ -96,17 +96,13 @@ def test_compact_job_vacuum_orphans_flag(spark, tmp_path):
     io.append(_df(spark, [(2,)], "v int"), "t")
     orphan = os.path.join(store, "t", "data", "s000077-beef0000")
     _df(spark, [(777,)], "v int").write.parquet(orphan)
-    past = time.time() - 10_000
     # age is the tree-wide newest mtime (an in-flight write's staged
     # files keep it young), so a dead orphan is old all the way down
-    for sub, _dirs, files in os.walk(orphan):
-        os.utime(sub, (past, past))
-        for f in files:
-            os.utime(os.path.join(sub, f), (past, past))
+    backdate_tree(orphan, time.time() - 10_000)
 
     summary = compact_main([
         "--store", store, "--table", "t",
-        "--vacuum", "--vacuum-orphans", "3600", "--count-rows",
+        "--vacuum", "--vacuum-orphans", "3600",
     ])
     assert summary["orphans_deleted"] == ["data/s000077-beef0000"]
     assert not os.path.exists(orphan)
@@ -133,8 +129,9 @@ def test_unvacuumed_compaction_expires_dirs_safe_from_orphan_vacuum(
 
     summary = compact_main([
         "--store", store, "--table", "t", "--vacuum-orphans", "0",
+        "--no-count-rows",
     ])
-    assert summary["rows_after"] is None  # no --count-rows: no re-scan
+    assert summary["rows_after"] is None  # opted out of the re-scan
     assert summary["orphans_deleted"] == []  # expired history spared
     assert summary["expired_deleted"] == []
     assert all(os.path.exists(d) for d in old_dirs)
@@ -150,6 +147,36 @@ def test_unvacuumed_compaction_expires_dirs_safe_from_orphan_vacuum(
     ])
     assert len(summary2["expired_deleted"]) == 2
     assert all(not os.path.exists(d) for d in old_dirs)
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+
+
+def test_maintenance_only_reclaims_without_rewrite(spark, tmp_path):
+    """--maintenance-only reclaims expired history at metadata cost: no
+    fold, no full table rewrite, and — unlike a compacting run — it
+    CONVERGES (a fold-always run re-expires the directory it replaces,
+    leaving one new expired dir behind every maintenance pass)."""
+    store = str(tmp_path / "store")
+    io = ParquetManifestIO(store)
+    io.append(_df(spark, [(1,)], "v int"), "t")
+    io.append(_df(spark, [(2,)], "v int"), "t")
+    compact_main(["--store", store, "--table", "t"])  # expires 2 dirs
+    manifest = json.load(open(os.path.join(store, "t", "manifest.json")))
+    assert len(manifest["expired"]) == 2
+    kept_dir = os.path.join(store, "t", manifest["snapshots"][0]["dir"])
+
+    summary = compact_main([
+        "--store", store, "--table", "t",
+        "--maintenance-only", "--vacuum-expired", "--vacuum-orphans", "0",
+    ])
+    assert summary["snapshot_id"] is None  # no fold ran
+    assert summary["rows_after"] is None
+    assert len(summary["expired_deleted"]) == 2
+    assert summary["orphans_deleted"] == []
+    # converged: the surviving data dir was NOT rewritten or re-expired
+    manifest2 = json.load(open(os.path.join(store, "t", "manifest.json")))
+    assert manifest2["expired"] == []
+    assert os.path.exists(kept_dir)
+    assert manifest2["snapshots"] == manifest["snapshots"]
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
 
 

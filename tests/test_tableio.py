@@ -145,7 +145,7 @@ def test_writer_lock_contention_and_crash_release(spark, tmp_path):
 
 
 def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
-    spark, tmp_path
+    spark, tmp_path, backdate_tree
 ):
     """remove-orphan-files semantics: an unreferenced data directory
     (crashed append / aborted compaction) older than ``min_age_s`` is
@@ -164,14 +164,7 @@ def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
     _df(spark, [888]).write.parquet(str(old_orphan))
     _df(spark, [999]).write.parquet(str(young_orphan))
     past = _time.time() - 10_000
-
-    def _backdate_tree(root):
-        for sub, _dirs, files in _os.walk(root):
-            _os.utime(sub, (past, past))
-            for f in files:
-                _os.utime(_os.path.join(sub, f), (past, past))
-
-    _backdate_tree(old_orphan)
+    backdate_tree(old_orphan, past)
     # the in-flight long-write case: Spark stages task files deep under
     # _temporary/, so the TOP-LEVEL dir's mtime goes stale while the
     # write is still live — age must be the tree-wide newest mtime
@@ -195,6 +188,107 @@ def test_vacuum_orphans_reclaims_only_aged_unreferenced_dirs(
     ]
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
     assert io.vacuum_orphans("t", min_age_s=0.0) == []  # idempotent
+
+
+def test_vacuum_orphans_spares_dir_committed_after_listing(
+    spark, tmp_path, backdate_tree
+):
+    """The committed-data-loss race the two-phase protocol closes: a
+    directory unreferenced at LISTING time but committed (manifest swap)
+    while the vacuum walks other candidates must be re-seen by the
+    lock-held re-validation and spared — age alone cannot protect it
+    once the walk time exceeds min_age_s."""
+    import contextlib
+    import time as _time
+
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    # the racing append's data dir: written (and aged well past any
+    # min_age_s) but not yet committed when the vacuum lists candidates
+    racing = tmp_path / "t" / "data" / "s000050-feed0000"
+    _df(spark, [50]).write.parquet(str(racing))
+    backdate_tree(racing, _time.time() - 10_000)
+
+    orig_lock = io._writer_lock
+    locks = []
+
+    @contextlib.contextmanager
+    def commit_between_phases(table, timeout_s=60.0):
+        # 1st acquisition = candidate listing; before the 2nd (the
+        # re-validation), the racing append commits its manifest swap
+        locks.append(True)
+        if len(locks) == 2:
+            import json as _json
+            mpath = tmp_path / "t" / "manifest.json"
+            m = _json.loads(mpath.read_text())
+            m["snapshots"].append(
+                {"id": 50, "dir": "data/s000050-feed0000"}
+            )
+            mpath.write_text(_json.dumps(m))
+        with orig_lock(table, timeout_s=timeout_s):
+            yield
+
+    io._writer_lock = commit_between_phases
+    deleted = io.vacuum_orphans("t", min_age_s=0.0)
+    io._writer_lock = orig_lock
+    assert deleted == []  # spared: committed between listing and delete
+    assert racing.exists()
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 50]
+
+
+def test_append_aborts_if_orphan_vacuum_reclaimed_its_dir(
+    spark, tmp_path
+):
+    """The other side of the protocol: an append whose data dir an
+    orphan vacuum (min_age_s=0) reclaimed while it waited for the lock
+    must fail loudly instead of committing a dangling manifest
+    reference every later read would trip on."""
+    import contextlib
+
+    from ocr_spark.tableio import ConcurrentWriteError
+
+    io = ParquetManifestIO(str(tmp_path))
+    io2 = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+
+    orig_lock = io._writer_lock
+    fired = []
+
+    @contextlib.contextmanager
+    def vacuum_then_lock(table, timeout_s=60.0):
+        # an aggressive vacuum runs between the append's data write and
+        # its manifest swap; min_age_s=0 waives the in-flight guard
+        if not fired:
+            fired.append(True)
+            io2.vacuum_orphans(table, min_age_s=0.0)
+        with orig_lock(table, timeout_s=timeout_s):
+            yield
+
+    io._writer_lock = vacuum_then_lock
+    with pytest.raises(ConcurrentWriteError, match="re-run the append"):
+        io.append(_df(spark, [2]), "t")
+    io._writer_lock = orig_lock
+    # nothing committed, nothing dangling: the store still reads clean
+    assert io.snapshots("t") == [0]
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
+
+
+def test_vacuum_orphans_reclaims_crash_leaked_tmp_manifests(
+    spark, tmp_path
+):
+    """A writer crashing between mkstemp and os.replace leaks a
+    tmp*.manifest in the table dir; no snapshot ever references it, so
+    vacuum_orphans reclaims it (under the lock — a live writer's
+    mkstemp→replace runs entirely inside its lock section)."""
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    leaked = tmp_path / "t" / "tmpdeadbeef.manifest"
+    leaked.write_text("{}")
+    deleted = io.vacuum_orphans("t", min_age_s=3600.0)
+    assert deleted == ["tmpdeadbeef.manifest"]
+    assert not leaked.exists()
+    # the real manifest is untouched and the table still reads
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
 def test_backend_selector():
