@@ -1,0 +1,219 @@
+"""spark-submit entry point for end-to-end corpus curation.
+
+    spark-submit --py-files ocr_spark.zip jobs/run_curation.py \
+        --docs /data/raw_docs --eval /data/eval_texts \
+        --out /data/curated/run1 \
+        [--budget-tokens 2000000 --weights web=3,books=1]
+
+One run composes the curation operators the way a training-data
+pipeline uses them, over a ``(doc_id, text[, source])`` corpus:
+
+1. verdicts — :func:`ocr_spark.assembly.curation_verdicts`: language-ID
+   + quality score + Gopher repetition gate per document, optional
+   eval-set decontamination, near-dup cluster assignment, and the
+   keep/drop decision (canonical ∧ quality ∧ ¬repetitive ∧
+   ¬contaminated);
+2. mixture (optional) — :func:`ocr_spark.assembly.mixture_sample`
+   allocates ``--budget-tokens`` across the ``--weights`` domains and
+   keeps each curation-kept doc at the deterministic hash-threshold
+   rate that hits its domain's allocation in expectation;
+3. write — ``<out>/verdicts`` (one audit row per INPUT doc: every
+   gate's value plus the mixture columns when sampling ran) and
+   ``<out>/kept`` (the surviving ``(doc_id, source, text)`` rows),
+   plain parquet, ``overwrite``.
+
+Retry semantics are idempotence, not a store commit: every decision is
+a pure function of the document (hash sampling included), so re-running
+with the same arguments overwrites byte-identical outputs — a crashed
+run is re-run wholesale under the same ``--out``.  This differs from
+``run_dedup_incremental`` deliberately: that job maintains CROSS-run
+state (the committed signature store) and needs the atomic tableio
+snapshot; a curation run is a self-contained transform of one corpus.
+
+The JSON summary on stdout is the lineage row for this stage:
+``docs_in``, per-gate drop counts (non-exclusive — a doc can fail
+several gates), ``kept_curation``, and when mixing, the realized
+per-domain token counts vs targets.
+
+Sandbox mode: ``--synthetic N --start S`` generates the deterministic
+dup-structured corpus (ocr_spark.corpus.synthetic_documents) with a
+``source`` domain derived from the id, and — when ``--eval-mod K`` is
+given — carves ids ``% K == 0`` out as the eval set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Local runs (`python jobs/run_curation.py`) put jobs/ on sys.path, not
+# the repo root; on a cluster --py-files ships the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_weights(spec: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not name or not w or not w.isdigit():
+            raise ValueError(
+                f"--weights must be 'domain=int,...' (got {part!r})"
+            )
+        out[name.strip()] = int(w)
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs",
+                   help="parquet dir: (doc_id, text[, source]) corpus")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic docs instead of reading "
+                        "--docs")
+    p.add_argument("--start", type=int, default=0,
+                   help="first synthetic doc id")
+    p.add_argument("--eval",
+                   help="parquet dir of eval texts to decontaminate "
+                        "against (any id column + a text column)")
+    p.add_argument("--eval-mod", type=int,
+                   help="synthetic mode: carve doc_id %% K == 0 out as "
+                        "the eval set")
+    p.add_argument("--out", required=True,
+                   help="output dir (verdicts/ and kept/ parquet)")
+    p.add_argument("--quality-lang", default="en")
+    p.add_argument("--quality-min", type=float, default=0.5)
+    p.add_argument("--threshold", type=float, default=0.3,
+                   help="near-dup Jaccard verify threshold")
+    p.add_argument("--budget-tokens", type=int,
+                   help="mixture-sample the kept docs to this token "
+                        "budget (requires --weights)")
+    p.add_argument("--weights",
+                   help="mixture domain weights, e.g. web=3,books=1")
+    p.add_argument("--source-col", default="source",
+                   help="domain column for the mixture stage")
+    args = p.parse_args(argv)
+
+    if (args.budget_tokens is None) != (args.weights is None):
+        p.error("--budget-tokens and --weights go together")
+    if not args.synthetic and not args.docs:
+        p.error("one of --docs / --synthetic is required")
+    weights = _parse_weights(args.weights) if args.weights else None
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_spark.assembly import curation_verdicts, mixture_sample
+    from ocr_spark.corpus import synthetic_documents
+    from ocr_spark.session import get_spark
+
+    # Re-entrant for in-process tests: the job owns the session only
+    # when it created one (same discipline as the other jobs/ entries).
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("ocr-spark-curation", master="submit")
+    src = args.source_col
+    if args.synthetic:
+        docs = synthetic_documents(
+            spark, args.synthetic, start=args.start
+        ).withColumn(
+            # deterministic domain per id so the mixture stage is
+            # exercisable without an external corpus
+            src,
+            F.element_at(
+                F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        )
+    else:
+        docs = spark.read.parquet(args.docs)
+        if src not in docs.columns:
+            docs = docs.withColumn(src, F.lit("default"))
+    docs = docs.select("doc_id", src, "text")
+
+    eval_set = None
+    if args.eval:
+        raw = spark.read.parquet(args.eval)
+        id_col = next(c for c in raw.columns if c != "text")
+        eval_set = raw.select(
+            F.col(id_col).alias("eval_id"), "text"
+        )
+    elif args.eval_mod:
+        eval_set = docs.filter(
+            F.col("doc_id") % args.eval_mod == 0
+        ).select(F.col("doc_id").alias("eval_id"), "text")
+
+    verdicts = curation_verdicts(
+        docs.select("doc_id", "text"),
+        eval_set,
+        quality_lang=args.quality_lang,
+        quality_min=args.quality_min,
+        verify_threshold=args.threshold,
+    )
+
+    summary: dict = {"out": args.out}
+    if weights is not None:
+        kept_docs = docs.join(
+            verdicts.filter("kept").select("doc_id"), on="doc_id"
+        )
+        mix = mixture_sample(
+            kept_docs, weights, args.budget_tokens, domain_col=src
+        ).withColumnRenamed("kept", "sampled")
+        verdicts = verdicts.join(
+            mix.select("doc_id", "rate_ppm", "sampled"),
+            on="doc_id", how="left",
+        )
+        final_filter = F.col("kept") & F.coalesce(
+            F.col("sampled"), F.lit(False)
+        )
+    else:
+        final_filter = F.col("kept")
+
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(args.out, "verdicts")
+    )
+    # re-read the committed verdicts so the kept pass and the summary
+    # aggregation don't recompute the cluster/decontam joins
+    committed = spark.read.parquet(os.path.join(args.out, "verdicts"))
+    docs.join(
+        committed.filter(final_filter).select("doc_id"), on="doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+
+    agg = committed.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("kept").cast("long")).alias("kept_curation"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("drop_dup"),
+        F.sum((F.col("quality") < args.quality_min).cast("long"))
+        .alias("drop_quality"),
+        F.sum(F.col("repetitive").cast("long")).alias("drop_repetitive"),
+        F.sum(F.col("contaminated").cast("long"))
+        .alias("drop_contaminated"),
+    ).collect()[0]
+    summary.update({k: int(v) for k, v in agg.asDict().items()})
+    if weights is not None:
+        realized = (
+            spark.read.parquet(os.path.join(args.out, "kept"))
+            .groupBy(src)
+            .agg(F.count(F.lit(1)).alias("docs"))
+            .collect()
+        )
+        mix_stats = (
+            committed.filter("sampled").groupBy()
+            .agg(F.count(F.lit(1)).alias("n")).collect()[0]
+        )
+        summary["kept_final"] = int(mix_stats.n)
+        summary["mixture"] = {
+            r[src]: int(r.docs) for r in sorted(realized)
+        }
+        summary["budget_tokens"] = args.budget_tokens
+    else:
+        summary["kept_final"] = summary["kept_curation"]
+    json.dump(summary, sys.stdout)
+    print()
+    if owns_session:
+        spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()

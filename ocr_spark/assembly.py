@@ -294,3 +294,90 @@ def score_buckets(
         F.when(missing, F.lit(None).cast("bigint"))
         .otherwise(bucket.cast("bigint")).alias("bucket"),
     )
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    eval_set: DataFrame | None = None,
+    quality_lang: str = "en",
+    quality_min: float = 0.5,
+    decontam_n: int | None = None,
+    decontam_min_overlap: int | None = None,
+    verify_threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document curation verdict — the operators working together
+    the way a training-data job composes them (the chain behind the
+    ``curate_corpus`` contract query and ``jobs/run_curation.py``):
+    language-ID + quality score + Gopher repetition gate, eval-set
+    decontamination, near-dup cluster assignment, and the final
+    keep/drop decision.
+
+    Returns one row per input doc: ``(doc_id, pred_lang, quality,
+    cluster_id, is_canonical, repetitive, contaminated, kept)`` with
+    ``kept = is_canonical ∧ quality ≥ quality_min ∧ ¬repetitive ∧
+    ¬contaminated`` — the non-kept rows carry every gate's value, so a
+    curation run is auditable by drop reason, not just by count.
+
+    ``eval_set`` (``(eval_id, text)``) is optional: without one,
+    ``contaminated`` is uniformly false and the decontamination join is
+    skipped entirely (no empty-frame shuffle).  ``decontam_n`` /
+    ``decontam_min_overlap`` default to :mod:`ocr_spark.decontam`'s
+    library defaults when None.
+
+    Scale shape: every gate is one pass over the corpus — the stats are
+    narrow per-row expressions, repetition is one explode + aggregate,
+    decontamination broadcasts the eval grams, and the cluster pass is
+    the band-key-only MinHash+LSH join — so the composite inherits each
+    operator's documented 100 TB posture; nothing here adds a shuffle
+    beyond the per-gate joins on ``doc_id``.
+    """
+    from ocr_spark.decontam import decontaminate
+    from ocr_spark.dedup import dedup_clusters
+    from ocr_spark.textstats import langid, quality_score, repetition_stats
+
+    base = docs.select(id_col, text_col)
+    stats = base.select(
+        id_col,
+        langid(F.col(text_col)).alias("pred_lang"),
+        quality_score(F.col(text_col), quality_lang).alias("quality"),
+    )
+    clusters = dedup_clusters(
+        base, text_col=text_col, id_col=id_col,
+        verify_threshold=verify_threshold,
+    )
+    rep = repetition_stats(base, text_col=text_col, id_col=id_col).select(
+        id_col, "repetitive"
+    )
+    out = (
+        stats.join(clusters, stats[id_col] == clusters.id)
+        .join(rep, on=id_col)
+    )
+    if eval_set is not None:
+        kwargs = {}
+        if decontam_n is not None:
+            kwargs["n"] = decontam_n
+        if decontam_min_overlap is not None:
+            kwargs["min_overlap"] = decontam_min_overlap
+        cont = decontaminate(
+            base, eval_set, id_col=id_col, text_col=text_col, **kwargs
+        ).select(id_col, "contaminated")
+        out = out.join(cont, on=id_col)
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    return out.select(
+        id_col,
+        "pred_lang",
+        "quality",
+        "cluster_id",
+        "is_canonical",
+        "repetitive",
+        "contaminated",
+        (
+            F.col("is_canonical")
+            & (F.col("quality") >= quality_min)
+            & ~F.col("repetitive")
+            & ~F.col("contaminated")
+        ).alias("kept"),
+    )

@@ -2159,41 +2159,23 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster assignment, and the keep/drop decision (canonical
     member AND quality above threshold AND not repetitive AND not
     contaminated)."""
-    from ocr_spark.decontam import decontaminate
-    from ocr_spark.dedup import dedup_clusters
+    from ocr_spark.assembly import curation_verdicts
 
     docs = _docs_df(spark, sf_dir).select("doc_id", "text")
-    stats = docs.select(
-        "doc_id",
-        ts.langid(F.col("text")).alias("pred_lang"),
-        ts.quality_score(F.col("text"), "en").alias("quality"),
-    )
-    clusters = dedup_clusters(docs, verify_threshold=MINHASH_T)
-    rep = ts.repetition_stats(docs).select("doc_id", "repetitive")
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    cont = decontaminate(docs, eval_set, n=3, min_overlap=2).select(
-        "doc_id", "contaminated"
-    )
-    return (
-        stats.join(clusters, stats.doc_id == clusters.id)
-        .join(rep, on="doc_id")
-        .join(cont, on="doc_id")
-        .select(
-            "doc_id",
-            "pred_lang",
-            "quality",
-            "cluster_id",
-            "repetitive",
-            "contaminated",
-            (
-                F.col("is_canonical")
-                & (F.col("quality") >= 0.5)
-                & ~F.col("repetitive")
-                & ~F.col("contaminated")
-            ).alias("kept"),
-        )
+    return curation_verdicts(
+        docs, eval_set, quality_min=0.5, decontam_n=3,
+        decontam_min_overlap=2, verify_threshold=MINHASH_T,
+    ).select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "cluster_id",
+        "repetitive",
+        "contaminated",
+        "kept",
     )
 
 

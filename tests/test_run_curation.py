@@ -1,0 +1,132 @@
+"""End-to-end curation job: the verdict chain, the mixture stage, the
+audit summary's accounting, and idempotent reruns."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobs.run_curation import _parse_weights, main as curation_main
+
+
+def _read(spark, out, sub):
+    return spark.read.parquet(os.path.join(out, sub))
+
+
+def test_synthetic_curation_accounting_and_verdict_parity(
+    spark, tmp_path
+):
+    """One synthetic run: every input doc gets exactly one audit row,
+    the summary's counts are the verdict table's own aggregates, exact
+    duplicates (id % 10 == 6 redirects) are never canonical, and the
+    kept output is precisely the kept verdict rows."""
+    out = str(tmp_path / "run1")
+    summary = curation_main([
+        "--synthetic", "120", "--out", out, "--eval-mod", "17",
+    ])
+    verdicts = _read(spark, out, "verdicts")
+    assert verdicts.count() == summary["docs_in"] == 120
+    assert verdicts.select("doc_id").distinct().count() == 120
+
+    got = verdicts.agg(
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("dup"),
+        F.sum(F.col("contaminated").cast("long")).alias("cont"),
+    ).collect()[0]
+    assert summary["kept_curation"] == summary["kept_final"] == got.kept
+    assert summary["drop_dup"] == got.dup
+    assert summary["drop_contaminated"] == got.cont
+    assert got.cont > 0  # non-vacuous: the eval carve-out hits itself
+
+    # the synthetic corpus redirects id % 10 == 6 to an exact dup of
+    # id % DUP_GAP, so within [0, 120) ids 56, 106 duplicate 6 — of the
+    # exact group {6, 56, 106} only the min id may be canonical
+    rows = {
+        r.doc_id: r.is_canonical
+        for r in verdicts.filter(F.col("doc_id").isin(6, 56, 106))
+        .collect()
+    }
+    assert not rows[56] and not rows[106]
+
+    kept = _read(spark, out, "kept")
+    want = {
+        r.doc_id for r in verdicts.filter("kept").collect()
+    }
+    assert {r.doc_id for r in kept.collect()} == want
+    assert set(kept.columns) == {"doc_id", "source", "text"}
+
+
+def test_mixture_stage_subsets_curation_and_is_deterministic(
+    spark, tmp_path
+):
+    """With --budget-tokens/--weights the final keep is curation-kept ∧
+    hash-sampled; a rerun under the same args overwrites byte-identical
+    outputs (pure-function decisions, no RNG state)."""
+    out = str(tmp_path / "runm")
+    argv = [
+        "--synthetic", "150", "--out", out,
+        "--budget-tokens", "2000", "--weights", "web=2,books=1,code=1",
+    ]
+    summary = curation_main(argv)
+    verdicts = _read(spark, out, "verdicts")
+    assert "sampled" in verdicts.columns
+    # mixture only ever shrinks the curation-kept set
+    assert 0 < summary["kept_final"] <= summary["kept_curation"]
+    assert sum(summary["mixture"].values()) == summary["kept_final"]
+    # sampled is defined exactly on the curation-kept rows
+    assert verdicts.filter(
+        F.col("sampled").isNotNull() & ~F.col("kept")
+    ).count() == 0
+
+    before = sorted(
+        map(tuple, _read(spark, out, "kept").collect())
+    )
+    summary2 = curation_main(argv)
+    assert summary2 == summary
+    assert sorted(
+        map(tuple, _read(spark, out, "kept").collect())
+    ) == before
+
+
+def test_external_corpus_and_eval_dirs(spark, tmp_path):
+    """--docs/--eval parquet mode: a missing source column defaults, a
+    doc sharing the eval text is dropped as contaminated."""
+    docs_dir = str(tmp_path / "docs")
+    eval_dir = str(tmp_path / "eval")
+    leak = "the quick brown fox jumps over the lazy dog " * 8
+    clean = (
+        "some perfectly ordinary prose about weather patterns and "
+        "their seasonal variation across temperate regions " * 4
+    )
+    spark.createDataFrame(
+        [(1, leak), (2, clean)], "doc_id bigint, text string"
+    ).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(900, leak)], "eval_id bigint, text string"
+    ).write.parquet(eval_dir)
+
+    out = str(tmp_path / "runx")
+    summary = curation_main([
+        "--docs", docs_dir, "--eval", eval_dir, "--out", out,
+    ])
+    verdicts = {
+        r.doc_id: r for r in _read(spark, out, "verdicts").collect()
+    }
+    assert verdicts[1].contaminated and not verdicts[1].kept
+    assert not verdicts[2].contaminated
+    assert summary["drop_contaminated"] == 1
+    kept = _read(spark, out, "kept")
+    assert {r.source for r in kept.collect()} <= {"default"}
+
+
+def test_weights_parsing_and_arg_validation(tmp_path):
+    assert _parse_weights("web=3,books=1") == {"web": 3, "books": 1}
+    with pytest.raises(ValueError, match="domain=int"):
+        _parse_weights("web=0.5")
+    with pytest.raises(SystemExit):
+        curation_main(["--synthetic", "10", "--out", str(tmp_path),
+                       "--budget-tokens", "100"])  # weights missing
+    with pytest.raises(SystemExit):
+        curation_main(["--out", str(tmp_path)])  # no corpus at all
