@@ -131,13 +131,33 @@ def main(argv: list[str] | None = None) -> dict:
             docs = docs.withColumn(src, F.lit("default"))
     docs = docs.select("doc_id", src, "text")
 
+    # the verdict joins are plain equi-joins on doc_id, so a NULL id
+    # would silently vanish from the audit — refuse loudly instead (one
+    # narrow single-column probe with pushdown, cheap next to the chain)
+    if docs.filter(F.col("doc_id").isNull()).limit(1).count():
+        raise ValueError(
+            "corpus has rows with NULL doc_id; assign ids first — a "
+            "NULL id cannot be audited (it matches no verdict join)"
+        )
+
     eval_set = None
     if args.eval:
         raw = spark.read.parquet(args.eval)
-        id_col = next(c for c in raw.columns if c != "text")
-        eval_set = raw.select(
-            F.col(id_col).alias("eval_id"), "text"
-        )
+        others = [c for c in raw.columns if c != "text"]
+        if "eval_id" in others:
+            id_expr = F.col("eval_id")
+        elif len(others) == 1:
+            id_expr = F.col(others[0])
+        elif not others:
+            # text-only eval set: any distinct id per row serves —
+            # eval_id only feeds the distinct-eval-hit count
+            id_expr = F.monotonically_increasing_id()
+        else:
+            p.error(
+                f"--eval parquet has several candidate id columns "
+                f"{others}; name one 'eval_id'"
+            )
+        eval_set = raw.select(id_expr.alias("eval_id"), "text")
     elif args.eval_mod:
         eval_set = docs.filter(
             F.col("doc_id") % args.eval_mod == 0
@@ -153,14 +173,19 @@ def main(argv: list[str] | None = None) -> dict:
 
     summary: dict = {"out": args.out}
     if weights is not None:
+        # the mixture branch and the verdicts write share the whole
+        # verdict chain (LSH dedup join, decontam broadcast) — persist
+        # so the one write action evaluates it once, not per branch
+        base_verdicts = verdicts.persist()
         kept_docs = docs.join(
-            verdicts.filter("kept").select("doc_id"), on="doc_id"
+            base_verdicts.filter("kept").select("doc_id"), on="doc_id"
         )
         mix = mixture_sample(
             kept_docs, weights, args.budget_tokens, domain_col=src
         ).withColumnRenamed("kept", "sampled")
-        verdicts = verdicts.join(
-            mix.select("doc_id", "rate_ppm", "sampled"),
+        verdicts = base_verdicts.join(
+            mix.select("doc_id", "domain", "n_tokens", "target_tokens",
+                       "rate_ppm", "sampled"),
             on="doc_id", how="left",
         )
         final_filter = F.col("kept") & F.coalesce(
@@ -172,6 +197,8 @@ def main(argv: list[str] | None = None) -> dict:
     verdicts.write.mode("overwrite").parquet(
         os.path.join(args.out, "verdicts")
     )
+    if weights is not None:
+        base_verdicts.unpersist()
     # re-read the committed verdicts so the kept pass and the summary
     # aggregation don't recompute the cluster/decontam joins
     committed = spark.read.parquet(os.path.join(args.out, "verdicts"))
@@ -189,21 +216,31 @@ def main(argv: list[str] | None = None) -> dict:
         F.sum(F.col("contaminated").cast("long"))
         .alias("drop_contaminated"),
     ).collect()[0]
-    summary.update({k: int(v) for k, v in agg.asDict().items()})
+    # sums are NULL (not 0) over an empty corpus — normalize
+    summary.update({k: int(v or 0) for k, v in agg.asDict().items()})
     if weights is not None:
+        # realized per-domain TOKENS vs targets — the audit the budget
+        # allocation is judged by (doc counts alone can't show whether
+        # --budget-tokens was hit); all columns come from the committed
+        # verdicts, which carry the mixture frame's n_tokens/targets
         realized = (
-            spark.read.parquet(os.path.join(args.out, "kept"))
-            .groupBy(src)
-            .agg(F.count(F.lit(1)).alias("docs"))
+            committed.filter("sampled")
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.max("target_tokens").alias("target_tokens"),
+            )
             .collect()
         )
-        mix_stats = (
-            committed.filter("sampled").groupBy()
-            .agg(F.count(F.lit(1)).alias("n")).collect()[0]
-        )
-        summary["kept_final"] = int(mix_stats.n)
+        summary["kept_final"] = sum(int(r.docs) for r in realized)
         summary["mixture"] = {
-            r[src]: int(r.docs) for r in sorted(realized)
+            r.domain: {
+                "docs": int(r.docs),
+                "tokens": int(r.tokens or 0),
+                "target_tokens": int(r.target_tokens or 0),
+            }
+            for r in sorted(realized)
         }
         summary["budget_tokens"] = args.budget_tokens
     else:

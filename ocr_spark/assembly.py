@@ -326,6 +326,11 @@ def curation_verdicts(
     ``decontam_min_overlap`` default to :mod:`ocr_spark.decontam`'s
     library defaults when None.
 
+    ``id_col`` must be non-null on every row: the composition joins are
+    plain equi-joins on the id, so a NULL id would silently vanish from
+    the audit (callers with nullable ids must fail or filter first —
+    ``jobs/run_curation.py`` refuses them loudly).
+
     Scale shape: every gate is one pass over the corpus — the stats are
     narrow per-row expressions, repetition is one explode + aggregate,
     decontamination broadcasts the eval grams, and the cluster pass is
@@ -347,8 +352,10 @@ def curation_verdicts(
         base, text_col=text_col, id_col=id_col,
         verify_threshold=verify_threshold,
     )
+    # the helpers emit a literal 'doc_id' column regardless of id_col —
+    # alias back so a non-default id_col resolves in the joins below
     rep = repetition_stats(base, text_col=text_col, id_col=id_col).select(
-        id_col, "repetitive"
+        F.col("doc_id").alias(id_col), "repetitive"
     )
     out = (
         stats.join(clusters, stats[id_col] == clusters.id)
@@ -362,7 +369,7 @@ def curation_verdicts(
             kwargs["min_overlap"] = decontam_min_overlap
         cont = decontaminate(
             base, eval_set, id_col=id_col, text_col=text_col, **kwargs
-        ).select(id_col, "contaminated")
+        ).select(F.col("doc_id").alias(id_col), "contaminated")
         out = out.join(cont, on=id_col)
     else:
         out = out.withColumn("contaminated", F.lit(False))

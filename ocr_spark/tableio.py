@@ -105,6 +105,30 @@ class ParquetManifestIO:
         finally:
             os.close(fd)
 
+    def _check_commitable(self, table: str, data_dir: str, rel_dir: str,
+                          op: str) -> None:
+        """Pre-commit guard (call under the writer lock): the data dir
+        must still exist AND must never have been vacuumed.  A tombstone
+        (left by :meth:`vacuum_orphans` before it renames a dir aside)
+        marks a reclaimed dir even when Spark committer retries
+        recreated the path with a partial file set; consume it and
+        abort the commit."""
+        tomb = data_dir + ".tombstone"
+        vacuumed = os.path.exists(tomb)
+        if vacuumed:
+            with contextlib.suppress(OSError):
+                os.unlink(tomb)
+        if vacuumed or not os.path.isdir(data_dir):
+            what = (
+                "vacuumed (possibly partially recreated by task retries)"
+                if vacuumed else "removed"
+            )
+            raise ConcurrentWriteError(
+                f"table {table!r}: data dir {rel_dir!r} was {what} "
+                "before commit (orphan vacuum with too-small "
+                f"min_age_s?); nothing committed — re-run the {op}"
+            )
+
     def _resolve(self, table: str, d: str) -> str:
         """Manifest data paths are RELATIVE to the table dir (round 5):
         a store copied or moved wholesale keeps working — with absolute
@@ -140,18 +164,19 @@ class ParquetManifestIO:
 
         table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
-            # The manifest must never reference a missing directory: an
+            # The manifest must never reference a vacuumed directory: an
             # orphan vacuum with a too-small ``min_age_s`` may have
             # reclaimed the dir while this append waited for the lock
             # (the vacuum re-validates membership under the lock, but
             # this dir was not yet referenced).  Fail loudly here rather
-            # than commit a dangling reference every later read trips on.
-            if not os.path.isdir(data_dir):
-                raise ConcurrentWriteError(
-                    f"table {table!r}: data dir {rel_dir!r} vanished "
-                    "before commit (orphan vacuum with too-small "
-                    "min_age_s?); nothing committed — re-run the append"
-                )
+            # than commit a dangling reference every later read trips
+            # on.  The tombstone check closes the subtler variant: if
+            # the vacuum struck MID-write, committer task retries can
+            # RECREATE the directory (setupTask mkdirs) and finish with
+            # only the post-vacuum tasks' files — the dir exists but is
+            # silently partial, which only the vacuum's tombstone
+            # records.
+            self._check_commitable(table, data_dir, rel_dir, "append")
             manifest = self._load(table)
             snap_id = (
                 max((s["id"] for s in manifest["snapshots"]), default=-1)
@@ -250,12 +275,8 @@ class ParquetManifestIO:
 
         table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
-            if not os.path.isdir(data_dir):  # same guard as append
-                raise ConcurrentWriteError(
-                    f"table {table!r}: compacted dir {rel_dir!r} vanished "
-                    "before commit (orphan vacuum with too-small "
-                    "min_age_s?); store untouched — re-run the compaction"
-                )
+            # same guard as append (incl. the tombstone check)
+            self._check_commitable(table, data_dir, rel_dir, "compaction")
             current_manifest = self._load(table)
             current = [
                 (s["id"], s["dir"])
@@ -323,15 +344,20 @@ class ParquetManifestIO:
 
         Committed data is never touched, even racing an in-flight
         append, via a two-sided protocol: (1) each aged candidate is
-        re-validated against a FRESH manifest under the writer lock and
-        atomically renamed aside before the (lock-free) delete — so a
-        dir committed after the initial listing is re-seen and spared;
-        (2) :meth:`append`/:meth:`compact` verify their data dir still
-        exists under the same lock before swapping the manifest — so a
-        dir this vacuum renamed away during the append's data write can
-        never be committed as a dangling reference (the append fails
-        loudly instead; only possible when ``min_age_s`` undercuts the
-        write's duration).
+        re-validated against a FRESH manifest under the writer lock,
+        marked with a ``.tombstone`` file, and atomically renamed aside
+        before the (lock-free) delete — so a dir committed after the
+        initial listing is re-seen and spared; (2) :meth:`append`/
+        :meth:`compact` verify under the same lock that their data dir
+        still exists AND carries no tombstone before swapping the
+        manifest — so a dir this vacuum reclaimed during the writer's
+        data write can never be committed, neither as a dangling
+        reference nor as a silently PARTIAL directory when Spark
+        committer task retries recreated the path after the reclaim
+        (the writer fails loudly instead; only possible when
+        ``min_age_s`` undercuts the write's duration).  Stale
+        tombstones (dir gone, older than ``min_age_s``) are reclaimed
+        at listing time.
 
         ``min_age_s`` guards the benign case: an in-flight
         :meth:`append` writes its data directory BEFORE taking the lock,
@@ -372,6 +398,24 @@ class ParquetManifestIO:
                     if os.path.isdir(d := os.path.join(data_root, name))
                     and os.path.realpath(d) not in protected
                 ]
+                # stale tombstones: dir gone + aged means the writer
+                # the tombstone was meant to abort is long dead (dir
+                # names are unique per attempt, so no writer can ever
+                # return for this name); a missing dir aborts a
+                # returning writer via the isdir guard regardless, so
+                # reclaiming the marker is safe
+                for name in sorted(os.listdir(data_root)):
+                    if not name.endswith(".tombstone"):
+                        continue
+                    full = os.path.join(data_root, name)
+                    dir_path = full[: -len(".tombstone")]
+                    try:
+                        aged = now - os.path.getmtime(full) >= min_age_s
+                    except OSError:
+                        continue
+                    if aged and not os.path.isdir(dir_path):
+                        with contextlib.suppress(OSError):
+                            os.unlink(full)
             for name in sorted(os.listdir(table_dir)):
                 if name.startswith("tmp") and name.endswith(".manifest"):
                     with contextlib.suppress(OSError):
@@ -398,7 +442,13 @@ class ParquetManifestIO:
             # the expensive recursive delete happens on the renamed path
             # outside it.  Unique suffix: a crash between rename and
             # rmtree leaves a dir the next vacuum reclaims as an orphan.
+            # The tombstone (created BEFORE the rename) is what lets an
+            # in-flight writer discover its dir was reclaimed even when
+            # Spark committer task retries recreate the path afterwards
+            # — the writer's pre-commit guard consumes it and aborts
+            # rather than commit a partial directory.
             trash = f"{d}.vacuum-{secrets.token_hex(4)}"
+            tomb = d + ".tombstone"
             with self._writer_lock(table):
                 m2 = self._load(table)
                 referenced = {
@@ -411,8 +461,11 @@ class ParquetManifestIO:
                 if os.path.realpath(d) in referenced:
                     continue  # committed while we walked: spare it
                 try:
+                    os.close(os.open(tomb, os.O_CREAT | os.O_WRONLY))
                     os.rename(d, trash)
                 except OSError:
+                    with contextlib.suppress(OSError):
+                        os.unlink(tomb)
                     continue  # vanished/racing: nothing to reclaim
             shutil.rmtree(trash, ignore_errors=True)
             deleted.append(f"data/{os.path.basename(d)}")

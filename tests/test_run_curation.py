@@ -74,7 +74,14 @@ def test_mixture_stage_subsets_curation_and_is_deterministic(
     assert "sampled" in verdicts.columns
     # mixture only ever shrinks the curation-kept set
     assert 0 < summary["kept_final"] <= summary["kept_curation"]
-    assert sum(summary["mixture"].values()) == summary["kept_final"]
+    assert sum(
+        v["docs"] for v in summary["mixture"].values()
+    ) == summary["kept_final"]
+    # the audit carries realized TOKENS vs the domain's target
+    assert all(
+        v["tokens"] > 0 and v["target_tokens"] > 0
+        for v in summary["mixture"].values()
+    )
     # sampled is defined exactly on the curation-kept rows
     assert verdicts.filter(
         F.col("sampled").isNotNull() & ~F.col("kept")
@@ -119,6 +126,21 @@ def test_external_corpus_and_eval_dirs(spark, tmp_path):
     assert summary["drop_contaminated"] == 1
     kept = _read(spark, out, "kept")
     assert {r.source for r in kept.collect()} <= {"default"}
+
+
+def test_curation_verdicts_custom_id_col(spark):
+    """The library chain threads a non-default id column through every
+    helper (they emit a literal 'doc_id' that must be aliased back)."""
+    from ocr_spark.assembly import curation_verdicts
+
+    df = spark.createDataFrame(
+        [(7, "plain ordinary words about nothing in particular"),
+         (8, "different plain ordinary words about something else")],
+        "page_id bigint, text string",
+    )
+    out = curation_verdicts(df, id_col="page_id")
+    assert out.columns[0] == "page_id"
+    assert {r.page_id for r in out.collect()} == {7, 8}
 
 
 def test_weights_parsing_and_arg_validation(tmp_path):

@@ -273,6 +273,83 @@ def test_append_aborts_if_orphan_vacuum_reclaimed_its_dir(
     assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
+def test_append_aborts_when_vacuumed_dir_was_recreated_by_retries(
+    spark, tmp_path
+):
+    """The subtle variant the tombstone closes: the vacuum reclaims the
+    append's dir MID-write, then committer task retries recreate the
+    path, so at commit time the dir EXISTS but holds only the
+    post-vacuum tasks' files.  An existence check alone would commit the
+    partial snapshot; the tombstone records the reclaim and aborts."""
+    import contextlib
+    import os as _os
+
+    from ocr_spark.tableio import ConcurrentWriteError
+
+    io = ParquetManifestIO(str(tmp_path))
+    io2 = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    data_root = tmp_path / "t" / "data"
+
+    orig_lock = io._writer_lock
+    fired = []
+
+    @contextlib.contextmanager
+    def vacuum_then_recreate(table, timeout_s=60.0):
+        if not fired:
+            fired.append(True)
+            io2.vacuum_orphans(table, min_age_s=0.0)
+            # the tombstone names the reclaimed dir; "task retries"
+            # recreate that exact path with partial content
+            tombs = [
+                n for n in _os.listdir(data_root)
+                if n.endswith(".tombstone")
+            ]
+            assert len(tombs) == 1
+            recreated = data_root / tombs[0][: -len(".tombstone")]
+            _df(spark, [999]).write.parquet(str(recreated))
+        with orig_lock(table, timeout_s=timeout_s):
+            yield
+
+    io._writer_lock = vacuum_then_recreate
+    with pytest.raises(ConcurrentWriteError, match="recreated"):
+        io.append(_df(spark, [2]), "t")
+    io._writer_lock = orig_lock
+    # the tombstone was consumed by the aborted commit; nothing dangling
+    assert not any(
+        n.endswith(".tombstone") for n in os.listdir(data_root)
+    )
+    assert io.snapshots("t") == [0]
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
+    # the recreated partial dir is an ordinary orphan: reclaimable
+    deleted = io.vacuum_orphans("t", min_age_s=0.0)
+    assert len(deleted) == 1
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
+
+
+def test_stale_tombstones_are_reclaimed_once_aged(spark, tmp_path):
+    """A tombstone whose dir is gone and which has aged past min_age_s
+    belongs to a writer that can never return (dir names are unique per
+    attempt) — the vacuum reclaims it; a FRESH one is spared."""
+    import os as _os
+    import time as _time
+
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    data_root = tmp_path / "t" / "data"
+    old_tomb = data_root / "s000033-dead0000.tombstone"
+    new_tomb = data_root / "s000034-cafe0000.tombstone"
+    old_tomb.write_bytes(b"")
+    new_tomb.write_bytes(b"")
+    past = _time.time() - 10_000
+    _os.utime(old_tomb, (past, past))
+
+    io.vacuum_orphans("t", min_age_s=3600.0)
+    assert not old_tomb.exists()
+    assert new_tomb.exists()  # young: its writer may still return
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
+
+
 def test_vacuum_orphans_reclaims_crash_leaked_tmp_manifests(
     spark, tmp_path
 ):
