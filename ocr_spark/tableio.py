@@ -460,12 +460,27 @@ class ParquetManifestIO:
                 }
                 if os.path.realpath(d) in referenced:
                     continue  # committed while we walked: spare it
+                # O_EXCL so a CONCURRENT vacuum's live tombstone is
+                # recognized: the failure path below must only unlink a
+                # tombstone THIS attempt created — removing another
+                # vacuum's marker after it renamed the dir aside would
+                # let a returning writer's task retries recreate the
+                # path and commit a silently partial directory.
+                tomb_mine = False
                 try:
-                    os.close(os.open(tomb, os.O_CREAT | os.O_WRONLY))
+                    os.close(os.open(
+                        tomb, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                    tomb_mine = True
+                except FileExistsError:
+                    pass  # another vacuum marked it; reuse the marker
+                except OSError:
+                    continue  # cannot mark ⇒ must not reclaim
+                try:
                     os.rename(d, trash)
                 except OSError:
-                    with contextlib.suppress(OSError):
-                        os.unlink(tomb)
+                    if tomb_mine:
+                        with contextlib.suppress(OSError):
+                            os.unlink(tomb)
                     continue  # vanished/racing: nothing to reclaim
             shutil.rmtree(trash, ignore_errors=True)
             deleted.append(f"data/{os.path.basename(d)}")

@@ -350,6 +350,53 @@ def test_stale_tombstones_are_reclaimed_once_aged(spark, tmp_path):
     assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
+def test_failed_reclaim_spares_another_vacuums_tombstone(
+    spark, tmp_path, backdate_tree, monkeypatch
+):
+    """Concurrent-vacuum marker safety: when the rename-aside fails
+    (the dir vanished under us — typically a concurrent vacuum got
+    there first), the failure cleanup must only remove a tombstone
+    THIS attempt created.  A pre-existing tombstone belongs to the
+    vacuum that actually renamed the dir aside; unlinking it would let
+    the original writer's task retries recreate the path and commit a
+    silently partial directory."""
+    import time as _time
+
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    data_root = tmp_path / "t" / "data"
+    orphan = data_root / "s000055-dead0000"
+    _df(spark, [7]).write.parquet(str(orphan))
+    backdate_tree(orphan, _time.time() - 10_000)
+    foreign_tomb = data_root / "s000055-dead0000.tombstone"
+    foreign_tomb.write_bytes(b"")  # another vacuum's live marker
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst, *a, **kw):
+        if src == str(orphan):
+            raise OSError("simulated: dir vanished before rename")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    assert io.vacuum_orphans("t", min_age_s=3600.0) == []
+    assert foreign_tomb.exists()  # NOT ours to unlink
+
+    # complementary case: no pre-existing marker — the tombstone this
+    # attempt created is cleaned up on the same failure
+    foreign_tomb.unlink()
+    assert io.vacuum_orphans("t", min_age_s=3600.0) == []
+    assert not foreign_tomb.exists()
+    monkeypatch.undo()
+
+    # and with the failure gone, the reclaim completes normally
+    assert io.vacuum_orphans("t", min_age_s=3600.0) == [
+        "data/s000055-dead0000"
+    ]
+    assert not orphan.exists()
+    assert [r.v for r in io.read(spark, "t").collect()] == [1]
+
+
 def test_vacuum_orphans_reclaims_crash_leaked_tmp_manifests(
     spark, tmp_path
 ):
