@@ -101,6 +101,31 @@ def test_pipeline_media_exchange_is_number_pinned(spark):
         assert "REPARTITION_BY_NUM" in line, line
 
 
+def test_pipeline_scans_input_exactly_twice(spark, tmp_path):
+    """Each union arm re-traverses the source, so the branch count IS
+    the input-pass count.  The design floor is two — the non-media
+    branch (text + quarantine via a when-ladder) and the media branch —
+    and a regression that reintroduces a third filter-and-union subtree
+    (e.g. splitting quarantine routing back out) silently adds a full
+    pass over a 100 TB table."""
+    from ocr_spark.fixtures import corpus_dataframes
+    from ocr_spark.pipeline import run_extraction
+
+    spans_df, media_df = corpus_dataframes(spark, seed=7, n_docs=20)
+    spans_path = str(tmp_path / "spans")
+    spans_df.write.parquet(spans_path)
+    out = run_extraction(
+        spark, spark.read.parquet(spans_path), media_df
+    )
+    import re
+
+    plan = _plan(out)
+    # each node renders twice in formatted mode (tree + details); count
+    # the unique "(N) Scan parquet" detail headers
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 2, f"expected 2 input passes, plan has {n_scans}"
+
+
 def test_simhash_pairs_plan_bounded_and_codegen(spark):
     """The 60-bit signature must be a hash-aggregate (codegen), not a
     tree of interpreted higher-order aggregates, and the whole pair
