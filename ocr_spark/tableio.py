@@ -472,7 +472,17 @@ class ParquetManifestIO:
                         tomb, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
                     tomb_mine = True
                 except FileExistsError:
-                    pass  # another vacuum marked it; reuse the marker
+                    # another vacuum marked it; reuse the marker — but
+                    # refresh its mtime: it carries the CRASHED attempt's
+                    # creation time, and once this attempt renames the
+                    # dir aside an already-aged marker would satisfy the
+                    # stale sweep (aged + dir gone) immediately, removing
+                    # the writer's partial-commit guard before its
+                    # min_age_s grace window ever started.
+                    try:
+                        os.utime(tomb, None)
+                    except OSError:
+                        continue  # cannot refresh ⇒ must not reclaim
                 except OSError:
                     continue  # cannot mark ⇒ must not reclaim
                 try:

@@ -360,6 +360,7 @@ def test_failed_reclaim_spares_another_vacuums_tombstone(
     vacuum that actually renamed the dir aside; unlinking it would let
     the original writer's task retries recreate the path and commit a
     silently partial directory."""
+    import os as _os
     import time as _time
 
     io = ParquetManifestIO(str(tmp_path))
@@ -389,11 +390,19 @@ def test_failed_reclaim_spares_another_vacuums_tombstone(
     assert not foreign_tomb.exists()
     monkeypatch.undo()
 
-    # and with the failure gone, the reclaim completes normally
+    # and with the failure gone, the reclaim completes normally — here
+    # with an AGED pre-existing marker (a prior vacuum created it, then
+    # crashed): the reclaim must refresh the reused marker's mtime, or
+    # the very next stale sweep (aged + dir now gone) would unlink it
+    # before the writer's min_age_s grace window ever started
+    foreign_tomb.write_bytes(b"")
+    _os.utime(foreign_tomb, (_time.time() - 10_000,) * 2)
     assert io.vacuum_orphans("t", min_age_s=3600.0) == [
         "data/s000055-dead0000"
     ]
     assert not orphan.exists()
+    assert foreign_tomb.exists()
+    assert _os.path.getmtime(foreign_tomb) > _time.time() - 600
     assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
