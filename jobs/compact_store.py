@@ -130,6 +130,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.mode == "sum-by" and not (args.key and args.value):
         p.error("--mode sum-by requires --key and --value")
+    if args.maintenance_only and args.vacuum:
+        # --vacuum reclaims the FOLD's pre-compaction dirs, and
+        # --maintenance-only skips the fold — accepting the combination
+        # would emit a summary claiming "vacuumed": true while deleting
+        # nothing (the audit row must never record reclamation that
+        # never ran)
+        p.error("--vacuum applies to the compaction fold, which "
+                "--maintenance-only skips; use --vacuum-expired / "
+                "--vacuum-orphans for maintenance reclamation")
 
     transform = None
     if args.mode == "sum-by":

@@ -129,6 +129,15 @@ def main(argv: list[str] | None = None) -> dict:
         docs = spark.read.parquet(args.docs)
         if src not in docs.columns:
             docs = docs.withColumn(src, F.lit("default"))
+        else:
+            # NULL source values must not silently vanish from the
+            # mixture audit: mixture_sample's domain equi-join is not
+            # null-safe, so a NULL-domain kept doc would get no rate row
+            # and be dropped with no recorded reason.  Coalesce to the
+            # same 'default' domain a missing column gets — unweighted,
+            # it still receives an explicit rate-0 audit row.
+            docs = docs.withColumn(src, F.coalesce(F.col(src),
+                                                   F.lit("default")))
     docs = docs.select("doc_id", src, "text")
 
     # the verdict joins are plain equi-joins on doc_id, so a NULL id

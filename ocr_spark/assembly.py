@@ -359,6 +359,11 @@ def curation_verdicts(
     )
     out = (
         stats.join(clusters, stats[id_col] == clusters.id)
+        # drop clusters' hardcoded 'id' by COLUMN REFERENCE: with
+        # id_col='id' (dedup_clusters' own output convention) the join
+        # result holds two 'id' columns and every later on=id_col join
+        # would raise AMBIGUOUS_REFERENCE
+        .drop(clusters.id)
         .join(rep, on=id_col)
     )
     if eval_set is not None:

@@ -154,6 +154,20 @@ def text_path(exploded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def _pinned_media_partitions(spark) -> int:
+    """Width for the number-pinned media exchange when the caller gave
+    no explicit ``media_partitions``: the session's shuffle parallelism.
+    Vendor platforms may set ``spark.sql.shuffle.partitions`` to a
+    non-numeric value (e.g. "auto" under auto-optimized shuffle — stock
+    Spark rejects it at set time, forks accept it), and failing
+    plan-build with ValueError there would break the whole pipeline;
+    fall back to the cluster's default parallelism instead."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def media_path(
     exploded: DataFrame, media_df: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -179,8 +193,8 @@ def media_path(
     # the CPU-heavy stage's width comes from the session's shuffle
     # parallelism (or the caller's explicit media_partitions), never from
     # AQE's byte heuristic.
-    n_media = cfg.media_partitions or int(
-        media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_media = cfg.media_partitions or _pinned_media_partitions(
+        media.sparkSession
     )
     media = media.repartition(n_media, F.col("doc_id"), salt)
 

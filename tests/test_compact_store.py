@@ -180,6 +180,20 @@ def test_maintenance_only_reclaims_without_rewrite(spark, tmp_path):
     assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
 
 
+def test_maintenance_only_rejects_fold_vacuum_flag(tmp_path):
+    """--vacuum reclaims the FOLD's pre-compaction dirs; with
+    --maintenance-only the fold never runs, so accepting the combination
+    would print a summary recording "vacuumed": true for a reclamation
+    that never happened — the job must refuse it loudly instead."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        compact_main([
+            "--store", str(tmp_path / "s"), "--table", "t",
+            "--maintenance-only", "--vacuum",
+        ])
+
+
 def test_signatures_store_compaction_identical_next_run(spark, tmp_path):
     """Signatures-mode compaction resolves accumulated merges into the
     doc labels and drops the merge rows; the current-labels view and a

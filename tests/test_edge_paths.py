@@ -53,6 +53,39 @@ def test_unknown_kind_is_quarantined_not_dropped(spark):
     assert [e.error for e in row.errors] == ["unknown_kind:image"]
 
 
+def test_non_numeric_shuffle_partitions_conf_falls_back(spark):
+    """Vendor platforms may set spark.sql.shuffle.partitions to a
+    non-numeric value (e.g. "auto" under auto-optimized shuffle; stock
+    Spark rejects it at conf-set time, forks accept it) — the media
+    exchange's number-pinning must fall back to default parallelism
+    instead of failing plan-build with ValueError."""
+    from ocr_spark.pipeline import _pinned_media_partitions
+
+    class _Conf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key):
+            return self._v
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _Session:
+        sparkContext = _Ctx()
+
+        def __init__(self, value):
+            self.conf = _Conf(value)
+
+    assert _pinned_media_partitions(_Session("auto")) == 7
+    assert _pinned_media_partitions(_Session(None)) == 7
+    assert _pinned_media_partitions(_Session("64")) == 64
+    # and the live session resolves to its real numeric setting
+    assert _pinned_media_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_hard_kill_preempts_hung_inference():
     """A recognize() call that sleeps past the budget is killed (not
     awaited), and the NEXT image still works via respawn."""

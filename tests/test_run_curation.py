@@ -143,6 +143,60 @@ def test_curation_verdicts_custom_id_col(spark):
     assert {r.page_id for r in out.collect()} == {7, 8}
 
 
+def test_curation_verdicts_id_col_id(spark):
+    """id_col='id' — dedup_clusters' own output convention — must not
+    trip AMBIGUOUS_REFERENCE on the cluster join (the clusters frame
+    emits a hardcoded 'id' that has to be dropped by column reference,
+    not by name)."""
+    from ocr_spark.assembly import curation_verdicts
+
+    df = spark.createDataFrame(
+        [(1, "plain ordinary words about nothing in particular"),
+         (2, "different plain ordinary words about something else")],
+        "id bigint, text string",
+    )
+    out = curation_verdicts(df, id_col="id")
+    assert out.columns.count("id") == 1
+    assert {r.id for r in out.collect()} == {1, 2}
+
+
+def test_null_source_docs_get_audited_default_domain(spark, tmp_path):
+    """A NULL source value must not silently vanish from the mixture
+    audit (mixture_sample's domain equi-join is not null-safe): the job
+    coalesces it to 'default', which — unweighted — still receives an
+    explicit rate-0 audit row and a recorded not-sampled outcome."""
+    docs_dir = str(tmp_path / "docs")
+    prose_a = (
+        "some perfectly ordinary prose about weather patterns and "
+        "their seasonal variation across temperate regions, where "
+        "morning fog gives way to afternoon sunshine and the harvest "
+        "calendar follows rainfall rather than any fixed civic date"
+    )
+    prose_b = (
+        "a completely different passage concerning harbor logistics, "
+        "where container cranes follow berthing assignments posted a "
+        "week ahead and the evening shift reconciles manifests against "
+        "customs declarations before any vessel is cleared to depart"
+    )
+    spark.createDataFrame(
+        [(1, "web", prose_a), (2, None, prose_b)],
+        "doc_id bigint, source string, text string",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "runnull")
+    summary = curation_main([
+        "--docs", docs_dir, "--out", out,
+        "--budget-tokens", "100000", "--weights", "web=1",
+    ])
+    verdicts = {
+        r.doc_id: r for r in _read(spark, out, "verdicts").collect()
+    }
+    assert verdicts[2].domain == "default"
+    assert verdicts[2].rate_ppm == 0  # unweighted: explicit zero rate
+    assert verdicts[2].sampled is False  # recorded, not silently dropped
+    assert verdicts[1].domain == "web" and verdicts[1].sampled
+    assert summary["mixture"].get("default") is None  # nothing sampled
+
+
 def test_weights_parsing_and_arg_validation(tmp_path):
     assert _parse_weights("web=3,books=1") == {"web": 3, "books": 1}
     with pytest.raises(ValueError, match="domain=int"):
