@@ -131,7 +131,10 @@ def mixture_sample(
 
     Output: one row PER INPUT DOC — ``(doc_id, domain, n_tokens,
     domain_tokens, target_tokens, rate_ppm, kept)`` — so the caller can
-    filter ``kept`` or audit the realized mixture.
+    filter ``kept`` or audit the realized mixture.  That contract
+    includes NULL-domain docs (null-safe domain join): like any
+    unweighted domain they audit with target 0 / ``kept = false``
+    rather than silently vanishing.
 
     Shape for 100 TB: one groupBy(domain) over (domain, n_tokens) rows
     (map-side combine — domains are few), a broadcast join of the tiny
@@ -189,14 +192,22 @@ def mixture_sample(
     bucket = portable_hash(
         F.concat(F.lit(f"{salt}/"), F.col("doc_id").cast("string"))
     ) % F.lit(1000000)
-    return base.join(F.broadcast(rates), on="domain").select(
-        "doc_id",
-        "domain",
-        "n_tokens",
-        "domain_tokens",
-        "target_tokens",
-        "rate_ppm",
-        (bucket < F.col("rate_ppm")).alias("kept"),
+    # NULL-SAFE domain join: the totals groupBy produces a NULL-domain
+    # row for NULL-domain docs, and a plain equi-join would drop BOTH
+    # sides silently — violating the one-row-PER-INPUT-DOC audit
+    # contract.  Null-safe matching keeps them: no weight CASE matches
+    # NULL, so such docs audit with target 0 / rate 0 / kept = false.
+    return base.alias("b").join(
+        F.broadcast(rates).alias("r"),
+        F.col("b.domain").eqNullSafe(F.col("r.domain")),
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.domain").alias("domain"),
+        F.col("b.n_tokens").alias("n_tokens"),
+        F.col("r.domain_tokens").alias("domain_tokens"),
+        F.col("r.target_tokens").alias("target_tokens"),
+        F.col("r.rate_ppm").alias("rate_ppm"),
+        (bucket < F.col("r.rate_ppm")).alias("kept"),
     )
 
 

@@ -1368,8 +1368,11 @@ SELECT b.doc_id, b.domain, b.n_tokens, r2.domain_tokens,
   r2.target_tokens, r2.rate_ppm,
   ((('0x' || substr(md5('mix/' || cast(b.doc_id AS varchar)), 1, 15))
       ::bigint % 1000000) < r2.rate_ppm) AS kept
-FROM b JOIN r2 USING (domain)
+FROM b JOIN r2 ON b.domain IS NOT DISTINCT FROM r2.domain
 """
+# (IS NOT DISTINCT FROM mirrors the Spark side's null-safe domain join —
+# identical results on this corpus, which has no NULL source values, but
+# the twins must express the same semantics)
 
 
 # The driver corpus draws from a ~40-word vocabulary, which degenerates

@@ -1490,6 +1490,26 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert out[8].rate_ppm == 0 and not out[8].kept
 
 
+def test_mixture_sample_audits_null_domain_rows(spark):
+    """One row PER INPUT DOC includes NULL-domain docs: the domain join
+    is null-safe, so they audit with target 0 / kept = false instead of
+    silently vanishing through a non-null-safe equi-join."""
+    from ocr_spark.assembly import mixture_sample
+
+    df = _df(spark, [
+        (1, "a", "t t"), (2, None, "u u u"), (3, None, "v"),
+    ], "doc_id bigint, source string, text string")
+    out = {r.doc_id: r for r in mixture_sample(
+        df, {"a": 1}, budget_tokens=8).collect()}
+    assert set(out) == {1, 2, 3}  # nothing dropped
+    assert out[1].kept and out[1].rate_ppm == 1000000
+    for i in (2, 3):
+        assert out[i].domain is None
+        assert out[i].target_tokens == 0 and out[i].rate_ppm == 0
+        assert out[i].domain_tokens == 4  # NULL group aggregated once
+        assert not out[i].kept
+
+
 def test_exact_incremental_first_run_wins_and_union_equivalence(spark):
     """Two-batch incremental exact dedup: a delta doc identical to a
     committed doc is dropped (first-run-wins); within the delta the min
