@@ -53,6 +53,77 @@ def test_unknown_kind_is_quarantined_not_dropped(spark):
     assert [e.error for e in row.errors] == ["unknown_kind:image"]
 
 
+def test_randomized_span_shapes_hold_routing_invariants(spark):
+    """Bulk fuzz of the branch routing: 200 seeded-random documents mixing
+    text / media / unknown / null kinds, empty docs, null texts, and
+    oversized docs, run through the REAL pipeline in one job (one Spark
+    round-trip, not one per example).  Asserts the structural invariants
+    the when-ladder must preserve for every shape:
+
+    - every input doc appears in the output exactly once;
+    - spans_out is offset-sorted and contains exactly the non-null-kind
+      input spans (empty/oversized docs → empty spans_out);
+    - every unknown-kind span carries an unknown_kind error; an
+      oversized doc carries exactly one oversized_doc error;
+    - media spans with no store row carry missing_media errors."""
+    import random
+
+    rng = random.Random(20260819)
+    kinds = ["text", "media", "weird", None]
+    docs, expected = [], {}
+    for i in range(200):
+        did = f"r{i}"
+        shape = rng.random()
+        if shape < 0.08:
+            docs.append((did, []))
+            expected[did] = {"spans": 0, "unknown": 0, "oversized": False}
+            continue
+        n = rng.randint(1, 12) if shape > 0.12 else rng.randint(60, 70)
+        oversized = n > 50
+        spans, unknown = [], 0
+        for off in range(n):
+            k = rng.choices(kinds, weights=[6, 2, 1, 1])[0]
+            text = rng.choice(["hola mundo", "", None]) if k == "text" \
+                else None
+            ref = f"m{i}_{off}" if k == "media" else None
+            # null-kind input spans are indistinguishable from the
+            # empty-doc placeholder BY DESIGN: dropped from spans_out
+            # with no error row; only a non-null unknown kind quarantines
+            if k is not None and k not in ("text", "media"):
+                unknown += 1
+            spans.append((k, text, ref, off))
+        rng.shuffle(spans)  # input order must not matter
+        docs.append((did, spans))
+        expected[did] = {
+            "spans": 0 if oversized else sum(
+                1 for s in spans if s[0] is not None
+            ),
+            "unknown": 0 if oversized else unknown,
+            "oversized": oversized,
+        }
+    spans_df = spark.createDataFrame(docs, schema=SPANS_DDL)
+    rows = {
+        r.doc_id: r for r in run_extraction(
+            spark, spans_df, _empty_media(spark),
+            PipelineConfig(max_spans_per_doc=50),
+        ).collect()
+    }
+    assert set(rows) == set(expected)
+    for did, want in expected.items():
+        r = rows[did]
+        offs = [s.offset for s in r.spans_out]
+        assert offs == sorted(offs), did
+        assert len(r.spans_out) == want["spans"], did
+        errs = [e.error.split(":")[0] for e in r.errors]
+        if want["oversized"]:
+            assert errs == ["oversized_doc"], did
+        else:
+            n_media = sum(1 for s in r.spans_out if s.kind == "media")
+            assert errs.count("unknown_kind") == want["unknown"], did
+            # empty media store: every media span quarantines
+            assert errs.count("missing_media") == n_media, did
+
+
 def test_non_numeric_shuffle_partitions_conf_falls_back(spark):
     """Vendor platforms may set spark.sql.shuffle.partitions to a
     non-numeric value (e.g. "auto" under auto-optimized shuffle; stock
