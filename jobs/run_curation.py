@@ -130,12 +130,11 @@ def main(argv: list[str] | None = None) -> dict:
         if src not in docs.columns:
             docs = docs.withColumn(src, F.lit("default"))
         else:
-            # NULL source values must not silently vanish from the
-            # mixture audit: mixture_sample's domain equi-join is not
-            # null-safe, so a NULL-domain kept doc would get no rate row
-            # and be dropped with no recorded reason.  Coalesce to the
-            # same 'default' domain a missing column gets — unweighted,
-            # it still receives an explicit rate-0 audit row.
+            # Presentation choice, not a correctness guard:
+            # mixture_sample's domain join is null-safe (a NULL-domain
+            # doc would still get its rate-0 audit row), but this job's
+            # audit reads better when a missing VALUE lands in the same
+            # 'default' domain a missing COLUMN gets.
             docs = docs.withColumn(src, F.coalesce(F.col(src),
                                                    F.lit("default")))
     docs = docs.select("doc_id", src, "text")

@@ -162,9 +162,11 @@ def test_curation_verdicts_id_col_id(spark):
 
 def test_null_source_docs_get_audited_default_domain(spark, tmp_path):
     """A NULL source value must not silently vanish from the mixture
-    audit (mixture_sample's domain equi-join is not null-safe): the job
-    coalesces it to 'default', which — unweighted — still receives an
-    explicit rate-0 audit row and a recorded not-sampled outcome."""
+    audit.  The operator's domain join is itself null-safe (see
+    test_mixture_sample_audits_null_domain_rows); on top of that, the
+    JOB coalesces NULL to the same 'default' domain a missing column
+    gets, so its audit shows a named domain with an explicit rate-0 row
+    and a recorded not-sampled outcome."""
     docs_dir = str(tmp_path / "docs")
     prose_a = (
         "some perfectly ordinary prose about weather patterns and "
