@@ -444,8 +444,21 @@ def minhash_sketches(
 def band_table(
     sketches: DataFrame, k: int = DEFAULT_MINHASH_K, band_size: int = 2
 ) -> DataFrame:
-    """``(id, band_idx, band_hash)`` LSH band rows of a sketch table —
-    the only columns that ever move through the candidate join."""
+    """``(id, band_idx, band_hash)`` LSH band rows of an ``(id, sh,
+    sig)`` sketch table — the only columns that ever move through the
+    candidate join.
+
+    Empty-shingle docs (< shingle_n tokens, empty/NULL text) are
+    EXCLUDED from banding here, single-sourced for the full-corpus and
+    incremental paths alike: their signature is the document-independent
+    sentinel (see :func:`minhash_signature`), so at scale every such doc
+    lands in ONE band bucket — m blank pages → m²/2 candidate rows in a
+    single straggler key — and every one of those pairs is then
+    discarded by the exact-Jaccard verify (J(∅, ·) = 0 < any positive
+    threshold).  Excluding them is output-identical and removes the
+    quadratic bucket.  They stay IN the sketch table (the incremental
+    store must keep one row per kept doc — the job joins its commit
+    against it) and IN cluster node sets (singleton clusters)."""
     # Same degenerate-silence class as the in-plan sig-width guard below:
     # band_size > k would band NOTHING (empty band array → zero candidate
     # pairs, no error), and a non-divisor would silently leave sig's tail
@@ -491,7 +504,8 @@ def band_table(
     # _dup_gram_positions for the measurement.  k ≥ 1 means no row is
     # ever actually null here (and a null sig raises in `guarded`).
     return (
-        sketches.select("id", F.explode_outer(guarded).alias("band"))
+        sketches.filter(F.size("sh") > 0)  # see docstring: sentinel sigs
+        .select("id", F.explode_outer(guarded).alias("band"))
         .filter(F.col("band").isNotNull())
         .select("id", "band.band_idx", "band.band_hash")
     )
@@ -1187,10 +1201,24 @@ def simhash_sketches(
     time), a simhash signature is one bigint — a store written at a
     different ``bits``/``shingle_n`` is not detectable from the data, so
     the same-parameters precondition is purely the caller's commit
-    discipline: persist the parameters next to the store."""
+    discipline: persist the parameters next to the store.
+
+    Feature-less docs (< ``shingle_n`` tokens, empty/NULL text) are
+    EXCLUDED here, at sketch build: their signature folds to 0
+    (:func:`simhash_from_features`), and — unlike minhash, whose
+    exact-Jaccard verify rejects such pairs — the simhash verify
+    compares only signatures, so every pair of feature-less docs would
+    band together AND verify at hamming 0: unrelated two-token docs
+    reported as near-duplicates, quadratically, with the poisoned
+    sketches persisted into incremental stores.  A sig-0 store row is
+    indistinguishable from a legitimate signature at read time, so the
+    exclusion must happen before the sketch exists.  Simhash sketches
+    carry no exact-dedup payload (the minhash family's store does), so
+    dropping these docs from the sketch table loses nothing."""
     feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
     return simhash_from_features(
-        df.select(F.col(id_col).alias("id"), feats.alias("feats")),
+        df.select(F.col(id_col).alias("id"), feats.alias("feats"))
+        .filter(F.size("feats") > 0),
         F.col("feats"),
         bits=bits,
     )

@@ -828,8 +828,12 @@ def _minhash_pairs_ctes(
         f"md5(concat(sig[{b * 2 + 1}], ':', sig[{b * 2 + 2}])) AS band{b}"
         for b in range(4)
     )
+    # len(sh) > 0 mirrors band_table's empty-shingle exclusion (the
+    # sentinel-signature quadratic bucket; output-identical — see
+    # dedup.band_table)
     band_rows = " UNION ALL ".join(
         f"SELECT id, sh, {b} AS band_idx, band{b} AS band_hash FROM sigs"
+        f" WHERE len(sh) > 0"
         for b in range(4)
     )
     jac = """CASE WHEN (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) <= 0
@@ -1243,7 +1247,9 @@ SELECT doc_id + 2000000 AS doc_id, replace(text, ' ', '  ') AS text, lang
 FROM documents),
 h AS (SELECT doc_id AS id, {sh} AS hs
       FROM corpus),
-s AS (SELECT id, ({votes})::bigint AS sig FROM h),
+-- len(hs) > 0 mirrors simhash_sketches' feature-less exclusion (sig-0
+-- hamming-0 false positives; see dedup.simhash_sketches)
+s AS (SELECT id, ({votes})::bigint AS sig FROM h WHERE len(hs) > 0),
 b AS ({blocks}),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b,

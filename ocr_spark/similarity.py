@@ -417,8 +417,26 @@ def ivf_train_kmeans(
         _normalize(c) for c in hyperplanes(n_cells, dims, seed)
     ]
     v = F.col(vec_col)
+    # The scoring paths carry _guarded_norm through their joins, but the
+    # trainer's sums never read a norm (Catalyst would prune a mere
+    # select), so the width guard rides a FILTER instead: a vector whose
+    # width differs from ``dims`` would otherwise null-pad every centroid
+    # score (silent cell-0 assignment) and skip its out-of-range dims in
+    # the sums while still counting in n — a plausible-but-wrong
+    # quantizer with no error.  NULL vectors are missing data, not a
+    # width bug (same contract as _guarded_norm): skipped, not trained on
+    # (they too would inflate n while contributing nothing to the sums).
+    trainable = corpus.filter(v.isNotNull()).filter(
+        F.when(F.size(v) == dims, F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("ivf_train_kmeans: embedding width "),
+                F.size(v).cast("string"),
+                F.lit(f" != declared dims {dims}"),
+            ))
+        )
+    )
     for _ in range(n_iters):
-        assigned = corpus.select(
+        assigned = trainable.select(
             _cell_of(v, centroids).alias("cell"), v.alias("v")
         )
         sums = assigned.groupBy("cell").agg(
@@ -452,9 +470,16 @@ def _normalize(vec: list[float]) -> list[float]:
     return [x / norm for x in vec] if norm > 0 else list(vec)
 
 
-def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmax-dot centroid id, ties to the lowest id (struct-max trick)."""
-    scored = [
+def _scored_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """``array<struct<score,prio,cell>>`` — one scored struct per
+    centroid, the SINGLE source of the (score, prio) ranking key for
+    both the index side (:func:`_cell_of`'s argmax via ``array_max``)
+    and the query side (:func:`ivf_search`'s n_probes ranking via
+    ``reverse(array_sort)``).  IVF recall depends on those two rankings
+    agreeing exactly (a corpus vector's own cell must appear in its
+    identical query's probe list); two hand-copied struct lists drifting
+    apart would silently drop exact matches from results."""
+    return F.array(*[
         F.struct(
             dot_fold(
                 vec, F.array(*[F.lit(v) for v in c])
@@ -463,8 +488,12 @@ def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:
             F.lit(i).alias("cell"),
         )
         for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*scored))["cell"]
+    ])
+
+
+def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-dot centroid id, ties to the lowest id (struct-max trick)."""
+    return F.array_max(_scored_cells(vec, centroids))["cell"]
 
 
 def ivf_assign(
@@ -507,18 +536,11 @@ def ivf_search(
         "cell",
     )
 
-    scored_cells = [
-        F.struct(
-            dot_fold(
-                F.col(vec_col), F.array(*[F.lit(v) for v in c])
-            ).alias("score"),
-            F.lit(-i).alias("prio"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
     probe_cells = F.slice(
-        F.reverse(F.array_sort(F.array(*scored_cells))), 1, n_probes
+        F.reverse(F.array_sort(
+            _scored_cells(F.col(vec_col), centroids)
+        )),
+        1, n_probes,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -663,12 +685,19 @@ def incremental_lsh_ann_pairs(
         # re-derive the verify payload from the STORED vector: a store
         # written at a different width raises through _guarded_norm
         # (nrm feeds every verified pair, so Catalyst cannot prune it)
-        return sdf.select(
+        flat = sdf.select(
             "id",
             "bucket",
             _guarded_norm(F.col("v"), dims).alias("nrm"),
             *_flat_cols(F.col("v"), dims, "x"),
         )
+        # zero/NULL norms: same exclusion as lsh_ann_pairs (the shared
+        # all-zero bucket; pairs forced to cosine 0.0 — unverifiable
+        # whenever min_cosine > 0).  The store keeps every sketch; only
+        # this run's PAIRING prep drops them, on both sides.
+        if min_cosine > 0:
+            flat = flat.filter(F.col("nrm") > 0)
+        return flat
 
     nb = _flat(new_sketches)
     if persist_new:
@@ -760,6 +789,17 @@ def lsh_ann_pairs(
             vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
             _guarded_bucket(F.col(vec_col), planes).alias("bucket"),
         )
+        # Zero-norm vectors (token-less docs under embed_hash, all-zero
+        # embeddings) all hash to the SAME bucket (every plane dot is
+        # 0 > 0 = false) and every pair they form scores a forced
+        # cosine 0.0 < min_cosine — m such vectors are m²/2 candidate
+        # rows in one straggler bucket that can never emit a pair.
+        # Excluding them from bucketing is output-identical whenever
+        # min_cosine > 0 (kept bucketable at min_cosine ≤ 0, where a
+        # 0.0 pair would legitimately pass).  NULL norms (missing
+        # vectors) fail the predicate too — also unverifiable.
+        if min_cosine > 0:
+            base = base.filter(F.col("nrm") > 0)
         if persist_base:
             base = base.persist()
         left = base.alias("l")
@@ -816,6 +856,10 @@ def lsh_ann_pairs(
             ),
             vec_norm(F.col(vec_col), dims=dims).alias("nrm"),
         )
+        # zero/NULL norms: same exclusion as the single-table path (one
+        # shared all-zero bucket per table, pairs forced to cosine 0.0)
+        if min_cosine > 0:
+            prep = prep.filter(F.col("nrm") > 0)
         if persist_base:
             prep = prep.persist()
         # outer + null filter: see dedup._dup_gram_positions — a plain

@@ -90,6 +90,56 @@ def test_simhash_votes_match_python(spark):
     assert got[0].s == expected
 
 
+def test_shingleless_docs_never_band_or_pair(spark):
+    """Degenerate-document discipline across both near-dup families.
+
+    Docs with fewer than shingle_n tokens have an EMPTY shingle set:
+    minhash gives them all the SAME sentinel signature (one quadratic
+    band bucket at scale whose pairs the Jaccard verify then discards),
+    and simhash folds them all to sig 0, which the signature-only
+    hamming verify would report as 0 — unrelated texts as duplicates.
+    Both families must exclude them from candidate generation while the
+    cluster operator still emits every doc (singletons)."""
+    from ocr_spark.dedup import (
+        band_table,
+        dedup_clusters,
+        minhash_sketches,
+        simhash_pairs,
+    )
+
+    long_a = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, long_a), (2, long_a),          # the one true near-dup pair
+        (3, "hello world"), (4, "totally different"), (5, "x"),
+        (6, ""), (7, None),                # all shingle-less
+    ]
+    df = _df(spark, rows, "doc_id bigint, text string")
+
+    # minhash: no band rows for shingle-less docs (the scale point) ...
+    banded_ids = {
+        r.id for r in band_table(minhash_sketches(df)).select("id")
+        .distinct().collect()
+    }
+    assert banded_ids == {1, 2}
+    # ... and only the true pair is emitted
+    pairs = minhash_lsh_pairs(df, verify_threshold=0.3).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+    # simhash: the old sig-0 path paired (3,4), (3,5), (4,5), ... at
+    # hamming 0; now feature-less docs never enter the sketch table
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(df).collect()}
+    assert got == {(1, 2)}
+
+    # clusters still cover EVERY doc — shingle-less ones as singletons
+    labels = {r.id: r for r in dedup_clusters(df).collect()}
+    assert set(labels) == {1, 2, 3, 4, 5, 6, 7}
+    assert labels[2].cluster_id == 1 and not labels[2].is_canonical
+    assert all(
+        labels[i].is_canonical and labels[i].cluster_id == i
+        for i in (3, 4, 5, 6, 7)
+    )
+
+
 def test_simhash_pairs_identical_docs(spark):
     df = _df(spark, [(1, "p q r s"), (2, "p q r s"), (3, "completely different words here")],
              "doc_id bigint, text string")
@@ -348,6 +398,63 @@ def test_lsh_ann_identical_vectors_pair_up(spark):
         for r in lsh_ann_pairs(df, planes=planes, min_cosine=0.99).collect()
     }
     assert (1, 2) in got and got[(1, 2)] >= 0.999999
+
+
+def test_zero_vectors_never_bucket_at_positive_threshold(spark):
+    """Zero-norm vectors (token-less docs under embed_hash) all share
+    the all-zero LSH bucket and every pair they form is FORCED to
+    cosine 0.0 — unverifiable at any positive min_cosine, so they are
+    excluded from bucketing (quadratic straggler bucket at scale).  At
+    min_cosine ≤ 0 a 0.0 pair legitimately passes, so there they still
+    bucket."""
+    v = [0.5] * 8 + [-0.25] * 8
+    z = [0.0] * 16
+    df = _df(spark, [(1, v), (2, v), (3, z), (4, z), (5, z)],
+             "vec_id bigint, embedding array<float>")
+    planes = hyperplanes(4, dims=16)
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(df, planes=planes, min_cosine=0.5).collect()
+    }
+    assert got == {(1, 2)}
+    # multi-table path: same exclusion
+    got_mt = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(
+            df, n_tables=2, dims=16, min_cosine=0.5
+        ).collect()
+    }
+    assert (1, 2) in got_mt
+    assert not any(3 in p or 4 in p or 5 in p for p in got_mt)
+    # degenerate min_cosine=0: zero pairs pass the verify, so they bucket
+    got0 = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(df, planes=planes, min_cosine=0.0).collect()
+    }
+    assert {(3, 4), (3, 5), (4, 5)} <= got0
+
+
+def test_ivf_trainer_rejects_width_mismatch_skips_null(spark):
+    """The trainer's sums never read a norm, so its width guard rides a
+    filter: a mis-width vector must raise (it would silently skew every
+    centroid), while NULL vectors are missing data — skipped, and the
+    trained quantizer must be identical to training without them."""
+    import pytest
+    from ocr_spark.similarity import ivf_train_kmeans
+
+    good = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(20)]
+    clean = _df(spark, good, "vec_id bigint, embedding array<float>")
+    with_null = _df(spark, good + [(98, None)],
+                    "vec_id bigint, embedding array<float>")
+    c1 = ivf_train_kmeans(clean, n_cells=4, n_iters=2, dims=8)
+    c2 = ivf_train_kmeans(with_null, n_cells=4, n_iters=2, dims=8)
+    assert c1 == c2  # NULL vector contributed nothing
+
+    bad = _df(spark, good + [(99, [1.0, 2.0])],
+              "vec_id bigint, embedding array<float>")
+    with pytest.raises(Exception, match="width"):
+        ivf_train_kmeans(bad, n_cells=4, n_iters=1, dims=8)
 
 
 # -------------------------------------------------------------- textstats
