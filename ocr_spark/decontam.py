@@ -3,8 +3,12 @@ benchmark/eval set by hashed word n-grams.
 
 The standard training-data hygiene operator (the curation-suite sibling of
 dedup/PII-scrub): any document sharing ≥ ``min_overlap`` distinct n-grams
-with any eval document is contamination — it would leak benchmark answers
-into the training corpus.
+with the eval set — POOLED across eval documents, so two single-gram hits
+on two different eval docs count as 2 — is contamination; it would leak
+benchmark answers into the training corpus.  (Per-eval-doc thresholds are
+the stricter alternative; group the gram join by ``(doc_id, eval_id)``
+and take the max if that contract is needed.  ``n_eval_hit`` in the
+output already reports how many eval docs were touched.)
 
 Shape for 100 TB: eval sets are small by definition (10^4–10^6 grams), so
 the hashed eval grams are **broadcast** — the corpus side never shuffles
@@ -23,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.dedup import shingle_hashes
-from ocr_spark.textstats import tokens
+from ocr_spark.textstats import explode_non_null, tokens
 
 # Decontamination-appropriate defaults, NOT the dedup shingle width: 8-13
 # word grams are the typical benchmark-decontamination window (GPT-3 used
@@ -43,16 +47,10 @@ def eval_gram_table(
     """(eval_id, g) distinct hashed n-grams of the eval set — the small
     side; precompute + cache it when decontaminating many corpora."""
     return (
-        eval_set.select(
+        explode_non_null(
+            eval_set, shingle_hashes(tokens(F.col(text_col)), n), "g",
             F.col(eval_id_col).alias("eval_id"),
-            # outer + null filter: the inferred size>0 pre-filter for a
-            # non-outer explode re-evaluates the shingle expression at
-            # the scan (see dedup._dup_gram_positions).
-            F.explode_outer(
-                shingle_hashes(tokens(F.col(text_col)), n)
-            ).alias("g"),
         )
-        .filter(F.col("g").isNotNull())
         .distinct()
     )
 
@@ -88,13 +86,10 @@ def decontaminate(
     for the ``hash_mode`` removal in :mod:`ocr_spark.dedup`.)
     """
     eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
-    dg = docs.select(
+    dg = explode_non_null(
+        docs, shingle_hashes(tokens(F.col(text_col)), n), "g",
         F.col(id_col).alias("doc_id"),
-        # outer + null filter — same trap as eval_gram_table above.
-        F.explode_outer(
-            shingle_hashes(tokens(F.col(text_col)), n)
-        ).alias("g"),
-    ).filter(F.col("g").isNotNull())
+    )
     hits = (
         dg.join(F.broadcast(eg), on="g")
         .groupBy("doc_id")

@@ -2482,7 +2482,7 @@ SQL_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
     AS window_start, event_type,
   count(*)::bigint AS n_events,
-  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+  cast(sum(cast(value as decimal(28,4))) as double) AS total_value
 FROM events
 GROUP BY 1, event_type
 """

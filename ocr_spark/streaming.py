@@ -132,8 +132,14 @@ def stream_windowed_counts(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # exact decimal sum → double: deterministic across row orders,
-            # so the streamed result hash-matches its batch twin
-            F.sum(F.col("value").cast("decimal(18,4)"))
+            # so the streamed result hash-matches its batch twin.
+            # decimal(28,4), not (18,4): 14 integer digits already
+            # overflow (18,4) — a query-killing cast error under ANSI
+            # (the Spark 4 default) or a silently dropped addend with
+            # ANSI off.  (28,4) holds |value| < 1e24 and its sum still
+            # widens exactly to decimal(38,4) in both engines; the
+            # DuckDB oracle (SQL_EVENTS_HOURLY) casts identically.
+            F.sum(F.col("value").cast("decimal(28,4)"))
             .cast("double").alias("total_value"),
         )
         .select(
@@ -262,9 +268,17 @@ def sessionize_stream(
 
         ivals: list[tuple[float, float, int]] = []
         if not state.hasTimedOut:
+            # pd.notna, NOT `is not None`: Arrow delivers a NULL ts as
+            # pd.NaT (which IS not None), and NaT.timestamp() raises —
+            # a single null-ts event would kill the whole query.  The
+            # engine's late-row filter does NOT drop such rows (NULL <
+            # watermark evaluates NULL → treated as not-late), so they
+            # really do reach this operator; skip them here, matching
+            # the batch twin (GROUP BY over ts excludes NULL event
+            # times from every session).
             ivals = [
                 (t.timestamp(), t.timestamp(), 1)
-                for pdf in pdfs for t in pdf["ts"] if t is not None
+                for pdf in pdfs for t in pdf["ts"] if pd.notna(t)
             ]
         if state.exists:
             ss, es, ns = state.get
@@ -428,7 +442,11 @@ def drain_windowed_counts(
         _await_drain(q, 300)
     return (
         spark.read.parquet(out)
-        .filter(F.col("event_type") != STREAM_SENTINEL_EVENT_TYPE)
+        # ~eqNullSafe, not !=: a NULL-event_type group is a real result
+        # row (the batch twin's GROUP BY keeps the NULL group), and
+        # `NULL != sentinel` evaluates NULL → plain != would silently
+        # drop it along with the sentinel.
+        .filter(~F.col("event_type").eqNullSafe(STREAM_SENTINEL_EVENT_TYPE))
     )
 
 
@@ -441,6 +459,15 @@ def drain_dedup_exact(
     ``EVENTS_DEDUP_DDL``, duplicates included) and return the emitted
     first-occurrences.  No sentinel needed: dedup emits immediately."""
     inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
+    if events.isEmpty():
+        # Same contract as _sentinel_row for the other two drains: an
+        # empty input would commit zero output files and die later in
+        # parquet schema inference — fail here with the actual cause.
+        raise ValueError(
+            "cannot drain an empty events input (the availableNow stream "
+            "would emit nothing and the output read-back would fail in "
+            "schema inference)"
+        )
     events.coalesce(1).write.mode("overwrite").parquet(inp)
     with _shuffle_partitions(
             spark, state_partitions or DRAIN_STATE_PARTITIONS):
@@ -469,5 +496,8 @@ def drain_sessions(
         _await_drain(q, 300)
     return (
         spark.read.parquet(out)
-        .filter(F.col("user_id") != STREAM_SENTINEL_USER)
+        # ~eqNullSafe for the same reason as drain_windowed_counts: a
+        # NULL-user_id session is a real group and `NULL != sentinel`
+        # would silently drop it.
+        .filter(~F.col("user_id").eqNullSafe(STREAM_SENTINEL_USER))
     )

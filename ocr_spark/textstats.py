@@ -72,6 +72,25 @@ def tokens(text: Column) -> Column:
     return F.filter(t, lambda x: x != F.lit(""))
 
 
+def explode_non_null(df: DataFrame, expr, alias: str, *keep) -> DataFrame:
+    """``select(*keep, explode_outer(expr) AS alias)`` plus a null filter
+    — the ONE supported way to explode a computed array here.
+
+    A plain ``explode`` makes Catalyst infer a ``size(expr) > 0``
+    pre-filter that re-evaluates ``expr`` at the scan (doubling the
+    expression work — measured in :func:`ocr_spark.dedup._dup_gram_positions`),
+    while a bare ``explode_outer`` emits one NULL row per empty array
+    that every downstream aggregate would have to guard against.  Outer
+    + explicit null filter keeps single evaluation AND drops the ghost
+    rows.  This helper exists so a new call site cannot quietly pick the
+    non-outer variant and re-trigger the trap.
+    """
+    return (
+        df.select(*keep, F.explode_outer(expr).alias(alias))
+        .filter(F.col(alias).isNotNull())
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
@@ -235,10 +254,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
         dup_frac(3).alias("dup_3gram_frac"),
     )
     tok_counts = (
-        # outer + null filter: see dedup._dup_gram_positions (base's toks
-        # projection would re-evaluate under the inferred pre-filter)
-        base.select("doc_id", F.explode_outer("toks").alias("tok"))
-        .filter(F.col("tok").isNotNull())
+        explode_non_null(base, "toks", "tok", "doc_id")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -366,12 +382,9 @@ def lm_score(
     split handles the residual shuffle case.  In production the table is
     typically capped to top-V with an OOV default and persisted across
     runs; here it is exact so the oracle can replay it."""
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        # outer + null filter: see dedup._dup_gram_positions (the
-        # inferred size>0 pre-filter re-evaluates tokens() at scan)
-        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
+    ex = explode_non_null(
+        df, tokens(F.col(text_col)), "tok", F.col(id_col).alias("doc_id")
+    )
     if persist_exploded:
         ex = ex.persist()
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -433,12 +446,10 @@ def tfidf_topk(
     carries raw text.  ``persist_counts`` caches the (doc, token, tf)
     table that feeds both the df build and the probe."""
     tc = (
-        df.select(
+        explode_non_null(
+            df, tokens(F.col(text_col)), "token",
             F.col(id_col).alias("doc_id"),
-            # outer + null filter — same trap as lm_score above
-            F.explode_outer(tokens(F.col(text_col))).alias("token"),
         )
-        .filter(F.col("token").isNotNull())
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

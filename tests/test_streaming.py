@@ -241,7 +241,9 @@ def test_drain_empty_events_fails_with_clear_message(spark, tmp_path):
     the empty output directory."""
     import pytest
 
-    from ocr_spark.streaming import drain_sessions, drain_windowed_counts
+    from ocr_spark.streaming import (
+        drain_dedup_exact, drain_sessions, drain_windowed_counts,
+    )
 
     empty = spark.createDataFrame(
         [],
@@ -251,3 +253,79 @@ def test_drain_empty_events_fails_with_clear_message(spark, tmp_path):
         drain_windowed_counts(spark, empty, str(tmp_path / "w"))
     with pytest.raises(ValueError, match="empty events"):
         drain_sessions(spark, empty, str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="empty events"):
+        drain_dedup_exact(
+            spark,
+            spark.createDataFrame(
+                [],
+                "event_id bigint, user_id bigint, ts timestamp, "
+                "event_type string, value double",
+            ),
+            str(tmp_path / "d"),
+        )
+
+
+def test_sessionize_skips_null_ts_events(spark, tmp_path):
+    """A NULL-ts event reaches the stateful operator (the engine's
+    late-row predicate treats NULL as not-late) and Arrow delivers it as
+    pd.NaT — which `is not None`.  The operator must SKIP it (matching
+    the batch twin, where NULL event times join no session), not crash
+    on NaT.timestamp()."""
+    from ocr_spark.streaming import drain_sessions
+
+    base = [(1, 1000, "a", 1.0), (1, 1500, "a", 1.0), (2, 9000, "b", 1.0)]
+    with_null = _events_df(spark, base).unionByName(
+        spark.createDataFrame(
+            [(1, None, "a", 1.0)],
+            "user_id bigint, s bigint, event_type string, value double",
+        ).selectExpr(
+            "user_id", "timestamp_seconds(s) AS ts", "event_type", "value"
+        )
+    )
+    got = drain_sessions(
+        spark, with_null, str(tmp_path / "null_ts"), gap_s=600.0
+    ).orderBy("user_id", "session_start").collect()
+    want = drain_sessions(
+        spark, _events_df(spark, base), str(tmp_path / "no_null"),
+        gap_s=600.0,
+    ).orderBy("user_id", "session_start").collect()
+    assert got == want and len(got) == 2
+
+
+def test_drains_keep_null_group_keys(spark, tmp_path):
+    """NULL group keys are real result rows (the batch twins' GROUP BY
+    keeps the NULL group); the drain read-back's sentinel filter must be
+    null-safe — a plain `!= sentinel` evaluates NULL for them and would
+    silently drop them."""
+    from ocr_spark.streaming import drain_sessions, drain_windowed_counts
+
+    rows = [(1, 1000, None, 2.0), (1, 1200, None, 3.0), (2, 2000, "b", 1.0)]
+    wc = drain_windowed_counts(
+        spark, _events_df(spark, rows), str(tmp_path / "wc")
+    ).collect()
+    null_rows = [r for r in wc if r["event_type"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["n_events"] == 2
+    assert null_rows[0]["total_value"] == 5.0
+
+    srows = [(None, 1000, "a", 1.0), (None, 1400, "a", 1.0),
+             (7, 2000, "a", 1.0)]
+    ses = drain_sessions(
+        spark, _events_df(spark, srows), str(tmp_path / "ses"), gap_s=600.0
+    ).collect()
+    null_ses = [r for r in ses if r["user_id"] is None]
+    assert len(null_ses) == 1 and null_ses[0]["n_events"] == 2
+
+
+def test_windowed_counts_survive_huge_values(spark, tmp_path):
+    """|value| ≥ 1e14 overflowed the old decimal(18,4) sum cast — a
+    query-killing error under ANSI (the Spark 4 default).  decimal(28,4)
+    must hold it and sum exactly."""
+    from ocr_spark.streaming import drain_windowed_counts
+
+    rows = [(1, 1000, "a", 1.0e15), (1, 1100, "a", 2.5), (2, 9000, "b", 1.0)]
+    got = drain_windowed_counts(
+        spark, _events_df(spark, rows), str(tmp_path / "big")
+    ).collect()
+    a = [r for r in got if r["event_type"] == "a"]
+    assert len(a) == 1 and a[0]["total_value"] == 1.0e15 + 2.5
