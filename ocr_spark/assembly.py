@@ -43,6 +43,12 @@ def stratified_sample(
     (stable under reruns/repartitioning, and the DuckDB oracle replays
     it exactly).  Strata absent from ``fractions`` get
     ``default_fraction``.  Fractions are exact at the 1e-6 granularity.
+
+    NULL-``id`` rows are DROPPED at every fraction (even 1.0): with no
+    id there is no deterministic bucket, and this operator returns the
+    kept rows only — use :func:`mixture_sample`'s audit output when
+    per-row keep/drop accounting (including unidentifiable rows) is
+    needed.
     """
     bucket = portable_hash(
         F.concat(F.lit(f"{salt}/"), F.col(id_col).cast("string"))
@@ -134,7 +140,9 @@ def mixture_sample(
     filter ``kept`` or audit the realized mixture.  That contract
     includes NULL-domain docs (null-safe domain join): like any
     unweighted domain they audit with target 0 / ``kept = false``
-    rather than silently vanishing.
+    rather than silently vanishing.  NULL-``id`` docs likewise audit
+    ``kept = false`` (no id → no deterministic hash bucket), never
+    ``kept = NULL``.
 
     Shape for 100 TB: one groupBy(domain) over (domain, n_tokens) rows
     (map-side combine — domains are few), a broadcast join of the tiny
@@ -144,6 +152,13 @@ def mixture_sample(
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("mixture weights must sum to a positive value")
+    if any(w < 0 for w in weights.values()):
+        # A negative weight both yields a silent rate-0 domain AND lets
+        # another domain's target exceed budget_tokens — past the int64
+        # guard below, target·10^6 could wrap where budget·10^6 did not.
+        raise ValueError("mixture weights must be non-negative")
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
     # The in-plan rate needs target·10^6 as a bigint; non-ANSI Spark
     # WRAPS int64 overflow silently (wrong rates, no error), so refuse
     # budgets past the exact bound up front.  ~9.2×10^12 tokens covers
@@ -207,7 +222,14 @@ def mixture_sample(
         F.col("r.domain_tokens").alias("domain_tokens"),
         F.col("r.target_tokens").alias("target_tokens"),
         F.col("r.rate_ppm").alias("rate_ppm"),
-        (bucket < F.col("r.rate_ppm")).alias("kept"),
+        # coalesce: a NULL doc_id hashes to a NULL bucket and the bare
+        # comparison would emit kept = NULL — a row that neither
+        # filter('kept') nor filter(~col('kept')) returns, breaking the
+        # audit contract.  An unidentifiable doc cannot be sampled
+        # deterministically, so it audits as kept = false.
+        F.coalesce(
+            bucket < F.col("r.rate_ppm"), F.lit(False)
+        ).alias("kept"),
     )
 
 
@@ -246,6 +268,10 @@ def score_buckets(
       ``1/d`` or pre-split tiny groups.
 
     Output: ``(id, group, score, bucket)`` — one row per input doc.
+    NULL-score docs get bucket NULL in BOTH shapes (a doc the scorer
+    failed on has no defensible quality tercile — surfaced, not
+    guessed), and never influence the boundaries or the ntile counts of
+    scored docs.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -253,19 +279,34 @@ def score_buckets(
         F.col(score_col).alias("score"),
     )
     if sample_denom is None:
+        # NULL scores are excluded from the ntile entirely (they would
+        # sort nulls-first into the head bucket AND displace real rows
+        # across every tercile) and surface as bucket NULL — same
+        # unscored-doc contract as the sampled branch below.
         wb = Window.partitionBy("grp").orderBy(
             F.col("score").asc(), F.col("id").asc()
         )
-        return base.select(
+        scored_rows = base.filter(F.col("score").isNotNull()).select(
             "id", "grp", "score",
             F.ntile(n_buckets).over(wb).cast("bigint").alias("bucket"),
         )
+        null_rows = base.filter(F.col("score").isNull()).select(
+            "id", "grp", "score",
+            F.lit(None).cast("bigint").alias("bucket"),
+        )
+        return scored_rows.unionByName(null_rows)
     if sample_denom < 1:
         raise ValueError("sample_denom must be >= 1")
+    # NULL scores must not enter the boundary sample: they sort
+    # nulls-first into sample-ntile 1 (displacing real rows and skewing
+    # every boundary down), and with enough of them tile 1's max(score)
+    # is NULL — which the missing-boundary check would read as "group
+    # under-sampled" and nullify the WHOLE group's buckets.
     sampled = base.filter(
-        portable_hash(
+        F.col("score").isNotNull()
+        & (portable_hash(
             F.concat(F.lit(f"{salt}/"), F.col("id").cast("string"))
-        ) % sample_denom == 0
+        ) % sample_denom == 0)
     )
     ws = Window.partitionBy("grp").orderBy(
         F.col("score").asc(), F.col("id").asc()
@@ -302,7 +343,12 @@ def score_buckets(
         missing = missing | F.col(f"t{i}").isNull()
     return base.join(F.broadcast(bounds), on="grp", how="left").select(
         "id", "grp", "score",
-        F.when(missing, F.lit(None).cast("bigint"))
+        # NULL score first: `score <= t_i` evaluates NULL for it, so the
+        # CASE would otherwise fall through every arm into the TAIL
+        # bucket — while the exact branch put the same doc in the head.
+        # Unscored docs surface as bucket NULL in both branches.
+        F.when(F.col("score").isNull(), F.lit(None).cast("bigint"))
+        .when(missing, F.lit(None).cast("bigint"))
         .otherwise(bucket.cast("bigint")).alias("bucket"),
     )
 

@@ -1372,12 +1372,14 @@ r2 AS (SELECT domain, domain_tokens, target_tokens,
        FROM r)
 SELECT b.doc_id, b.domain, b.n_tokens, r2.domain_tokens,
   r2.target_tokens, r2.rate_ppm,
-  ((('0x' || substr(md5('mix/' || cast(b.doc_id AS varchar)), 1, 15))
-      ::bigint % 1000000) < r2.rate_ppm) AS kept
+  coalesce(
+    ((('0x' || substr(md5('mix/' || cast(b.doc_id AS varchar)), 1, 15))
+        ::bigint % 1000000) < r2.rate_ppm), false) AS kept
 FROM b JOIN r2 ON b.domain IS NOT DISTINCT FROM r2.domain
 """
-# (IS NOT DISTINCT FROM mirrors the Spark side's null-safe domain join —
-# identical results on this corpus, which has no NULL source values, but
+# (IS NOT DISTINCT FROM mirrors the Spark side's null-safe domain join,
+# and the coalesce its kept=false contract for NULL doc ids — identical
+# results on this corpus, which has no NULL source or doc_id values, but
 # the twins must express the same semantics)
 
 
@@ -1507,7 +1509,8 @@ scored AS (
     END AS lm_score
   FROM marked m JOIN documents d USING (doc_id)
   LEFT JOIN sc USING (doc_id)),
-samp AS (SELECT * FROM scored WHERE {h} % 2 = 0),
+samp AS (SELECT * FROM scored
+         WHERE lm_score IS NOT NULL AND {h} % 2 = 0),
 sb AS (SELECT source, doc_id, lm_score,
          ntile(3) OVER (PARTITION BY source
                         ORDER BY lm_score ASC, doc_id ASC) AS sb
@@ -1517,7 +1520,8 @@ bounds AS (SELECT source,
              max(CASE WHEN sb = 2 THEN lm_score END) AS t2
            FROM sb GROUP BY source)
 SELECT s.doc_id, s.source, s.lm_score,
-  (CASE WHEN b.t1 IS NULL OR b.t2 IS NULL THEN NULL
+  (CASE WHEN s.lm_score IS NULL THEN NULL
+        WHEN b.t1 IS NULL OR b.t2 IS NULL THEN NULL
         WHEN s.lm_score <= b.t1 THEN 1
         WHEN s.lm_score <= b.t2 THEN 2
         ELSE 3 END)::bigint AS bucket

@@ -45,8 +45,6 @@ from ocr_spark.udfs import (
     OCR_OUT_SCHEMA,
 )
 
-SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
-
 
 def explode_spans(
     spans_df: DataFrame, max_spans_per_doc: int | None = None

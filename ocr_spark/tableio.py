@@ -56,6 +56,27 @@ class ParquetManifestIO:
         with open(path) as f:
             return json.load(f)
 
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        """Durably swap the manifest: write a temp file, FSYNC it,
+        os.replace, then fsync the directory.  rename-without-fsync is
+        the classic crash hole — after a power loss the replaced
+        manifest.json can come back empty or truncated (the rename
+        metadata made it to disk before the data pages), bricking every
+        later ``_load`` with a JSONDecodeError.  Call under the writer
+        lock."""
+        table_dir = os.path.join(self.root, table)
+        fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        dfd = os.open(table_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     @contextlib.contextmanager
     def _writer_lock(self, table: str, timeout_s: float = 60.0):
         """Mutual exclusion for manifest READ-MODIFY-SWAP sections.
@@ -162,7 +183,6 @@ class ParquetManifestIO:
         data_dir = os.path.join(self.root, table, rel_dir)
         df.write.mode("errorifexists").parquet(data_dir)
 
-        table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
             # The manifest must never reference a vacuumed directory: an
             # orphan vacuum with a too-small ``min_age_s`` may have
@@ -183,10 +203,7 @@ class ParquetManifestIO:
                 + 1
             )
             manifest["snapshots"].append({"id": snap_id, "dir": rel_dir})
-            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, self._manifest_path(table))  # atomic commit
+            self._commit_manifest(table, manifest)
         return snap_id
 
     def read(self, spark: SparkSession, table: str,
@@ -266,14 +283,23 @@ class ParquetManifestIO:
         folded = [(s["id"], s["dir"]) for s in manifest["snapshots"]]
         keep_id = max(s["id"] for s in manifest["snapshots"])
         old_rel = [s["dir"] for s in manifest["snapshots"]]
-        df = self.read(spark, table)
+        # Read the CAPTURED snapshot dirs directly — self.read() would
+        # re-load the manifest, so an append landing between the load
+        # above and the read would be folded into the output while the
+        # conflict check below still compares against `folded` and
+        # aborts: a spurious ConcurrentWriteError after a wasted full
+        # fold job.  Reading `folded`'s dirs keeps the fold and the
+        # check on the same snapshot set (a real concurrent append still
+        # aborts the swap, as it must).
+        df = spark.read.parquet(
+            *[self._resolve(table, d) for _, d in folded]
+        )
         if transform is not None:
             df = transform(df)
         rel_dir = f"data/c{keep_id:06d}-{secrets.token_hex(4)}"
         data_dir = os.path.join(self.root, table, rel_dir)
         df.write.mode("errorifexists").parquet(data_dir)
 
-        table_dir = os.path.join(self.root, table)
         with self._writer_lock(table):
             # same guard as append (incl. the tombstone check)
             self._check_commitable(table, data_dir, rel_dir, "compaction")
@@ -296,10 +322,7 @@ class ParquetManifestIO:
                 # otherwise the fold's old dirs join the expired queue
                 "expired": [] if vacuum else prior_expired + old_rel,
             }
-            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump(new_manifest, f)
-            os.replace(tmp, self._manifest_path(table))  # atomic commit
+            self._commit_manifest(table, new_manifest)
         if vacuum:
             for d in old_rel + prior_expired:
                 shutil.rmtree(self._resolve(table, d), ignore_errors=True)
@@ -318,11 +341,7 @@ class ParquetManifestIO:
             if not expired:
                 return []
             manifest["expired"] = []
-            table_dir = os.path.join(self.root, table)
-            fd, tmp = tempfile.mkstemp(dir=table_dir, suffix=".manifest")
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, self._manifest_path(table))
+            self._commit_manifest(table, manifest)
         # deletions need no lock: these dirs left the manifest above and
         # nothing ever re-registers an existing directory
         for d in expired:

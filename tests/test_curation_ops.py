@@ -1668,6 +1668,36 @@ def test_mixture_sample_rejects_overflowing_budget():
         mixture_sample(None, {}, budget_tokens=10)
 
 
+def test_mixture_sample_rejects_negative_weight_and_budget():
+    """A negative weight passes the wsum>0 check but silently zeroes its
+    own domain AND lets another domain's target exceed budget_tokens —
+    past the int64 guard, target*1e6 could wrap where budget*1e6 did
+    not.  Refuse both up front."""
+    from ocr_spark.assembly import mixture_sample
+
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(None, {"a": -5, "b": 10}, budget_tokens=10)
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(None, {"a": 1}, budget_tokens=-1)
+
+
+def test_mixture_sample_null_id_audits_kept_false(spark):
+    """A NULL doc_id hashes to a NULL bucket; the kept column must
+    coalesce to false (a row with kept=NULL is returned by NEITHER
+    filter('kept') NOR filter(~col('kept')) — outside the audit
+    contract entirely)."""
+    from ocr_spark.assembly import mixture_sample
+
+    df = _df(spark, [
+        (1, "a", "t t"), (None, "a", "u u"),
+    ], "doc_id bigint, source string, text string")
+    rows = mixture_sample(df, {"a": 1}, budget_tokens=100).collect()
+    assert len(rows) == 2
+    null_row = next(r for r in rows if r.doc_id is None)
+    assert null_row.kept is False  # false, not None
+    assert all(r.kept is not None for r in rows)
+
+
 # ------------------------------------------------------ duplicated passages
 
 def test_strip_dup_passages_tokenizes_once(spark, monkeypatch):
@@ -1974,6 +2004,31 @@ def test_score_buckets_under_sampled_group_is_null_not_skewed(spark):
            for r in score_buckets(df, sample_denom=2).collect()}
     assert all(out[i] is None for i in one_sampled + unsampled)
     assert {out[i] for i in range(40)} == {1, 2, 3}  # big group unaffected
+
+
+def test_score_buckets_null_scores_surface_null_in_both_branches(spark):
+    """A doc the scorer failed on (NULL score) has no defensible
+    tercile: it must get bucket NULL in BOTH shapes — not head-1 in the
+    exact branch (nulls-first ntile) and tail-n in the sampled branch
+    (CASE fallthrough) — and must not displace or skew the buckets of
+    scored docs (excluded from the ntile and from the boundary
+    sample)."""
+    from ocr_spark.assembly import score_buckets
+
+    scored = [(i, "a", float(i)) for i in range(60)]
+    nulls = [(i, "a", None) for i in range(100, 130)]
+    ddl = "doc_id bigint, source string, lm_score double"
+    with_nulls = _df(spark, scored + nulls, ddl)
+    clean = _df(spark, scored, ddl)
+
+    for kwargs in ({}, {"sample_denom": 2}):
+        got = {r.id: r.bucket
+               for r in score_buckets(with_nulls, **kwargs).collect()}
+        want = {r.id: r.bucket
+                for r in score_buckets(clean, **kwargs).collect()}
+        assert len(got) == 90  # one row per input doc, nulls included
+        assert all(got[i] is None for i, _, _ in nulls)
+        assert {i: got[i] for i, _, _ in scored} == want
 
 
 def test_band_table_rejects_bad_band_size(spark):

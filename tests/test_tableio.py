@@ -107,6 +107,30 @@ def test_compact_conflicting_append_raises_and_preserves(spark, tmp_path):
     assert io.snapshots("t") == [2]
 
 
+def test_compact_folds_captured_snapshot_set_not_a_reload(spark, tmp_path):
+    """compact() must fold exactly the snapshot set it captured for the
+    conflict check — reading via self.read() would RE-load the manifest,
+    so an append landing in between gets folded into the output while
+    the swap still aborts against the stale `folded` list (a spurious
+    ConcurrentWriteError after a wasted full fold job).  Pin: the fold
+    never goes through read()."""
+    io = ParquetManifestIO(str(tmp_path))
+    io.append(_df(spark, [1]), "t")
+    io.append(_df(spark, [2]), "t")
+
+    def no_reload(*a, **k):
+        raise AssertionError(
+            "compact must read the captured snapshot dirs, not re-load "
+            "the manifest via read()"
+        )
+
+    io.read = no_reload
+    io.compact(spark, "t", vacuum=True)
+    del io.read  # restore the class method
+    assert sorted(r.v for r in io.read(spark, "t").collect()) == [1, 2]
+    assert io.snapshots("t") == [1]
+
+
 def test_writer_lock_contention_and_crash_release(spark, tmp_path):
     """A HELD flock blocks a second writer until timeout; a lock file
     left behind by a crashed writer carries no flock, so the next writer
