@@ -21,6 +21,20 @@ _KILL_CONTAINERS = re.compile(
     r"<(script|style|nav|footer|header|aside|noscript)\b[^>]*>.*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
+# An UNCLOSED code container (truncated span, malformed markup) would leak
+# its entire body as high-ratio "visible" text — JS/CSS has many chars and
+# ~no tags.  After the closed-container pass, kill any remaining opening
+# through end-of-string.  Only the truly-invisible code containers: an
+# unclosed <nav>/<header> often wraps the rest of a real document, and
+# killing to EOF there would destroy content.
+_KILL_UNCLOSED_CODE = re.compile(
+    r"<(?:script|style|noscript)\b[^>]*>.*$", re.IGNORECASE | re.DOTALL
+)
+# Block tags INSIDE a closed anchor would split the anchor across blocks
+# before _ANCHOR can see it (no </a> in the fragment -> its text counts 0
+# toward link density -> link-heavy boilerplate evades the filter).
+# Flatten them to spaces within each anchor span first.
+_ANCHOR_WHOLE = re.compile(r"<a\b[^>]*>.*?</a\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 # Block-level boundaries used to segment the document.
 _BLOCK_SPLIT = re.compile(
@@ -69,6 +83,11 @@ def strip_boilerplate(text: str | None) -> str | None:
     while prev != doc:
         prev = doc
         doc = _KILL_CONTAINERS.sub(" ", doc)
+    doc = _KILL_UNCLOSED_CODE.sub(" ", doc)
+    if "<a" in doc or "<A" in doc:
+        doc = _ANCHOR_WHOLE.sub(
+            lambda m: _BLOCK_SPLIT.sub(" ", m.group(0)), doc
+        )
 
     kept: list[str] = []
     for block in _BLOCK_SPLIT.split(doc):
@@ -82,8 +101,11 @@ def strip_boilerplate(text: str | None) -> str | None:
         # anchors need their own regex scan only when one can open at all
         # (the _ANCHOR pattern is anchored on a literal '<a'/'<A')
         if "<a" in block or "<A" in block:
+            # unescape the numerator like the denominator: raw '&amp;'
+            # counts 5 chars vs 1 in `visible`, overstating link density
+            # (it could even exceed 1.0) and dropping borderline content
             anchor_text_len = sum(
-                len(_collapse(_TAG.sub(" ", m)))
+                len(_collapse(_unescape(_TAG.sub(" ", m))))
                 for m in _ANCHOR.findall(block)
             )
         else:

@@ -59,13 +59,15 @@ def extract_fields(lines: list[str], ref_year: int = REF_YEAR) -> dict[str, Any]
         "tipo_credencial": credential_type,
         "es_ine": "INSTITUTO NACIONAL ELECTORAL"
         in " ".join(t.upper() for t in clean),
-        "nombre": extract_name(clean, credential_type),
+        "nombre": extract_name(clean, credential_type,
+                               assume_normalized=True),
         "curp": curp,
         "clave_elector": elector_key,
         "fecha_nacimiento": search_lines(BIRTHDATE_REGEX, clean, ref_year),
         "anio_registro": search_lines(REGISTRY_YEAR_REGEX, clean, ref_year),
         "seccion": find_section(clean),
-        "vigencia": extract_validity(clean, credential_type),
+        "vigencia": extract_validity(clean, credential_type,
+                                     assume_normalized=True),
         "sexo": search_lines(SEX_REGEX, clean, ref_year),
         "pais": "Mex",
     }

@@ -75,9 +75,19 @@ def _is_name_candidate(upper_line: str) -> bool:
     return True
 
 
-def extract_name(lines: list[str], credential_type: str) -> str:
-    """Three-strategy cascade, first success wins (main.py:728-882)."""
-    clean_lines = normalize_lines(lines)
+def extract_name(
+    lines: list[str], credential_type: str, *,
+    assume_normalized: bool = False,
+) -> str:
+    """Three-strategy cascade, first success wins (main.py:728-882).
+
+    ``assume_normalized=True`` skips the entry normalize pass —
+    output-identical when the caller already ran
+    :func:`normalize_lines` (it is idempotent, property-tested), and
+    saves a full regex pass per document in the pandas-UDF hot path
+    (``extract_fields`` normalizes once and fans out).
+    """
+    clean_lines = lines if assume_normalized else normalize_lines(lines)
 
     # Strategy (a): look back ≤12 lines above the first DOMICILIO anchor.
     anchor = None
@@ -148,7 +158,10 @@ def extract_name(lines: list[str], credential_type: str) -> str:
                     return candidate
 
     # Strategy (c): first line anywhere with ≥2 words passing all filters.
-    fallback: list[str] = []
+    # The reference (main.py:858-881) collects EVERY qualifying line into
+    # `candidatos` and returns candidatos[0]; only the first is ever used,
+    # so returning on the first success is output-identical and skips the
+    # regex-heavy clean_name on every later line (per-doc UDF hot path).
     for line in clean_lines:
         up = line.upper().strip()
         if not up:
@@ -163,8 +176,6 @@ def extract_name(lines: list[str], credential_type: str) -> str:
             continue
         candidate = clean_name(line.strip()).strip()
         if len(candidate.split()) >= 2:
-            fallback.append(candidate)
+            return candidate
 
-    if fallback:
-        return fallback[0]
     return ""

@@ -120,6 +120,12 @@ def split_name_by_curp(full_name: str, curp: str) -> dict[str, str]:
             score = sum(1 for a, b in zip(prefix, target) if a == b)
             if prefix == target:
                 score += 10
+            # Replicated VERBATIM from the reference (main.py:1508-1510)
+            # where it is equally unreachable: the `i + j >= len(tokens):
+            # continue` guard above guarantees `given` has >= 1 token, so
+            # this "-5 empty-given penalty" never fires — in either
+            # implementation.  Kept (not removed) so a line-by-line
+            # parity check against the reference scoring loop holds.
             if len(given.split()) == 0:
                 score -= 5
 

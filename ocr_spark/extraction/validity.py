@@ -36,9 +36,16 @@ def _format_pair(value: str) -> str:
     return _WS.sub(" ", value.replace("-", " - ").strip())
 
 
-def extract_validity(lines: list[str], credential_type: str) -> str:
-    """Extract the validity period as ``"YYYY - YYYY"`` or ``""``."""
-    clean = normalize_lines(lines)
+def extract_validity(
+    lines: list[str], credential_type: str, *,
+    assume_normalized: bool = False,
+) -> str:
+    """Extract the validity period as ``"YYYY - YYYY"`` or ``""``.
+
+    ``assume_normalized`` as in :func:`ocr_spark.extraction.name.extract_name`:
+    skip the (idempotent) entry normalize when the caller already did it.
+    """
+    clean = lines if assume_normalized else normalize_lines(lines)
 
     for line in clean:
         upper = line.upper()

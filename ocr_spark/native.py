@@ -304,11 +304,24 @@ def clean_name(name: Column) -> Column:
 def strip_cp_from_colonia(colonia: Column, cp: Column) -> Column:
     """P4 (main.py:1530-1545): drop the exact CP token, re-collapse spaces.
 
-    Digit-only CPs need no regex escaping; non-digit inputs are passed
-    through the same word-boundary template the reference builds.
+    The CP is quoted into the word-boundary pattern LITERALLY
+    (``\\b\\Q<cp>\\E\\b`` — Java's Pattern.quote form, with embedded
+    ``\\E`` re-escaped), matching the Python twin's ``re.escape``
+    (extraction/name_split.py).  Interpolating it raw diverged for
+    metachar CPs (OCR noise like ``0.600`` matched ``0X600``) and a CP
+    like ``06(00`` was an invalid pattern — a task-killing
+    PatternSyntaxException from malformed *input*.
     """
+    quoted = F.concat(
+        F.lit(r"\Q"),
+        # Pattern.quote's embedded-\E escape: each literal "\E" in the
+        # cp becomes "\E\\E\Q" so it cannot close the quoted region.
+        # (regexp_replace replacement doubles backslashes.)
+        F.regexp_replace(cp, r"\\E", r"\\E\\\\E\\Q"),
+        F.lit(r"\E"),
+    )
     stripped = F.regexp_replace(
-        colonia, F.concat(F.lit(r"\b"), cp, F.lit(r"\b")), F.lit("")
+        colonia, F.concat(F.lit(r"\b"), quoted, F.lit(r"\b")), F.lit("")
     )
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
     return F.when(

@@ -223,7 +223,8 @@ def test_boilerplate_micro_opts_preserve_semantics():
     from random import Random
 
     from ocr_spark.boilerplate import (
-        _ANCHOR, _BLOCK_SPLIT, _COMMENT, _KILL_CONTAINERS, _MARKUP, _TAG,
+        _ANCHOR, _ANCHOR_WHOLE, _BLOCK_SPLIT, _COMMENT, _KILL_CONTAINERS,
+        _KILL_UNCLOSED_CODE, _MARKUP, _TAG,
         LINK_DENSITY_THRESHOLD, TEXT_TO_TAG_THRESHOLD,
         _collapse, _unescape, strip_boilerplate,
     )
@@ -239,12 +240,16 @@ def test_boilerplate_micro_opts_preserve_semantics():
         while prev != doc:
             prev = doc
             doc = _KILL_CONTAINERS.sub(" ", doc)
+        doc = _KILL_UNCLOSED_CODE.sub(" ", doc)
+        doc = _ANCHOR_WHOLE.sub(
+            lambda m: _BLOCK_SPLIT.sub(" ", m.group(0)), doc
+        )
         kept = []
         for block in _BLOCK_SPLIT.split(doc):
             if not block or not block.strip():
                 continue
             anchor_text_len = sum(
-                len(_collapse(_TAG.sub(" ", m)))
+                len(_collapse(_unescape(_TAG.sub(" ", m))))
                 for m in _ANCHOR.findall(block)
             )
             tag_count = len(_TAG.findall(block))
@@ -272,6 +277,55 @@ def test_boilerplate_micro_opts_preserve_semantics():
         "<p>short</p>", "<p></p><div>   </div>",
         "<ul><li><a href='/x'>x</a></li><li>plain item that is long enough"
         " to survive on its own</li></ul>",
+        # round-5 hardening edges: unclosed code container, block tag
+        # inside an anchor, entity-heavy anchor text
+        "<p>real text that is long enough to keep</p><script>var c={a:1};"
+        " function track() { emit('lots of js chars'); }",
+        "<li><a href=x>Very long product title here<br>subtitle text"
+        " line</a></li>",
+        "<div><a href=y>Terms &amp; Conditions &amp; Privacy</a> short"
+        " tail</div>",
     ]
     for c in cases:
         assert strip_boilerplate(c) == reference(c), c
+
+
+def test_boilerplate_degenerate_markup_edges():
+    """Three leak paths closed in round 5: (a) an UNCLOSED script/style
+    body must not surface as high-ratio visible text; (b) a block-level
+    tag inside a closed anchor must not split the anchor out of its
+    block (its text counted 0 toward link density, so pure link
+    boilerplate survived); (c) anchor text is entity-unescaped before
+    measuring, like the visible denominator (raw '&amp;' counted 5
+    chars vs 1, overstating link density)."""
+    # (a) truncated-span script leak
+    got = strip_boilerplate(
+        "<p>real text that is long enough to keep</p>"
+        "<script>var cfg={a:1}; function track(){ emit('x'); }"
+    )
+    assert got == "real text that is long enough to keep"
+    assert "track" not in got
+    # still fine when the script IS closed and more content follows
+    assert strip_boilerplate(
+        "<p>first chunk of real visible words</p><script>x()</script>"
+        "<p>second chunk of real visible words</p>"
+    ) == "first chunk of real visible words second chunk of real visible words"
+    # (b) <br> inside the anchor: the whole thing is link text -> dropped
+    assert strip_boilerplate(
+        "<li><a href=x>Very long product title here<br>subtitle text"
+        " line</a></li>"
+    ) == ""
+    # (c) entity-heavy anchor must not push a content block over 0.5:
+    # visible = 'Terms & Conditions & Privacy and quite a lot of genuine
+    # article prose follows here' — anchor is 28/81 unescaped (kept) but
+    # would be 36/81 raw... construct a case that flips the verdict
+    html_block = (
+        "<div><a href=y>Terms &amp; Conditions &amp; Privacy &amp; Co"
+        "</a> genuine article prose follows the anchor here</div>"
+    )
+    got_c = strip_boilerplate(html_block)
+    # unescaped anchor text 'Terms & Conditions & Privacy & Co' = 33
+    # chars; visible = 33 + 44 = 78 -> density 0.423 < 0.5 -> kept.
+    # (raw-escaped numerator was 45 -> 0.58 -> wrongly dropped)
+    assert got_c != ""
+    assert "genuine article prose" in got_c

@@ -186,19 +186,35 @@ def test_native_registry_suffix_and_cp_strip(spark):
     ]
     assert got == ["2011 00", "2011 02", ""]
 
-    df2 = spark.createDataFrame(
-        [("FRACC LA HERRADURA III 77050", "77050"),
-         ("COL 770501 NORTE", "77050"),
-         ("", "77050"), ("COL CENTRO", "")],
-        "colonia string, cp string",
+    from ocr_spark.extraction.name_split import (
+        strip_cp_from_colonia as py_strip_cp,
     )
+
+    cp_cases = [
+        ("FRACC LA HERRADURA III 77050", "77050"),
+        ("COL 770501 NORTE", "77050"),
+        ("", "77050"), ("COL CENTRO", ""),
+        # metachar / invalid-regex CPs (OCR noise): the native twin must
+        # quote the cp LITERALLY like the Python twin's re.escape — a raw
+        # interpolation matched '0X600' for cp '0.600' and threw a
+        # task-killing PatternSyntaxException for '06(00'
+        ("COL 0X600 NORTE", "0.600"),
+        ("COL 0.600 NORTE", "0.600"),
+        ("COL 06(00 SUR", "06(00"),
+        ("COL A\\E9 SUR", "A\\E9"),  # embedded \E must not close \Q..\E
+        ("COL \\Q77050 X", "\\Q77050"),
+    ]
+    df2 = spark.createDataFrame(cp_cases, "colonia string, cp string")
     got2 = [
         r.out
         for r in df2.select(
             native.strip_cp_from_colonia(F.col("colonia"), F.col("cp")).alias("out")
         ).collect()
     ]
-    assert got2 == ["FRACC LA HERRADURA III", "COL 770501 NORTE", "", "COL CENTRO"]
+    assert got2 == [py_strip_cp(c, p) for c, p in cp_cases]
+    assert got2[:4] == [
+        "FRACC LA HERRADURA III", "COL 770501 NORTE", "", "COL CENTRO",
+    ]
 
 
 def test_native_clean_name_matches_python(spark):
