@@ -11,13 +11,12 @@ cluster image (they are not in this sandbox).
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ocr_spark.recognizer import FAKE_MAGIC
+from ocr_spark.recognizer import decode_fake_payload
 
 MEDIA_META_SCHEMA = (
     "media_ref string, fmt string, width int, height int, n_lines int, "
@@ -29,10 +28,10 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
-def _decode_fake(content: bytes) -> dict:
-    if not bytes(content).startswith(FAKE_MAGIC):
-        raise ValueError("decode_error")
-    return json.loads(bytes(content)[len(FAKE_MAGIC):].decode("utf-8"))
+# The fake-payload decode lives in ocr_spark.recognizer
+# (decode_fake_payload) — ONE definition of the FAKEOCR1 format for the
+# OCR path, this metadata path, and tools/gen_truth.py.
+_decode_fake = decode_fake_payload
 
 
 def _decode_real(content: bytes) -> dict:  # pragma: no cover - no codecs here
@@ -59,7 +58,12 @@ def extract_media_meta(media_df: DataFrame, backend: str = "fake") -> DataFrame:
             ):
                 row = {
                     "media_ref": ref, "fmt": fmt,
-                    "width": int(width), "height": int(height),
+                    # pd.notna guards: a NULL width/height arrives as NaN
+                    # (Arrow int column with nulls → float64) and a bare
+                    # int(NaN) would fail the whole TASK — metadata
+                    # gaps surface as None, never a task failure.
+                    "width": int(width) if pd.notna(width) else None,
+                    "height": int(height) if pd.notna(height) else None,
                     "n_lines": 0,
                     "n_bytes": int(len(content) if content is not None else 0),
                     "error": None,
@@ -90,6 +94,12 @@ def sample_frames(
     frame.  The fake backend treats each embedded truth line as one frame;
     the real backend would ffmpeg-seek.  Demonstrates the 1→N expansion
     shape (mapInPandas emitting more rows than it receives)."""
+    if every_n < 1:
+        # Fail the CALL, not the corpus: every_n=0 quarantined every row
+        # with a cryptic range() error, and a negative value silently
+        # emitted zero frames with error=None — a config typo reading as
+        # "no frames in the corpus".
+        raise ValueError(f"every_n must be >= 1 (got {every_n})")
     decode = _decode_fake if backend == "fake" else _decode_real
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -40,7 +40,18 @@ def _preproc_cv2(content: bytes, deskew: bool, binarize: bool) -> bytes:  # prag
                           cv2.THRESH_BINARY + cv2.THRESH_OTSU)[1]))
         if coords is not None:
             angle = cv2.minAreaRect(coords)[-1]
-            angle = -(90 + angle) if angle < -45 else -angle
+            # minAreaRect's angle convention CHANGED in OpenCV 4.5:
+            # pre-4.5 returns [-90, 0), modern returns (0, 90].  The
+            # classic `-(90+angle) if angle < -45` fold handles only the
+            # old range — under a modern cv2 a near-upright page
+            # reporting ~89° would be rotated ~-89° (sideways,
+            # destroying OCR).  Fold BOTH conventions into the nearest
+            # small skew in (-45, 45], then rotate by its negation.
+            if angle < -45:
+                angle += 90
+            elif angle > 45:
+                angle -= 90
+            angle = -angle
             h, w = gray.shape
             m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
             gray = cv2.warpAffine(gray, m, (w, h), flags=cv2.INTER_CUBIC,

@@ -28,6 +28,32 @@ from dataclasses import dataclass
 
 FAKE_MAGIC = b"FAKEOCR1"
 
+# Hard-kill fallback budget when a caller passes time_budget_s=None: far
+# above any sane per-image inference time, but finite — the wrapper's
+# whole purpose is to never block forever on a hung backend.
+DEFAULT_HARD_BUDGET_S = 300.0
+
+
+def decode_fake_payload(content: bytes) -> dict:
+    """Decode a ``FAKEOCR1`` fixture payload to its dict — the ONE
+    definition of the fake-payload format, shared by
+    :class:`FakeRecognizer`, the multimodal metadata/frame path, and
+    ``tools/gen_truth.py`` (previously three diverging copies).  Raises
+    ``ValueError('decode_error')`` on ANY malformed payload: wrong
+    magic, invalid JSON, or valid JSON that is not an object (a list or
+    bare string used to escape as an AttributeError past the decode
+    handler)."""
+    data = bytes(content)
+    if not data.startswith(FAKE_MAGIC):
+        raise ValueError("decode_error")
+    try:
+        payload = json.loads(data[len(FAKE_MAGIC):].decode("utf-8"))
+    except Exception:
+        raise ValueError("decode_error") from None
+    if not isinstance(payload, dict):
+        raise ValueError("decode_error")
+    return payload
+
 
 @dataclass
 class RecognizeResult:
@@ -70,11 +96,9 @@ class FakeRecognizer:
             self._burn()
         if content is None or len(content) == 0:
             return RecognizeResult([], error="decode_error")
-        if not bytes(content).startswith(FAKE_MAGIC):
-            return RecognizeResult([], error="decode_error")
         try:
-            payload = json.loads(bytes(content)[len(FAKE_MAGIC):].decode("utf-8"))
-        except Exception:
+            payload = decode_fake_payload(content)
+        except ValueError:
             return RecognizeResult([], error="decode_error")
 
         sleep_s = float(payload.get("sleep_s") or 0.0)
@@ -163,6 +187,21 @@ class ProcessIsolatedRecognizer:
         if self._proc is None or not self._proc.is_alive():
             import multiprocessing as mp
 
+            # A child that died OUT OF BAND (OOM-kill, crash between
+            # images) leaves the previous parent pipe end open; respawn
+            # without closing it and every such death leaks an fd pair
+            # for the life of the reused Python worker (the kill path in
+            # recognize() already closes — this path must too).
+            if self._conn is not None:
+                try:
+                    self._conn.close()
+                except OSError:  # pragma: no cover - already closed
+                    pass
+                self._conn = None
+            if self._proc is not None:
+                self._proc.join()
+                self._proc = None
+
             ctx = mp.get_context("fork")
             parent, child = ctx.Pipe()
             proc = ctx.Process(
@@ -177,7 +216,13 @@ class ProcessIsolatedRecognizer:
     def recognize(
         self, content: bytes | None, time_budget_s: float | None = None
     ) -> RecognizeResult:
+        """``time_budget_s=None`` means the DEFAULT hard budget
+        (:data:`DEFAULT_HARD_BUDGET_S`), never "wait forever": an
+        unbounded ``poll(None)`` would hang on exactly the hung backend
+        this wrapper exists to defend against."""
         self._ensure()
+        if time_budget_s is None:
+            time_budget_s = DEFAULT_HARD_BUDGET_S
         try:
             self._conn.send(content)
             if self._conn.poll(time_budget_s):

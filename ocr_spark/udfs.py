@@ -134,8 +134,11 @@ def make_ocr_batch_fn(backend: str, time_budget_s: float,
                 # split back for the field cascade; an embedded newline in a
                 # single OCR "line" (out-of-contract backend) would shift
                 # every line boundary downstream — normalize it away here.
+                # \r too: a CRLF backend would otherwise leave carriage
+                # returns inside line text for the extraction regexes.
                 lines_out.append(
-                    [ln.replace("\n", " ") for ln in result.lines]
+                    [ln.replace("\r", " ").replace("\n", " ")
+                     for ln in result.lines]
                 )
                 error_out.append(result.error)
             out = pdf[["doc_id", "offset", "media_ref"]].copy()

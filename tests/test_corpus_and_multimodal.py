@@ -59,6 +59,48 @@ def test_frame_sample_expands_rows(spark):
     assert len(refs) == len(got_ok)
 
 
+def test_media_meta_null_metadata_is_not_a_task_failure(spark):
+    """A NULL width/height arrives in the pandas batch as NaN (Arrow int
+    with nulls -> float64); a bare int(NaN) failed the whole task.  The
+    row must come through with width/height None — metadata gaps are not
+    decode errors."""
+    from ocr_spark.fixtures import fake_media_content
+
+    media = spark.createDataFrame(
+        [("m1", fake_media_content(["A", "B"]), "img", None, None, ["A", "B"]),
+         ("m2", fake_media_content(["C"]), "img", 3, 4, ["C"])],
+        "media_ref string, content binary, fmt string, width int, "
+        "height int, truth_lines array<string>",
+    )
+    got = {r.media_ref: r for r in extract_media_meta(media).collect()}
+    assert got["m1"].error is None and got["m1"].n_lines == 2
+    assert got["m1"].width is None and got["m1"].height is None
+    assert got["m2"].width == 3 and got["m2"].height == 4
+
+
+def test_sample_frames_rejects_degenerate_every_n(spark):
+    """every_n=0 quarantined EVERY row with a cryptic range() error and
+    every_n<0 silently emitted zero frames — both are config errors that
+    must fail the call, not read as corpus properties."""
+    _, media = corpus_dataframes_distributed(spark, seed=SEED, n_docs=4)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(media, every_n=bad)
+
+
+def test_fake_decoder_rejects_non_dict_json():
+    """Valid JSON that is not an object (b'FAKEOCR1\"hi\"', arrays) used
+    to escape as AttributeError past the decode handler; the shared
+    decoder must classify it decode_error everywhere."""
+    from ocr_spark.recognizer import FakeRecognizer, decode_fake_payload
+
+    rec = FakeRecognizer()
+    for payload in (b'FAKEOCR1"hi"', b"FAKEOCR1[1,2]", b"FAKEOCR1null"):
+        assert rec.recognize(payload).error == "decode_error"
+        with pytest.raises(ValueError, match="decode_error"):
+            decode_fake_payload(payload)
+
+
 def test_real_backend_is_stubbed_not_silent(spark):
     _, media = corpus_dataframes_distributed(spark, seed=SEED, n_docs=5)
     meta = extract_media_meta(media.limit(3), backend="real").collect()

@@ -170,6 +170,34 @@ def test_hard_kill_preempts_hung_inference():
     assert ok.error is None and ok.lines == ["HELLO"]
 
 
+def test_out_of_band_child_death_closes_stale_pipe_and_respawns():
+    """A child that dies on its own (not via the kill path) must not leak
+    the previous parent pipe end on respawn — in a long-lived reused
+    Python worker, repeated deaths would otherwise accumulate fds until
+    EMFILE.  And recognize() must still work after the respawn."""
+    rec = ProcessIsolatedRecognizer("fake")
+    ok = rec.recognize(fake_media_content(["A"]), time_budget_s=5.0)
+    assert ok.lines == ["A"]
+    old_conn = rec._conn
+    rec._proc.kill()
+    rec._proc.join()
+    ok2 = rec.recognize(fake_media_content(["B"]), time_budget_s=5.0)
+    assert ok2.error is None and ok2.lines == ["B"]
+    assert old_conn.closed  # the stale parent end was closed on respawn
+
+
+def test_process_isolated_default_budget_is_finite():
+    """time_budget_s=None must mean the DEFAULT hard budget, never
+    poll(None)-forever — an unbounded wait defeats the wrapper's whole
+    purpose against a hung backend."""
+    from ocr_spark.recognizer import DEFAULT_HARD_BUDGET_S
+
+    assert DEFAULT_HARD_BUDGET_S > 0 and DEFAULT_HARD_BUDGET_S < float("inf")
+    rec = ProcessIsolatedRecognizer("fake")
+    ok = rec.recognize(fake_media_content(["C"]))  # no budget passed
+    assert ok.error is None and ok.lines == ["C"]
+
+
 def test_hard_kill_pipeline_end_to_end(spark):
     spans_df = spark.createDataFrame(
         [("d1", [("media", None, "m_slow", 0), ("media", None, "m_ok", 1)])],

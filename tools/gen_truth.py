@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ocr_spark.config import PipelineConfig  # noqa: E402
 from ocr_spark.extraction.fields import FIELD_ORDER  # noqa: E402
 from ocr_spark.fixtures import build_corpus  # noqa: E402
-from ocr_spark.multimodal import _decode_fake  # noqa: E402
+from ocr_spark.recognizer import decode_fake_payload as _decode_fake  # noqa: E402
 from tests.oracle import expected_document  # noqa: E402
 from tests.oracle_ivf import ivf_topk_local, ivf_train_local  # noqa: E402
 
