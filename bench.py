@@ -78,20 +78,28 @@ def _timed_extract(spark, sf_dir: str) -> float:
     from ocr_spark.pipeline import run_extraction
 
     n = docs_count_for_sf(spark, sf_dir)
-    base = "/tmp/ocr_spark_bench_extract"
+    # Per-uid path: a fixed shared /tmp dir is unwritable for the second
+    # user on a multi-user host (same reasoning as
+    # driver_contract._stream_workdir); cleaned up after the timed runs.
+    base = f"/tmp/ocr_spark_bench_extract_{os.getuid()}"
     spans, media = corpus_dataframes_distributed(spark, seed=42, n_docs=n)
     spans.write.mode("overwrite").parquet(f"{base}/spans")
     media.write.mode("overwrite").parquet(f"{base}/media")
-    sp = spark.read.parquet(f"{base}/spans")
-    md = spark.read.parquet(f"{base}/media")
-    out = run_extraction(spark, sp, md)
-    _materialize(out)  # warmup
-    walls = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        _materialize(out)
-        walls.append(time.monotonic() - t0)
-    return min(walls)
+    try:
+        sp = spark.read.parquet(f"{base}/spans")
+        md = spark.read.parquet(f"{base}/media")
+        out = run_extraction(spark, sp, md)
+        _materialize(out)  # warmup
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            _materialize(out)
+            walls.append(time.monotonic() - t0)
+        return min(walls)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -159,7 +167,10 @@ def main() -> None:
     ) if rounds > 1 else 0.0
 
     # docs/sec for the flagship: corpus size == documents rowcount at SF
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # (same helper _timed_extract uses — one definition of the SF size)
+    from ocr_spark.corpus import docs_count_for_sf
+
+    n_docs = docs_count_for_sf(spark, sf_dir)
     extract_s = timings["extract_pipeline"]
     total = round(sum(timings.values()), 3)
     result = {
@@ -177,13 +188,15 @@ def main() -> None:
     }
     print(json.dumps(result))
     if args.addendum:
+        from tools.mdappend import append_addendum
+
         stamp = time.strftime("%Y-%m-%d %H:%M")
-        with open(args.addendum, "a", encoding="utf-8") as fh:
-            fh.write(
-                f"\n## Headline suite — sf{sf}, local[{cpus}] "
-                f"(generated by bench.py --addendum, {stamp})\n\n"
-                f"```json\n{json.dumps(result)}\n```\n"
-            )
+        append_addendum(
+            args.addendum,
+            f"\n## Headline suite — sf{sf}, local[{cpus}] "
+            f"(generated by bench.py --addendum, {stamp})\n\n"
+            f"```json\n{json.dumps(result)}\n```\n",
+        )
     spark.stop()
 
 

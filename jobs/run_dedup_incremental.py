@@ -169,10 +169,17 @@ def main(argv: list[str] | None = None) -> dict:
     # layout, k mismatch, band_size) already fails loudly.  One semi-join
     # against the store's doc ids, bounded by the delta's size.
     if committed_doc_rows is not None:
+        # The store side's id is aliased to a private name: an
+        # unqualified F.col("id") resolved against BOTH join children
+        # whenever the delta parquet happened to carry its own 'id'
+        # column — AMBIGUOUS_REFERENCE from the precondition CHECK
+        # itself, and only on the second run (after a store exists).
         overlap = (
             docs.join(
-                committed_doc_rows.select("id"),
-                docs.doc_id == F.col("id"),
+                committed_doc_rows.select(
+                    F.col("id").alias("_store_id")
+                ),
+                docs.doc_id == F.col("_store_id"),
                 "leftsemi",
             )
             .select("doc_id")

@@ -1216,9 +1216,15 @@ def simhash_sketches(
     carry no exact-dedup payload (the minhash family's store does), so
     dropping these docs from the sketch table loses nothing."""
     feats = shingle_hashes(tokens(F.col(text_col)), shingle_n)
+    # The exclusion predicate is `size(tokens) >= shingle_n`, NOT
+    # `size(feats) > 0`: the two are equivalent (shingles() returns the
+    # explicit empty array exactly when size(toks) < n), but filtering
+    # on the computed feats column pushes the WHOLE shingle+md5 pipeline
+    # into the filter — measured 6x on dedup_simhash_pairs at sf0.1
+    # (4.8 s → 28-36 s).  The token count is a cheap split away.
+    kept = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
     return simhash_from_features(
-        df.select(F.col(id_col).alias("id"), feats.alias("feats"))
-        .filter(F.size("feats") > 0),
+        kept.select(F.col(id_col).alias("id"), feats.alias("feats")),
         F.col("feats"),
         bits=bits,
     )

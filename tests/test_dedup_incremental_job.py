@@ -159,6 +159,29 @@ def test_job_merges_committed_clusters_via_bridge_doc(spark, tmp_path):
     assert merges == {(2, 1)}
 
 
+def test_overlap_guard_tolerates_extra_id_column(spark, tmp_path):
+    """A delta parquet carrying its OWN 'id' column (beyond doc_id/text)
+    must still pass through the id-overlap precondition check on the
+    second run: the unqualified F.col('id') in the guard's join
+    condition used to resolve against BOTH children and abort with
+    AMBIGUOUS_REFERENCE — the check itself crashed instead of checking."""
+    store = str(tmp_path / "store")
+    d1, d2 = str(tmp_path / "docs1"), str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(1, 100, "alpha beta gamma"), (2, 200, "delta epsilon zeta")],
+        "doc_id bigint, id bigint, text string",
+    ).write.parquet(d1)
+    spark.createDataFrame(
+        [(3, 300, "eta theta iota"), (4, 400, "kappa lambda mu")],
+        "doc_id bigint, id bigint, text string",
+    ).write.parquet(d2)
+    job_main(["--docs", d1, "--store", store,
+              "--out", str(tmp_path / "outA")])
+    r = job_main(["--docs", d2, "--store", store,
+                  "--out", str(tmp_path / "outB")])  # must not raise
+    assert r["n_new"] == 2
+
+
 def test_job_refuses_legacy_two_table_store(spark, tmp_path):
     """A store in the removed digests/sketches layout must fail loudly —
     treating it as empty would silently re-keep every committed

@@ -140,6 +140,15 @@ def test_simhash_pairs_plan_bounded_and_codegen(spark):
     # scans as a single partition — _simhash_pair_corpus widens it before
     # the per-row shingle/signature work)
     assert plan.count("Exchange (") <= 7, plan.count("Exchange (")
+    # The feature-less exclusion must filter on the TOKEN COUNT, never
+    # on the computed shingle-hash array: `size(feats) > 0` pushed the
+    # whole shingle+md5 pipeline into the filter — measured 6x on the
+    # sf0.1 bench (4.8 s -> 28-36 s).  Pin: no Filter condition carries
+    # the md5 hash expression.
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Filter" in block.split(
+                "\n")[0]:
+            assert "md5" not in block, block
 
 
 def test_ngram_cap_plan_bounded(spark):

@@ -61,7 +61,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = "/dev/shm/ocr_spark_bench_corpus"
 PARTS = 128
 RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "3"))
-MANUAL_MARKER = "<!-- MANUAL ADDENDA: preserved across --out regenerations -->"
+# the ONE marker definition is shared with the other evidence writers
+# (stress_bench, bench --addendum) via tools/mdappend.py
+try:
+    from tools.mdappend import MANUAL_MARKER
+except ImportError:  # run as `python tools/scaling_bench.py`
+    from mdappend import MANUAL_MARKER
 WORK_ITERS = 6000         # ≈3 ms/image on this core class
 WORK_ITERS_HEAVY = 30000  # ≈15 ms/image — still well BELOW real CPU OCR
 
@@ -147,10 +152,20 @@ def combine_probes(probes: list[dict]) -> dict:
     ±20% minute-to-minute (shared hypervisor tenancy, measured
     31-41 Mh/s within ten minutes), so the ceiling is a distribution,
     not a constant — the report carries the spread alongside the
-    median."""
-    probes = sorted(probes, key=lambda p: p["speedup"])
-    med = probes[len(probes) // 2]
-    return {**med, "speedups_sampled": [p["speedup"] for p in probes]}
+    median.
+
+    TRUE median (statistics.median): the default sweep yields an EVEN
+    probe count (1 initial + 3 interleaved), where the old
+    ``probes[n//2]`` picked the upper-middle sample — biasing the
+    ceiling high and eff_vs_platform low, enough to flip the ≥0.8
+    verdict on host noise alone.  The mh rates reported alongside come
+    from the sample nearest the median speedup."""
+    import statistics
+
+    sp = statistics.median(p["speedup"] for p in probes)
+    nearest = min(probes, key=lambda p: abs(p["speedup"] - sp))
+    return {**nearest, "speedup": round(sp, 2),
+            "speedups_sampled": sorted(p["speedup"] for p in probes)}
 
 
 def _sub(code: str, *args: str) -> str:
@@ -201,10 +216,15 @@ def _submit_worker(workdir: str, zip_path: str, cores: int,
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
-    out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_docs", type=int, nargs="?", default=60000)
+    ap.add_argument("--out", help="markdown report path (regenerated; "
+                                  "content below the MANUAL ADDENDA "
+                                  "marker is preserved)")
+    args = ap.parse_args()
+    n_docs, out_path = args.n_docs, args.out
 
     probes = [_platform_speedup_once()]
     import tempfile
@@ -257,8 +277,12 @@ def main() -> None:
         li = profiles["light"]
         # Preserve hand-written sections below the marker across
         # regenerations (a previous --out rewrite silently clobbered the
-        # committed 200k-doc stress-run evidence).
-        addenda = ""
+        # committed 200k-doc stress-run evidence).  The marker is ALWAYS
+        # written, even into a fresh file with no addenda yet: the other
+        # evidence writers (stress_bench, bench --addendum) append below
+        # it, and a marker-less file would make the NEXT regeneration
+        # silently destroy their blocks.
+        addenda = MANUAL_MARKER + "\n"
         if os.path.exists(out_path):
             prior = open(out_path).read()
             if MANUAL_MARKER in prior:
