@@ -72,7 +72,12 @@ def corpus_dataframes_distributed(
     broken_frac: float = 0.01,
 ) -> tuple[DataFrame, DataFrame]:
     """(spans_df, media_df) generated on executors, ``partitions`` wide."""
-    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    if partitions is not None and partitions < 1:
+        # `partitions or default` would silently treat an explicit 0 as
+        # unset — masking a caller's miscomputed partition count
+        raise ValueError(f"partitions must be >= 1 (got {partitions})")
+    parts = (partitions if partitions is not None
+             else max(8, spark.sparkContext.defaultParallelism))
     base = spark.range(0, n_docs, 1, parts)
     spans_df = base.mapInPandas(
         _spans_gen(seed, heavy_frac, ine_frac, broken_frac),
@@ -122,10 +127,17 @@ def synthetic_documents(
     ).otherwise(doc_id)
     base_id = F.when(exact_src % 10 == 1, exact_src - 1).otherwise(exact_src)
 
+    # stride must be >= doc_tokens or consecutive docs would share token
+    # streams (doc N's token j == doc N+1's token j-stride), corrupting
+    # the dup structure with spurious near-pairs between unrelated ids.
+    # 53 is kept as the floor so default-parameter corpora stay
+    # byte-identical across rounds (recorded bench/stress evidence).
+    stride = max(53, doc_tokens)
+
     def tok(j):
         return F.concat(
             F.lit("w"),
-            F.pmod(F.xxhash64(base_id * 53 + j), F.lit(vocab))
+            F.pmod(F.xxhash64(base_id * stride + j), F.lit(vocab))
             .cast("string"),
         )
 

@@ -5,7 +5,8 @@ Materializes the two pipeline inputs described by the target spec:
 - ``documents_spans(doc_id, spans: array<struct<kind,text,media_ref,offset>>)``
   — interleaved text+media documents; offsets strictly increasing with
   occasional gaps; ~30% media spans; a 2% "media-heavy" skew cohort with
-  50..200 media spans per doc (exercises the salting path);
+  50..200 spans per doc at ~90% media probability (≈45..180 media spans
+  in expectation — exercises the salting path);
 - ``media_store(media_ref, content, fmt, width, height, truth_lines)`` —
   fake media payloads that the FakeRecognizer decodes back to their embedded
   ground-truth line lists.  ``truth_lines`` is a test-only convenience

@@ -20,7 +20,10 @@ def get_spark(
     launcher owns the master while the tuned defaults still apply.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        # `or "*"`: a SET-but-EMPTY env var (unset CI variable
+        # interpolated into an env file) would build master 'local[]',
+        # which dies in Spark's master-URL parser far from the cause
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
         master = f"local[{cpus}]"
 
     builder = SparkSession.builder.appName(app_name)
