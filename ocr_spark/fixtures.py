@@ -74,11 +74,21 @@ def _curp_for(rng: Random, paternal: str, maternal: str, given: str) -> str:
 
 
 def _elector_key(rng: Random) -> str:
+    """18-char elector key, two layouts: letters-leading (the state code
+    at positions 10-11 is INVISIBLE to parse_elector_key, which reads
+    key[0:2] per the reference — every such key parses to empty
+    estado_clave, the miss path), and state-code-LEADING (key[0:2] is a
+    real 2-digit code, exercising the ELECTOR_STATE_CODES hit path and
+    the estado completion at fields.py).  Both are exactly 18 chars by
+    construction — no truncate/pad."""
     letters = "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(6))
     state = rng.choice(_ELECTOR_STATES)
     year = rng.randint(1988, 2027)
     rest = f"{rng.randint(0, 9999):04d}"
-    return f"{letters}{year}{state}{rest}H{rng.randint(0, 9):01d}"[:18].ljust(18, "0")
+    tail = f"H{rng.randint(0, 9):01d}"
+    if rng.random() < 0.5:
+        return f"{state}{letters}{year}{rest}{tail}"  # 2+6+4+4+2 = 18
+    return f"{letters}{year}{state}{rest}{tail}"      # 6+4+2+4+2 = 18
 
 
 def gen_ine_lines(rng: Random) -> list[str]:
@@ -103,10 +113,16 @@ def gen_ine_lines(rng: Random) -> list[str]:
             lines.append("MEXICO")
 
     name_style = rng.random()
-    if name_style < 0.7:
-        # labeled layout (exercises name strategy (b) on GH cards)
+    if name_style < 0.6:
+        # bare-label layout (exercises name strategy (b) on GH cards)
         lines.append("NOMBRE")
         lines += name_lines
+    elif name_style < 0.75:
+        # inline-labeled single line (exercises the 'NOMBRE: <name>'
+        # regex branch of strategy (b) — previously never generated,
+        # so a regression there was invisible to the golden and
+        # native-differential tests)
+        lines.append(f"NOMBRE: {paternal} {maternal} {given}")
     else:
         lines += name_lines
 
@@ -117,7 +133,12 @@ def gen_ine_lines(rng: Random) -> list[str]:
         lines.append(rng.choice(_COLONIAS))
         lines.append(rng.choice(_CITIES))
 
-    lines.append(f"CLAVE DE ELECTOR {clave}")
+    # 'D' means INE WITHOUT an elector key (classify rule 3): emitting
+    # CLAVE DE ELECTOR on every card made all non-C fixtures classify
+    # 'GH', so the 'D' branch of the cascade (and its native twin) was
+    # never generated by this corpus.
+    if card_kind != "D":
+        lines.append(f"CLAVE DE ELECTOR {clave}")
     lines.append(f"CURP {curp}")
     if rng.random() < 0.8:
         lines.append(f"FECHA DE NACIMIENTO {rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.randint(1940, 2010)}")
