@@ -268,18 +268,19 @@ def sessionize_stream(
 
         ivals: list[tuple[float, float, int]] = []
         if not state.hasTimedOut:
-            # pd.notna, NOT `is not None`: Arrow delivers a NULL ts as
-            # pd.NaT (which IS not None), and NaT.timestamp() raises —
-            # a single null-ts event would kill the whole query.  The
-            # engine's late-row filter does NOT drop such rows (NULL <
-            # watermark evaluates NULL → treated as not-late), so they
-            # really do reach this operator; skip them here, matching
-            # the batch twin (GROUP BY over ts excludes NULL event
-            # times from every session).
-            ivals = [
-                (t.timestamp(), t.timestamp(), 1)
-                for pdf in pdfs for t in pdf["ts"] if pd.notna(t)
-            ]
+            # dropna, NOT a per-element `is not None`: Arrow delivers a
+            # NULL ts as pd.NaT (which IS not None), and NaT.timestamp()
+            # raises — a single null-ts event would kill the whole
+            # query.  The engine's late-row filter does NOT drop such
+            # rows (NULL < watermark evaluates NULL → treated as
+            # not-late), so they really do reach this operator; dropping
+            # them matches the batch twin (GROUP BY over ts excludes
+            # NULL event times).  The int64-ns view is the vectorized
+            # equivalent of per-element .timestamp() (tz-naive == UTC,
+            # enforced above).
+            for pdf in pdfs:
+                secs = pdf["ts"].dropna().astype("int64") / 1e9
+                ivals.extend((s, s, 1) for s in secs)
         if state.exists:
             ss, es, ns = state.get
             ivals.extend(
