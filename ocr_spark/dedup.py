@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from ocr_spark.textstats import norm_text, portable_hash, tokens, trunc4
 
 DEFAULT_SHINGLE = 3
+# ngram_jaccard_pairs' sub-bucket split size.  Single-sourced like
+# MINHASH_T: the contract oracle interpolates THIS constant, so a
+# re-tuned default can never silently diverge from the oracle's split.
+DEFAULT_BUCKET_CAP = 256
 DEFAULT_MINHASH_K = 8  # permutations; banded 2-per-band → 4 bands
 
 # --------------------------------------------------------------- primitives
@@ -317,7 +321,7 @@ def ngram_jaccard_pairs(
     bucket_col: Column | None = None,
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.3,
-    bucket_cap: int | None = 256,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Jaccard near-dup pairs inside cheap blocking buckets.
 

@@ -40,6 +40,7 @@ from ocr_spark.constants import (
     VALIDITY_FALLBACK_REGEX,
 )
 from ocr_spark.dedup import (
+    DEFAULT_BUCKET_CAP,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -128,9 +129,13 @@ FROM (
 ) c
 """
 
+# coalesce is LOAD-BEARING for dialect neutrality (same reasoning as
+# _PASSAGE_CORPUS_SQL below): Spark's concat NULL-propagates while
+# DuckDB's skips NULL arguments, so a NULL-text doc would synthesize
+# DIFFERENT line lists on the two engines without it.
 _LINES_SQL = (
-    "array(concat(' ', substr(text, 1, 20), '  X'), '', '   ', "
-    "substr(text, 21, 30), 'A  B')"
+    "array(concat(' ', substr(coalesce(text, ''), 1, 20), '  X'), '', "
+    "'   ', substr(coalesce(text, ''), 21, 30), 'A  B')"
 )
 
 _CLASSIFY_LINES_SQL = """
@@ -229,10 +234,10 @@ _SW_LIT = {
 # DuckDB fragments shared by several oracles -------------------------------
 
 _DUCK_TOKENS = (
-    "list_filter(string_split_regex(trim(coalesce({t}, '')), '\\s+'),"
+    "list_filter(string_split_regex(trim(coalesce({t}, '')), '[ \t\n\x0b\f\r]+'),"
     " x -> x <> '')"
 )
-_DUCK_NORM = "lower(trim(regexp_replace({t}, '\\s+', ' ', 'g')))"
+_DUCK_NORM = "lower(trim(regexp_replace({t}, '[ \t\n\x0b\f\r]+', ' ', 'g')))"
 _DUCK_HASH = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
 _DUCK_SHINGLES = (
     "list_distinct(list_transform("
@@ -314,7 +319,7 @@ SQL_NORMALIZE_LINES = f"""
 WITH inp AS (SELECT doc_id, {_LINES_SQL} AS lines FROM documents),
 n AS (SELECT doc_id,
         list_filter(list_transform(lines,
-          x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS nl
+          x -> trim(regexp_replace(x, '[ \t\n\x0b\f\r]+', ' ', 'g'))), x -> x <> '') AS nl
       FROM inp)
 SELECT doc_id, array_to_string(nl, ' | ') AS norm_joined,
        len(nl)::bigint AS n_lines
@@ -324,14 +329,17 @@ FROM n
 
 # input-synthesis fragment shared by the letters-only member of
 # q_text_cleaners and its oracle
-_LETTERS_INPUT_SQL = "concat('A1 ', substr(text, 1, 40), ' ñé2#')"
+# coalesce: see _LINES_SQL (Spark concat NULL-propagates, DuckDB skips)
+_LETTERS_INPUT_SQL = (
+    "concat('A1 ', substr(coalesce(text, ''), 1, 40), ' ñé2#')"
+)
 
 SQL_LETTERS_ONLY = f"""
 SELECT doc_id,
   trim(regexp_replace(
     regexp_replace(trim(upper({_LETTERS_INPUT_SQL})),
-                   '[^A-ZÁÉÍÓÚÜÑ\\s]', ' ', 'g'),
-    '\\s+', ' ', 'g')) AS letters
+                   '[^A-ZÁÉÍÓÚÜÑ \\t\\n\\x0b\\f\\r]', ' ', 'g'),
+    '[ \t\n\x0b\f\r]+', ' ', 'g')) AS letters
 FROM documents
 """
 
@@ -364,9 +372,9 @@ SELECT doc_id,
        WHEN ((blob LIKE '%INSTITUTO%' AND blob LIKE '%ELECTORAL%')
              AND (blob LIKE '%NACIONAL%' OR regexp_matches(blob, '\\bINE\\b'))
              AND blob LIKE '%CREDENCIAL%' AND blob LIKE '%VOTAR%'
-             AND (regexp_matches(blob, 'CLAVE\\s*DE\\s*ELECTOR')
+             AND (regexp_matches(blob, 'CLAVE[ \t\n\x0b\f\r]*DE[ \t\n\x0b\f\r]*ELECTOR')
                   OR (blob LIKE '%CLAVE%' AND blob LIKE '%ELECTOR%')
-                  OR regexp_matches(blob, 'CLAVE\\s*DE\\s*ELEC'))) THEN 'GH'
+                  OR regexp_matches(blob, 'CLAVE[ \t\n\x0b\f\r]*DE[ \t\n\x0b\f\r]*ELEC'))) THEN 'GH'
        ELSE 'D' END AS tipo_credencial,
   (blob LIKE '%INSTITUTO NACIONAL ELECTORAL%') AS es_ine
 FROM b
@@ -376,16 +384,22 @@ FROM b
 SQL_CURP_PARSE = f"""
 WITH cards AS ({CARDS_SQL})
 SELECT doc_id, curp,
+  -- upper(): the Spark twins (native.curp_sex/curp_state) uppercase
+  -- before matching; without it a lowercase OCR'd CURP would parse
+  -- sexo='X'/estado='' here while Spark parses the real values.  The
+  -- fixture CURPs are uppercase, but the twins must express the same
+  -- semantics (the sibling _sql_curp_state_join already does this).
   CASE WHEN length(curp) < 16 THEN ''
-       WHEN substr(curp, 11, 1) = 'H' THEN 'H'
-       WHEN substr(curp, 11, 1) = 'M' THEN 'M'
+       WHEN upper(substr(curp, 11, 1)) = 'H' THEN 'H'
+       WHEN upper(substr(curp, 11, 1)) = 'M' THEN 'M'
        ELSE 'X' END AS sexo,
   CASE WHEN length(curp) < 16 THEN ''
        ELSE concat(substr(curp, 9, 2), '/', substr(curp, 7, 2), '/',
                    CASE WHEN cast(substr(curp, 5, 2) as int) > {REF_YEAR % 100}
                         THEN '19' ELSE '20' END,
                    substr(curp, 5, 2)) END AS fecha_nacimiento,
-  {_case_map("substr(curp, 12, 2)", CURP_STATE_CODES, "length(curp) < 16")}
+  {_case_map("upper(substr(curp, 12, 2))", CURP_STATE_CODES,
+             "length(curp) < 16")}
     AS estado
 FROM cards
 """
@@ -510,7 +524,7 @@ m AS (
         x -> coalesce(regexp_extract(x, '\\b(\\d{{5}})\\b', 1), '')),
       v -> v <> '') AS cps,
     list_filter(list_transform(lines,
-        x -> coalesce(regexp_extract(x, '(\\d{{4}}\\s*[-]?\\s*?\\d{{4}})', 1), '')),
+        x -> coalesce(regexp_extract(x, '(\\d{{4}}[ \t\n\x0b\f\r]*[-]?[ \t\n\x0b\f\r]*?\\d{{4}})', 1), '')),
       v -> v <> ''
            AND len(regexp_extract_all(v, '(\\d{{4}})', 1)) = 2
            AND try_cast(regexp_extract_all(v, '(\\d{{4}})', 1)[1] as int)
@@ -527,10 +541,10 @@ SELECT doc_id,
   coalesce(sexes[1], '') AS sexo,
   coalesce(cps[1], '') AS codigo_postal,
   coalesce(regexp_extract(lines[5],
-    '\\b(\\d{{1,5}}[A-Z]?(?:\\s*INT\\.?\\s*\\d+)?)\\b', 1), '') AS numero,
+    '\\b(\\d{{1,5}}[A-Z]?(?:[ \t\n\x0b\f\r]*INT\\.?[ \t\n\x0b\f\r]*\\d+)?)\\b', 1), '') AS numero,
   CASE WHEN coalesce(vigs[1], '') = '' THEN ''
        ELSE trim(regexp_replace(replace(vigs[1], '-', ' - '),
-                 '\\s+', ' ', 'g')) END AS vigencia
+                 '[ \t\n\x0b\f\r]+', ' ', 'g')) END AS vigencia
 FROM m
 """
 
@@ -540,7 +554,7 @@ _SW_NAME_LIT = "[" + ", ".join(f"'{w}'" for w in NAME_STOPWORDS) + "]"
 SQL_NAME_CLEAN = f"""
 WITH inp AS (SELECT doc_id, {_NAMES_SQL} AS name FROM documents),
 t AS (SELECT doc_id, name,
-        list_filter(string_split_regex(coalesce(name, ''), '\\s+'),
+        list_filter(string_split_regex(coalesce(name, ''), '[ \t\n\x0b\f\r]+'),
                     x -> x <> '') AS toks
       FROM inp),
 k AS (SELECT doc_id, name, toks,
@@ -591,8 +605,14 @@ SELECT doc_id,
             OR trim(cp) = ''
        THEN coalesce(trim(colonia), '')
        ELSE trim(regexp_replace(
-              regexp_replace(colonia, concat('\\b', cp, '\\b'), '', 'g'),
-              '\\s+', ' ', 'g')) END AS colonia_limpia
+              -- regexp_escape mirrors the Spark twin's Pattern.quote:
+              -- a raw cp re-created the metachar hazard the twin fixed
+              -- ('0.600' also stripping '0X600'; '06(00' aborting the
+              -- query as an invalid pattern)
+              regexp_replace(colonia,
+                             concat('\\b', regexp_escape(cp), '\\b'),
+                             '', 'g'),
+              '[ \t\n\x0b\f\r]+', ' ', 'g')) END AS colonia_limpia
 FROM inp
 """
 
@@ -601,7 +621,7 @@ SQL_VIG_FORMAT = f"""
 WITH inp AS (SELECT doc_id, {_VIG_SQL} AS v FROM documents)
 SELECT doc_id,
   CASE WHEN v = '' THEN ''
-       ELSE trim(regexp_replace(replace(v, '-', ' - '), '\\s+', ' ', 'g'))
+       ELSE trim(regexp_replace(replace(v, '-', ' - '), '[ \t\n\x0b\f\r]+', ' ', 'g'))
        END AS vigencia
 FROM inp
 """
@@ -757,7 +777,7 @@ s0 AS (SELECT doc_id AS id,
 s1 AS (SELECT id, sh, coalesce(list_min(sh), -1) AS bucket FROM s0),
 s AS (SELECT id, sh, bucket,
         cast(floor((row_number() OVER (PARTITION BY bucket ORDER BY id) - 1)
-                   / 256.0) AS int) AS sub_bucket
+                   / {DEFAULT_BUCKET_CAP}.0) AS int) AS sub_bucket
       FROM s1),
 pairs AS (
   SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
@@ -1594,6 +1614,13 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PRECONDITION: whole-row DISTINCT is the oracle for a stream that
+# dedups on event_id ALONE, so it is exact only while the events table
+# never carries two rows sharing an event_id with different payloads
+# (true of the driver fixture: event_id is a unique key).  If a future
+# fixture breaks that, the stream's survivor is arrival-order dependent
+# and NO deterministic SQL can replay it — regenerate the fixture with
+# unique ids rather than weakening this oracle.
 SQL_EVENTS_DEDUP_STREAM = """
 SELECT DISTINCT event_id, user_id, epoch(ts) AS ts_epoch,
        event_type, value
@@ -2116,7 +2143,7 @@ FROM l LEFT JOIN agg USING (doc_id)
 
 # PII-bearing input synthesized dialect-neutrally (documents text is clean)
 _PII_INPUT_SQL = f"""
-concat(substr(text, 1, 30),
+concat(substr(coalesce(text, ''), 1, 30),
        ' mail user', cast(doc_id % 50 as int), '@example.com',
        ' visit https://example.org/p/', cast(doc_id % 20 as int),
        ' call +52 55 1234 56', {_two('doc_id % 100')},
@@ -2220,7 +2247,7 @@ m AS (
     {_LANGID_CASE} AS pred_lang,
     len(tk)::bigint AS n_tokens,
     CASE WHEN length(txt) = 0 THEN 0.0
-         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))::double
+         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::double
                     / length(txt) * 10000) / 10000 END AS punct_ratio,
     len(list_filter(tk, x -> list_contains({sw}, lower(x)))) AS sw_hits
   FROM h),
@@ -2292,9 +2319,9 @@ m AS (
   SELECT doc_id, tk,
     len(tk)::bigint AS n_tokens,
     len(regexp_extract_all(txt,
-        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint AS n_bpe_tokens,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::bigint AS n_bpe_tokens,
     CASE WHEN length(txt) = 0 THEN 0.0
-         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))::double
+         ELSE floor(len(regexp_extract_all(txt, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::double
                     / length(txt) * 10000) / 10000 END AS punct_ratio,
     len(list_filter(tk, x -> list_contains({sw}, lower(x)))) AS sw_hits
   FROM t)
@@ -2475,11 +2502,15 @@ WITH g AS (
     CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id)) > 1800
          THEN 1 ELSE 0 END AS brk
-  FROM events)
+  FROM events
+  WHERE ts IS NOT NULL)
 SELECT user_id, (sum(brk) + 1)::bigint AS n_sessions,
        count(*)::bigint AS n_events
 FROM g GROUP BY user_id
 """
+# ^ ts IS NOT NULL mirrors the stateful operator's dropna: a NULL event
+# time joins no session on either engine (the engine's late-row filter
+# does NOT drop such rows, so the operator really does see them).
 
 
 SQL_EVENTS_HOURLY = """
@@ -2717,7 +2748,7 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitespace-collapsed first 200 chars — expressible in plain SQL.
 SQL_STRIP_BOILERPLATE = """
 SELECT doc_id,
-  trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g')) AS main_text
+  trim(regexp_replace(substr(text, 1, 200), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS main_text
 FROM documents
 """
 

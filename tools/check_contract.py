@@ -44,6 +44,11 @@ def main() -> int:
     for name, (fn, sql) in registry().items():
         if only and name not in only:
             continue
+        # several dedup/similarity/textstats queries persist sketch or
+        # explode tables internally (session-lifetime entries); a full
+        # 50-query run would otherwise accumulate them monotonically,
+        # evicting blocks and slowing later queries
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
