@@ -321,10 +321,13 @@ n AS (SELECT doc_id,
         list_filter(list_transform(lines,
           x -> trim(regexp_replace(x, '[ \t\n\x0b\f\r]+', ' ', 'g'))), x -> x <> '') AS nl
       FROM inp)
-SELECT doc_id, array_to_string(nl, ' | ') AS norm_joined,
+SELECT doc_id, coalesce(array_to_string(nl, ' | '), '') AS norm_joined,
        len(nl)::bigint AS n_lines
 FROM n
 """
+# ^ coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+# Spark's array_join is '' — unreachable on this synthesis (nl always
+# carries the 'A  B' literal) but load-bearing if it ever changes.
 
 
 # input-synthesis fragment shared by the letters-only member of
@@ -359,9 +362,9 @@ def q_classify_credential(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CLASSIFY = f"""
 WITH inp AS (SELECT doc_id, {_CLASSIFY_LINES_SQL} AS lines FROM documents),
 b AS (SELECT doc_id,
-        trim(array_to_string(list_transform(
+        trim(coalesce(array_to_string(list_transform(
           list_filter(lines, t -> t IS NOT NULL AND t <> ''),
-          t -> trim(upper(t))), ' ')) AS blob
+          t -> trim(upper(t))), ' '), '')) AS blob
       FROM inp)
 SELECT doc_id,
   CASE WHEN (blob LIKE '%INSTITUTO FEDERAL ELECTORAL%'
@@ -572,11 +575,14 @@ k AS (SELECT doc_id, name, toks,
           tok -> upper(tok)) AS kept_upper
       FROM t)
 SELECT doc_id, name,
-  array_to_string(
+  coalesce(array_to_string(
     list_filter(toks, tok -> list_contains(kept_upper, upper(tok))),
-    ' ') AS cleaned
+    ' '), '') AS cleaned
 FROM k
 """
+# ^ coalesce: a name whose tokens ALL fail the keep filter (digits,
+# blacklist) yields the empty list — '' on the Spark side
+# (array_join), NULL here without the guard.
 
 
 # colonia/cp input synthesis shared by the strip-cp member of
@@ -746,9 +752,9 @@ _DUCK_NEAR_CORPUS = f"""
 SELECT doc_id, text, lang FROM documents
 UNION ALL
 SELECT doc_id + 1000000 AS doc_id,
-  array_to_string(list_transform(
+  coalesce(array_to_string(list_transform(
     list_filter(generate_series(1, len(tk)), i -> (i - 1) % 7 <> 0),
-    i -> tk[i]), ' ') AS text,
+    i -> tk[i]), ' '), '') AS text,
   lang
 FROM (SELECT doc_id, lang, {_DUCK_TOKENS.format(t='text')} AS tk
       FROM documents) x
@@ -2417,11 +2423,16 @@ wsel AS (
   FROM g)
 SELECT d.doc_id,
   md5({norm}) AS fp,
-  ('0x' || substr(md5(array_to_string(list_transform(
+  -- coalesce is LOAD-BEARING: DuckDB's array_to_string of an EMPTY
+  -- list is NULL while Spark's array_join/concat_ws is '' — without
+  -- it an empty/NULL-text doc gets digest NULL here but md5('') on
+  -- the Spark side (caught by tests/test_oracle_dialect_edges.py)
+  ('0x' || substr(md5(coalesce(array_to_string(list_transform(
       generate_series(1, least(len({toks}), 8)),
-      i -> ({toks})[i]), ' ')), 1, 15))::bigint AS prefix_fp,
+      i -> ({toks})[i]), ' '), '')), 1, 15))::bigint AS prefix_fp,
   len(w2.sel)::bigint AS n_winnow,
-  md5(array_to_string(list_sort(w2.sel), ',')) AS winnow_digest
+  md5(coalesce(array_to_string(list_sort(w2.sel), ','), ''))
+    AS winnow_digest
 FROM documents d JOIN wsel w2 ON d.doc_id = w2.doc_id
 """
 
