@@ -29,7 +29,10 @@ ADVERSARIAL_DOCS = [
 
 # queries whose Spark side and oracle both read ONLY the documents table
 # and exercise tokenization/normalization/synthesis fragments
-QUERIES = ["normalize_lines", "doc_stats", "text_cleaners", "vocab_topk"]
+QUERIES = [
+    "normalize_lines", "doc_stats", "text_cleaners", "vocab_topk",
+    "dedup_exact", "repetition_stats", "lm_score", "classify_credential",
+]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
