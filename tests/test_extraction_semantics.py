@@ -276,6 +276,41 @@ def test_fields_match_reference_on_random_corpora():
         assert extract_fields(lines) == ref.extraer_campos_ine_mejorado(lines), lines
 
 
+def _chaos_corpora(n: int) -> list[list[str]]:
+    """Fully random line lists, NOT fixture-shaped: labels out of order,
+    lowercase/metachar ids, odd whitespace (incl. vertical tab), huge
+    and empty lines — the inputs a real OCR pass produces on damaged
+    scans.  The fixture-shaped differential above covers the realistic
+    layouts; this one shakes the cascade's unexpected paths."""
+    pool = [
+        "NOMBRE", "DOMICILIO", "VIGENCIA", "SECCION", "CURP", "SEXO H",
+        "NOMBRE: PEREZ GOMEZ JUAN", "VIGENCIA 2021-2031", "2021 2031",
+        "curp caor930531hqrslc09", "CURP caor930531hqrslc09",
+        "CLAVE DE ELECTOR abCDEF88990712345H6",
+        "CLAVE DE ELECTOR 07ABCDEF19881234H5",
+        "FECHA DE NACIMIENTO 31/02/1999", "ANO DE REGISTRO 1992 03",
+        "INSTITUTO NACIONAL ELECTORAL", "INSTITUTO FEDERAL ELECTORAL",
+        "CREDENCIAL PARA VOTAR", "0.600", "06(00", "COL 0X600 NORTE",
+        "x" * 500, "", "   ", "\x0b", "a\x0bb", "ÁÉÍ ÑÜ öß",
+        "JUAN\tPEREZ", "1234", "9999", "01/01/2030", "GARCIA LOPEZ",
+        "DOMICILIO CALLE FALSA 123", "MEXICO", "H", "M",
+    ]
+    corpora = []
+    for k in range(n):
+        rng = Random(f"chaos/{k}")
+        corpora.append(
+            [rng.choice(pool) for _ in range(rng.randint(0, 15))]
+        )
+    return corpora
+
+
+@differential
+def test_fields_match_reference_on_chaos_corpora():
+    ref = load_reference()
+    for lines in _chaos_corpora(400):
+        assert extract_fields(lines) == ref.extraer_campos_ine_mejorado(lines), lines
+
+
 @differential
 def test_name_split_matches_reference():
     ref = load_reference()
