@@ -360,3 +360,43 @@ def test_primitives_match_reference():
         assert extract_validity(clean, tipo) == \
             ref.extraer_vigencia_correcta(clean, tipo)
         assert find_section(clean) == ref.buscar_seccion(clean)
+
+
+@differential
+def test_name_split_matches_reference_on_chaos_names():
+    """Chaos-shaped twin of test_name_split_matches_reference: the fixed
+    name pool above exercises the realistic layouts; this one drives the
+    CURP-scored splitting cascade (reference main.py:1449-1527) with
+    random token soups — particles in odd positions, empty tokens
+    (double spaces), accents, lowercase, digits — against random CURPs
+    whose initials match or mismatch every token position, plus short /
+    empty / lowercase CURPs that disable the scoring path entirely.  A
+    3,000-case one-off sweep of this generator found zero divergences;
+    the pinned 500 keep the suite fast."""
+    ref = load_reference()
+    toks = [
+        "GARCIA", "LOPEZ", "DE", "LA", "DEL", "Y", "MC", "VAN", "JOSE",
+        "MARIA", "ANA", "LUZ", "X", "O'BRIEN", "J.", "A", "ALVAREZ",
+        "perez", "Ñ", "ÁLVARO", "123", "",
+    ]
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    for k in range(500):
+        rng = Random(f"splitchaos/{k}")
+        name = " ".join(rng.choice(toks) for _ in range(rng.randint(0, 8)))
+        if rng.random() < 0.3:
+            name = "  " + name + " "
+        if rng.random() < 0.5:
+            curp = "".join(
+                rng.choice(letters)
+                for _ in range(rng.choice([0, 1, 2, 4, 17, 18, 19]))
+            )
+        else:
+            curp = (
+                rng.choice(letters) + rng.choice("AEIOUX")
+                + rng.choice(letters) + rng.choice(letters) + "930531"
+                + rng.choice("HM") + "QR" + rng.choice(letters) * 3 + "05"
+            )
+        if rng.random() < 0.2:
+            curp = curp.lower()
+        assert split_name_by_curp(name, curp) == \
+            ref.separar_nombre_por_curp_y_tokens(name, curp), (name, curp)
