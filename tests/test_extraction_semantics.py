@@ -400,3 +400,60 @@ def test_name_split_matches_reference_on_chaos_names():
             curp = curp.lower()
         assert split_name_by_curp(name, curp) == \
             ref.separar_nombre_por_curp_y_tokens(name, curp), (name, curp)
+
+
+@differential
+def test_primitives_match_reference_on_chaos_strings():
+    """Chaos-string twin of test_primitives_match_reference: random
+    character soups (mixed case, accents, digits, metachars, tab and
+    vertical tab) through every scalar primitive, plus the id parsers
+    over their full upstream-regex domains.  The id-parser fuzz is
+    deliberately constrained to what the cascade can actually feed them:
+    the reference's CURP parser int()s the date slice (main.py:584), so
+    a CURP with letters at positions 4-9 CRASHES it — callers only pass
+    `\\b[A-Z]{4}\\d{6}[HMX][A-Z]{5}\\d{2}\\b` matches (main.py:997), and
+    the equivalence contract (and this fuzz) covers exactly that domain;
+    likewise the elector key's two upstream shapes (main.py:998).  An
+    8,000-iteration sweep (56k comparisons) found zero divergences; the
+    pinned 1,000 keep the suite fast."""
+    ref = load_reference()
+    alph = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+        " ÁÉÍÓÚÑÜ.,:;()+-/#'\"\t\x0b"
+    )
+    L = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    D = "0123456789"
+    AN = L + D
+    for k in range(1000):
+        rng = Random(f"prim2/{k}")
+        s = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
+        cp = "".join(rng.choice(D) for _ in range(rng.choice([0, 4, 5, 6])))
+        assert strip_cp_from_colonia(s, cp) == \
+            ref.limpiar_colonia_con_cp(s, cp), (s, cp)
+        assert clean_name(s) == ref.limpiar_y_validar_nombre(s), s
+        lines = [s, s[::-1], ""]
+        clean = normalize_lines(lines)
+        assert clean == ref.normalizar_textos(lines), lines
+        assert classify_credential(clean) == \
+            ref.clasificar_tipo_credencial(clean), clean
+        assert find_section(clean) == ref.buscar_seccion(clean), clean
+        curp = (
+            "".join(rng.choice(L) for _ in range(4))
+            + "".join(rng.choice(D) for _ in range(6))
+            + rng.choice("HMX")
+            + "".join(rng.choice(L) for _ in range(5))
+            + "".join(rng.choice(D) for _ in range(2))
+        )
+        assert parse_curp(curp) == ref.extraer_datos_desde_curp(curp), curp
+        if rng.random() < 0.5:
+            clave = "".join(rng.choice(AN) for _ in range(18))
+        else:
+            nd = rng.randint(8, 10)
+            tail = rng.randint(2, 4)
+            clave = (
+                "".join(rng.choice(L) for _ in range(6))
+                + "".join(rng.choice(D) for _ in range(nd))
+                + "".join(rng.choice(AN) for _ in range(tail))
+            )
+        assert parse_elector_key(clave) == \
+            ref.extraer_datos_desde_clave_elector(clave), clave
