@@ -715,6 +715,58 @@ def test_connected_components_ignore_foreign_edge_endpoints(
     assert got == {2: 2, 3: 2, 5: 5}
 
 
+@pytest.mark.parametrize("algorithm", ["minlabel", "star"])
+def test_connected_components_random_graph_vs_union_find(spark, algorithm):
+    """Differential check on a seeded random graph vs a plain-Python
+    union-find twin: arbitrary topology (not the hand-picked chains/
+    triangles above), with duplicate edges, both orientations, self-loops,
+    and foreign endpoints all mixed in.  Both algorithms must produce
+    exactly the union-find labels (component minimum), restricted to the
+    node set with one-foreign-endpoint edges ignored."""
+    import random
+
+    from ocr_spark.dedup import connected_components
+
+    rng = random.Random(20260819)
+    node_ids = [i for i in range(120) if i % 10 != 7]  # %10==7 → foreign
+    edge_rows = []
+    for _ in range(160):
+        a = rng.randrange(130)  # ids ≥ 120 and %10==7 are foreign
+        b = rng.randrange(130)
+        edge_rows.append((a, b))
+        if rng.random() < 0.2:
+            edge_rows.append((b, a))  # reversed duplicate
+    edge_rows += [(5, 5), (11, 11)]  # self-loops must be inert
+
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    in_nodes = set(node_ids)
+    for a, b in edge_rows:
+        if a in in_nodes and b in in_nodes:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp_min: dict = {}
+    for i in node_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in node_ids}
+
+    got = {r.id: r.cluster_id
+           for r in connected_components(
+               _df(spark, [(i,) for i in node_ids], "id bigint"),
+               _df(spark, edge_rows, "id_a bigint, id_b bigint"),
+               max_iter=60, algorithm=algorithm,
+           ).collect()}
+    assert got == want
+
+
 def test_band_table_rejects_mismatched_sig_width(spark):
     """A persisted sketch store written with a different k must fail
     loudly in band_table, not null-pad bands and silently lose recall."""
