@@ -1983,6 +1983,55 @@ def test_incremental_components_equals_one_shot_union(spark):
     assert got == {(r.id, r.cluster_id) for r in one_shot.collect()}
 
 
+def test_incremental_components_one_shot_union_random_graph(spark):
+    """Same run-union == one-shot equivalence, on a seeded random graph
+    instead of a hand-built one: arbitrary merge fan-in (one delta node
+    bridging several committed clusters), chains crossing the cut, and
+    committed clusters untouched by the delta all arise by chance rather
+    than by construction."""
+    import random
+
+    from ocr_spark.dedup import (
+        connected_components,
+        incremental_components,
+        resolve_labels,
+    )
+
+    rng = random.Random(77)
+    # kept small: every extra unit of component diameter is one more
+    # checkpointed minlabel round in FOUR component computations here
+    n, cut = 24, 12
+    all_ids = list(range(n))
+    all_pairs = sorted({
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(34)
+    })
+    all_pairs = [(a, b) for a, b in all_pairs if a != b]
+
+    committed = connected_components(
+        _df(spark, [(i,) for i in all_ids if i < cut], "id bigint"),
+        _df(spark, [p for p in all_pairs if max(p) < cut] or [(0, 0)],
+            "id_a bigint, id_b bigint"),
+    )
+    out = incremental_components(
+        _df(spark, [(i,) for i in all_ids if i >= cut], "id bigint"),
+        _df(spark, [p for p in all_pairs if max(p) >= cut],
+            "id_a bigint, id_b bigint"),
+        committed,
+    )
+    merges = out.filter("role = 'merge'").select("id", "cluster_id")
+    got = {(r.id, r.cluster_id)
+           for r in resolve_labels(committed, merges).collect()} | {
+        (r.id, r.cluster_id)
+        for r in out.filter("role = 'delta'").collect()
+    }
+    one_shot = connected_components(
+        _df(spark, [(i,) for i in all_ids], "id bigint"),
+        _df(spark, all_pairs, "id_a bigint, id_b bigint"),
+    )
+    assert got == {(r.id, r.cluster_id) for r in one_shot.collect()}
+
+
 def test_dup_passages_matches_python_twin_on_random_corpus(spark):
     """Differential check on a seeded random corpus over a tiny alphabet
     (forced gram collisions, heavy island merging): spans and stripped
