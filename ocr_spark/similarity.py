@@ -917,3 +917,134 @@ def lsh_ann_pairs(
             )
             .filter(F.col("cosine_sim") >= min_cosine)
         )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 32,
+    n_cells: int = 16,
+    threshold: float = 0.85,
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+    n_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): embed every document
+    (:func:`embed_hash`), cluster the embedding space with the spherical
+    k-means quantizer (:func:`ivf_train_kmeans`), compute exact cosine
+    ONLY within each cluster, and keep one canonical document per
+    semantic-duplicate component.
+
+    Output: ``(id, cell, cluster_id, is_canonical)`` — every input doc
+    exactly once.  ``cluster_id`` is the minimum doc id reachable through
+    intra-cell cosine-≥ ``threshold`` pairs (singletons label
+    themselves); ``is_canonical`` marks the row a training-data pipeline
+    keeps; ``cell`` is the k-means cluster the doc was compared within
+    (diagnostic — cell-size telemetry is how skew is seen early).
+
+    Complements the SYNTACTIC family: MinHash/simhash pair documents
+    that share shingles (literal copies); this pairs documents whose
+    token DISTRIBUTIONS embed nearby — e.g. a word-order shuffle shares
+    no 3-gram shingle but embeds identically under bag-of-tokens feature
+    hashing.  The paper keeps the member farthest from the centroid;
+    here canonical = min doc id, the same deterministic survivor rule as
+    every other dedup operator in this repo (survivor choice is policy,
+    not pairing semantics — re-rank within ``cluster_id`` downstream to
+    change it).
+
+    Scale shape: embedding is one explode + one codegen aggregate;
+    training is ``n_iters`` × (one corpus pass + an ``n_cells``-row
+    collect); assignment is narrow; the ONLY pair work is the
+    within-cell self-join, so candidate count is Σ|cell|²/2 and
+    ``n_cells`` is the quadratic-discipline lever — grow it linearly
+    with the corpus so the mean cell stays bounded (the paper runs 50k
+    clusters at web scale for exactly this reason), and watch the
+    per-cell candidate telemetry (tools/dedup_stress.py) for a skewed
+    giant cell.  Zero-norm vectors (token-less docs) are excluded from
+    pairing whenever ``threshold > 0`` — every pair they form is a
+    forced cosine 0.0 that can never clear the threshold, and m such
+    docs would otherwise be m²/2 dead candidates in one straggler cell —
+    but they keep their label row (each its own singleton component).
+
+    ``train=False`` skips k-means and uses the deterministic seeded
+    centroids (unit-normalized :func:`ivf_centroids`) — the
+    oracle-replayable default when a caller needs plan-literal centroids
+    with no training action; explicit ``centroids`` (e.g. trained once,
+    persisted, reused across incremental runs) skip training too.
+
+    The embedding table is persisted for the duration (the trainer scans
+    it ``n_iters`` times) and so is the prepared assignment table — the
+    latter is NOT only the usual evaluate-once-per-join-side discipline
+    (``lsh_ann_pairs`` ``persist_base``): the self-join carries a
+    64-attribute cosine filter, and optimizing that filter over the raw
+    assignment subtree sends Catalyst's constraint propagation
+    (``getAllValidConstraints`` alias substitution) into exponential
+    blowup — a measured driver OOM at 30 input rows.  The persisted
+    table plans as an ``InMemoryRelation`` leaf (empty constraint set),
+    which cuts the explosion at its source.  Both caches are unpersisted
+    before return — by then the component loop has materialized the edge
+    list and the (id, cell) table is checkpointed, so nothing downstream
+    recomputes either chain.
+    """
+    from ocr_spark.dedup import connected_components
+
+    emb = embed_hash(docs, text_col=text_col, id_col=id_col, dims=dims)
+    emb = emb.persist()
+    assigned = None
+    try:
+        if centroids is None:
+            centroids = (
+                ivf_train_kmeans(
+                    emb, n_cells=n_cells, n_iters=n_iters, dims=dims,
+                    vec_col="vec",
+                )
+                if train
+                else [_normalize(c) for c in ivf_centroids(n_cells, dims)]
+            )
+        v = F.col("vec")
+        assigned = emb.select(
+            "id",
+            _cell_of(v, centroids).alias("cell"),
+            _guarded_norm(v, dims).alias("nrm"),
+            *_flat_cols(v, dims, "x"),
+        ).persist()
+        pairable = assigned
+        if threshold > 0:
+            pairable = pairable.filter(F.col("nrm") > 0)
+        pairs = (
+            pairable.alias("l")
+            .join(pairable.alias("r"), on="cell")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                _flat_cosine(
+                    "l.x", "r.x", dims,
+                    norm_a=F.col("l.nrm"), norm_b=F.col("r.nrm"),
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+        nodes = emb.select("id")
+        # the component loop materializes the edge list (and with it the
+        # persisted embed cache) during this call
+        labels = connected_components(nodes, pairs.select("id_a", "id_b"))
+        # (id, cell) is checkpointed EAGERLY while the embed cache is
+        # still hot: the caller materializes the returned frame after the
+        # finally-unpersist below, and a lazy reference to `assigned`
+        # would silently recompute the whole embed chain at that point
+        cells = assigned.select("id", "cell").localCheckpoint(eager=True)
+        return (
+            labels.join(cells, on="id", how="left")
+            .select(
+                "id", "cell", "cluster_id",
+                (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+            )
+        )
+    finally:
+        if assigned is not None:
+            assigned.unpersist()
+        emb.unpersist()

@@ -2198,3 +2198,100 @@ def test_dup_passages_incremental_equals_one_shot_restriction(spark):
         ).collect()
     }
     assert first == batch_only
+
+
+def test_semantic_dedup_matches_python_twin(spark):
+    """semantic_dedup (SemDeDup) replays EXACTLY in plain Python: the
+    embed-hash twin + the oracle_ivf k-means twin + within-cell trunc6
+    cosine pairs + union-find.  Also pins the semantics that motivate the
+    operator: a word-order shuffle (zero shared 3-gram shingles) embeds
+    identically under bag-of-tokens hashing and IS merged, while two
+    token-less docs (both zero vectors) are NOT merged with each other."""
+    from ocr_spark.similarity import semantic_dedup
+    from ocr_spark.textstats import py_portable_hash
+    from tests.oracle_ivf import argmax_cell, cosine_trunc6, ivf_train_local
+
+    dims, n_cells, n_iters, threshold = 32, 8, 3, 0.85
+
+    def embed_twin(text: str) -> list[float]:
+        s = [0] * dims
+        for t in (text or "").split():
+            h = py_portable_hash(t)
+            s[h % dims] += 1 if (h >> 20) & 1 else -1
+        n = math.sqrt(sum(x * x for x in s))
+        return [0.0] * dims if n == 0 else [x / n for x in s]
+
+    # 6 templates x 3 near-identical variants (one word dropped each),
+    # a word-order SHUFFLE pair (ids 900/901), two token-less docs
+    # (920/921), and distinct singleton docs.
+    rows: list[tuple[int, str | None]] = []
+    for t in range(6):
+        toks = [f"t{t}w{i}" for i in range(24)]
+        for v in range(3):
+            cut = list(toks)
+            del cut[v * 5]
+            rows.append((t * 100 + v, " ".join(cut)))
+    shuffled = [f"s{i}" for i in range(20)]
+    rows.append((900, " ".join(shuffled)))
+    rows.append((901, " ".join(reversed(shuffled))))
+    rows.append((920, ""))
+    rows.append((921, None))
+    for i in range(10):
+        rows.append((950 + i, f"lonely doc {i} " + " ".join(
+            f"u{i}x{j}" for j in range(15))))
+
+    docs = _df(spark, rows, "doc_id bigint, text string")
+    got = {
+        r.id: (r.cell, r.cluster_id, r.is_canonical)
+        for r in semantic_dedup(
+            docs, dims=dims, n_cells=n_cells, threshold=threshold,
+            n_iters=n_iters,
+        ).collect()
+    }
+
+    # ---- plain-Python twin ----
+    vecs = {i: embed_twin(t) for i, t in rows}
+    centroids = ivf_train_local(
+        list(vecs.values()), n_cells=n_cells, n_iters=n_iters, dims=dims
+    )
+    cell = {i: argmax_cell(v, centroids) for i, v in vecs.items()}
+    parent = {i: i for i in vecs}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if cell[a] != cell[b]:
+                continue
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            if na == 0 or nb == 0:  # zero vectors never pair
+                continue
+            if cosine_trunc6(vecs[a], vecs[b]) >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        i: (cell[i], find(i), i == find(i)) for i in vecs
+    }
+    assert got == want
+
+    # the semantics the operator exists for:
+    assert got[900][1] == got[901][1] == 900      # shuffle pair merged
+    assert got[920][1] == 920 and got[921][1] == 921  # zero vecs apart
+    for t in range(6):                            # every variant family
+        assert {got[t * 100 + v][1] for v in range(3)} == {t * 100}
+    from ocr_spark.dedup import shingle_hashes
+    sh = docs.filter(F.col("doc_id").isin(900, 901)).select(
+        F.explode(shingle_hashes(ts.tokens(F.col("text")))).alias("h"),
+        "doc_id",
+    )
+    both = (sh.groupBy("h").agg(F.count_distinct("doc_id").alias("n"))
+            .filter(F.col("n") > 1).count())
+    assert both == 0  # the shuffle pair shares NO syntactic shingle
