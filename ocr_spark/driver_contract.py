@@ -2010,59 +2010,88 @@ WHERE t.corpus_key = k.ck
 """
 
 
-def q_embed_doc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate DOCUMENT pairs: documents joined to
-    their embedding vectors (doc_id = vec_id), LSH-bucketed candidates,
-    exact-cosine verify, annotated with cluster-label agreement."""
-    _register(spark, sf_dir, ["documents", "embeddings"])
-    docs = spark.table("documents").select("doc_id", "lang")
-    emb = _emb_df(spark)
-    joined = docs.join(
-        emb, docs.doc_id == emb.vec_id
-    ).select("doc_id", "embedding", "label")
-    pairs = lsh_ann_pairs(
-        joined, id_col="doc_id", planes=hyperplanes(4), min_cosine=0.25
+# q_embed_doc_neardup was retired in round 5 for q_semantic_dedup: its
+# LSH-pair shape is the same one ann_lsh_pairs / text_ann_pairs keep
+# under the gate, and its doc↔embedding equijoin + label annotation are
+# plain broadcast-join shapes covered by orders_by_segment /
+# curp_state_join — whereas SemDeDup (cluster-then-pair over a trained
+# quantizer) had no driver-verified row at all.
+
+# Contract-scale SemDeDup configuration, shared by the Spark query and
+# its oracle so the two can never drift: 8 seeded cells keep the sf0.01
+# near-corpus's ~2,000 docs at ~250 docs/cell (the within-cell join is
+# Σ|cell|²/2), and 0.85 is the operator's default verify threshold.
+SEMANTIC_CELLS = 8
+SEMANTIC_T = 0.85
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup clusters (similarity.semantic_dedup)
+    over the near-dup corpus with the SEEDED plan-literal quantizer
+    (``train=False``): assignment (struct-max argmax-dot), within-cell
+    trunc6 cosine pairs, and the component closure all replay exactly in
+    the DuckDB oracle.  The TRAINED path (and the arrow assignment
+    engine) is gated by the plain-Python twin in pytest
+    (test_semantic_dedup_matches_python_twin /
+    test_semantic_dedup_arrow_assignment_matches_expr); cell/candidate
+    telemetry at 150k docs lives in tools/dedup_stress.py."""
+    from ocr_spark.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _near_corpus(spark, sf_dir), dims=EMBED_DIMS,
+        n_cells=SEMANTIC_CELLS, threshold=SEMANTIC_T, train=False,
     )
-    labels = joined.select(
-        F.col("doc_id").alias("id"), F.col("label").alias("lab")
-    )
-    return (
-        pairs.join(labels.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("lab", "label_a"), on="id_a")
-        .join(labels.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("lab", "label_b"), on="id_b")
-        .select(
-            "id_a", "id_b", "cosine_sim",
-            (F.col("label_a") == F.col("label_b")).alias("same_label"),
-        )
+    return out.select(
+        "id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "cluster_id",
+        "is_canonical",
     )
 
 
-def _sql_embed_doc_neardup() -> str:
-    bits = []
-    for plane in hyperplanes(4):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]::double[]"
-        dot = _DUCK_DOT.format(a="embedding", b=lit)
-        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
-    bucket = "concat(" + ", ".join(bits) + ")"
+def _sql_semantic_dedup(
+    dims: int = EMBED_DIMS,
+    n_cells: int = SEMANTIC_CELLS,
+    threshold: float = SEMANTIC_T,
+) -> str:
+    from ocr_spark.similarity import _normalize, ivf_centroids
+
+    # the IDENTICAL python floats semantic_dedup(train=False) inlines as
+    # plan literals — repr round-trips the exact double on both engines
+    cents = [_normalize(c) for c in ivf_centroids(n_cells, dims)]
+    structs = []
+    for i, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]::double[]"
+        dot = _DUCK_DOT.format(a="vec", b=lit)
+        structs.append(f"{{'score': {dot}, 'prio': {-i}, 'cell': {i}}}")
+    cell = f"(list_max([{', '.join(structs)}])).cell"
+    norm_self = _DUCK_DOT.format(a="vec", b="vec")
     pair_dot = _DUCK_DOT.format(a="l.v", b="r.v")
-    norm_l = _DUCK_DOT.format(a="l.v", b="l.v")
-    norm_r = _DUCK_DOT.format(a="r.v", b="r.v")
+    # a / p MATERIALIZED: DuckDB otherwise inlines the embed + assignment
+    # chain into BOTH join sides AND every recursive-CTE iteration — the
+    # un-hinted form exhausted the 100 GiB memory limit on 1,000 docs
     return f"""
-WITH j AS (
-  SELECT d.doc_id AS id, e.embedding, e.label
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-b AS (SELECT id, embedding AS v, label, {bucket} AS bucket FROM j),
-pairs AS (
-  SELECT l.id AS id_a, r.id AS id_b,
-    CASE WHEN sqrt({norm_l}) = 0 OR sqrt({norm_r}) = 0 THEN 0.0
-         ELSE floor({pair_dot} / (sqrt({norm_l}) * sqrt({norm_r}))
-               * 1000000) / 1000000
-    END AS cosine_sim,
-    (l.label = r.label) AS same_label
-  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
-SELECT id_a, id_b, cosine_sim, same_label
-FROM pairs WHERE cosine_sim >= 0.25
+WITH RECURSIVE {_duck_embed_cte(_DUCK_NEAR_CORPUS, dims)},
+a AS MATERIALIZED (SELECT id, vec AS v, {cell}::bigint AS cell,
+             sqrt({norm_self}) AS nrm FROM emb),
+p AS MATERIALIZED (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM a l JOIN a r ON l.cell = r.cell AND l.id < r.id
+  WHERE l.nrm > 0 AND r.nrm > 0
+    AND floor({pair_dot} / (l.nrm * r.nrm) * 1000000) / 1000000
+        >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM p),
+reach(id, lab) AS (
+  SELECT id, id AS lab FROM a
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT r.id, a.cell, min(r.lab) AS cluster_id,
+       (r.id = min(r.lab)) AS is_canonical
+FROM reach r JOIN a ON a.id = r.id
+GROUP BY r.id, a.cell
 """
 
 
@@ -2924,7 +2953,7 @@ def registry() -> dict[str, Entry]:
         "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh()),
         "ann_lsh_pairs_multi": (q_ann_lsh_pairs_multi, _sql_ann_lsh_multi()),
         "ann_incremental": (q_ann_incremental, _sql_ann_incremental()),
-        "embed_doc_neardup": (q_embed_doc_neardup, _sql_embed_doc_neardup()),
+        "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf()),
         "ann_ivf_trained": (q_ann_ivf_trained, _sql_ann_ivf_trained()),
         "embed_hash": (q_embed_hash, _sql_embed_hash()),

@@ -29,6 +29,7 @@ the oracle share them by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -396,6 +397,7 @@ def ivf_train_kmeans(
     dims: int = DEFAULT_DIMS,
     vec_col: str = "embedding",
     seed: str = "ivf",
+    assign_mode: str = "auto",
 ) -> list[list[float]]:
     """Spherical k-means training for the IVF coarse quantizer.
 
@@ -406,6 +408,13 @@ def ivf_train_kmeans(
     groupBy(cell) shuffle — see ``UNIT_SCALE`` for why integer) and
     re-normalize to unit length — with unit centroids, argmax-dot ≡
     argmax-cosine, so training and probing optimize the same objective.
+    ``assign_mode`` picks the per-row assignment engine (see
+    :func:`_assign_cell`): ``'auto'`` keeps quantizer-scale cell counts
+    on the bit-replayable unrolled expression and switches to the
+    Arrow matmul past :data:`EXPR_ASSIGN_MAX_CELLS` — the integer-sum
+    centroid update is identical either way, so determinism-given-
+    assignments holds in both modes (only near-tie argmax ranking can
+    differ, and only in the arrow mode).
     Centroids live on the driver between iterations (n_cells × dims floats
     — broadcast as plan literals, never shuffled), so the per-iteration
     cost is ONE pass + one tiny shuffle regardless of corpus size.  Init =
@@ -437,7 +446,8 @@ def ivf_train_kmeans(
     )
     for _ in range(n_iters):
         assigned = trainable.select(
-            _cell_of(v, centroids).alias("cell"), v.alias("v")
+            _assign_cell(v, centroids, assign_mode).alias("cell"),
+            v.alias("v"),
         )
         sums = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("n"),
@@ -494,6 +504,79 @@ def _scored_cells(vec: Column, centroids: list[list[float]]) -> Column:
 def _cell_of(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmax-dot centroid id, ties to the lowest id (struct-max trick)."""
     return F.array_max(_scored_cells(vec, centroids))["cell"]
+
+
+# The expression path unrolls every centroid into the plan (n_cells structs
+# × dims multiply-adds per row in ONE generated method): bit-replayable and
+# codegen-fast at quantizer scale (16-64 cells), but the method outgrows
+# whole-stage codegen limits and plan-compile time grows linearly past
+# that — SemDeDup-style partitioning wants THOUSANDS of cells.  Above this
+# cutoff assignment switches to an Arrow-batched matmul argmax.
+EXPR_ASSIGN_MAX_CELLS = 64
+
+
+def _cell_of_arrow(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-dot centroid id as a vectorized pandas UDF — the LARGE
+    ``n_cells`` assignment path (one ``X @ Cᵀ`` matmul + argmax per Arrow
+    batch, so per-row cost is a BLAS flop, not an expression-tree node).
+
+    Matches :func:`_cell_of` semantics: ties to the lowest centroid id
+    (``np.argmax`` returns the first maximum), a NULL vector goes to
+    cell 0 (all-zero scores — same as the zero vector), and a row whose
+    width differs from the centroid width raises rather than silently
+    scoring a prefix.  NOT bit-replayable: BLAS reduces the dot in a
+    different order than the expression path's left fold, so a pair of
+    centroids whose scores differ only in the last ulps can rank either
+    way — use the expression path for oracle-gated shapes (the
+    ``EXPR_ASSIGN_MAX_CELLS`` default keeps contract configurations on
+    it) and this path when cell count, not replayability, is binding.
+    The centroid matrix rides the serialized UDF closure to each
+    executor once (n_cells × dims doubles — 12.8 MB at the paper's 50k
+    cells × 32 dims)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dims, n_cells)
+    dims = cmat.shape[0]
+
+    @pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        if batch.empty:
+            return pd.Series([], dtype="int32")
+        rows = []
+        zero = np.zeros(dims, dtype=np.float64)
+        for v in batch:
+            if v is None:
+                rows.append(zero)
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (dims,):
+                raise ValueError(
+                    f"ann: embedding width {a.shape} != declared "
+                    f"dims {dims}"
+                )
+            rows.append(a)
+        scores = np.stack(rows) @ cmat
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return _assign(vec)
+
+
+def _assign_cell(
+    vec: Column, centroids: list[list[float]], assign_mode: str = "auto"
+) -> Column:
+    """Dispatch centroid assignment: ``'expr'`` (plan-literal unrolled,
+    bit-replayable), ``'arrow'`` (batched matmul, scales to thousands of
+    cells), or ``'auto'`` (expr up to :data:`EXPR_ASSIGN_MAX_CELLS`)."""
+    if assign_mode == "auto":
+        assign_mode = (
+            "expr" if len(centroids) <= EXPR_ASSIGN_MAX_CELLS else "arrow"
+        )
+    if assign_mode == "expr":
+        return _cell_of(vec, centroids)
+    if assign_mode == "arrow":
+        return _cell_of_arrow(vec, centroids)
+    raise ValueError(f"unknown assign_mode {assign_mode!r}")
 
 
 def ivf_assign(
@@ -929,6 +1012,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     train: bool = True,
     n_iters: int = 5,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup semantic near-duplicate pruning (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -963,7 +1047,12 @@ def semantic_dedup(
     with the corpus so the mean cell stays bounded (the paper runs 50k
     clusters at web scale for exactly this reason), and watch the
     per-cell candidate telemetry (tools/dedup_stress.py) for a skewed
-    giant cell.  Zero-norm vectors (token-less docs) are excluded from
+    giant cell.  ``assign_mode`` (see :func:`_assign_cell`) makes large
+    cell counts practical: ``'auto'`` keeps ≤
+    :data:`EXPR_ASSIGN_MAX_CELLS` cells on the bit-replayable unrolled
+    expression and switches bigger quantizers to the Arrow-batched
+    matmul argmax — without it, a 50k-cell assignment would be a 50k-
+    struct expression tree per row, which no codegen survives.  Zero-norm vectors (token-less docs) are excluded from
     pairing whenever ``threshold > 0`` — every pair they form is a
     forced cosine 0.0 that can never clear the threshold, and m such
     docs would otherwise be m²/2 dead candidates in one straggler cell —
@@ -999,7 +1088,7 @@ def semantic_dedup(
             centroids = (
                 ivf_train_kmeans(
                     emb, n_cells=n_cells, n_iters=n_iters, dims=dims,
-                    vec_col="vec",
+                    vec_col="vec", assign_mode=assign_mode,
                 )
                 if train
                 else [_normalize(c) for c in ivf_centroids(n_cells, dims)]
@@ -1007,7 +1096,7 @@ def semantic_dedup(
         v = F.col("vec")
         assigned = emb.select(
             "id",
-            _cell_of(v, centroids).alias("cell"),
+            _assign_cell(v, centroids, assign_mode).alias("cell"),
             _guarded_norm(v, dims).alias("nrm"),
             *_flat_cols(v, dims, "x"),
         ).persist()

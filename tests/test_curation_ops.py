@@ -2295,3 +2295,58 @@ def test_semantic_dedup_matches_python_twin(spark):
     both = (sh.groupBy("h").agg(F.count_distinct("doc_id").alias("n"))
             .filter(F.col("n") > 1).count())
     assert both == 0  # the shuffle pair shares NO syntactic shingle
+
+
+def test_semantic_dedup_arrow_assignment_matches_expr(spark):
+    """The Arrow matmul assignment path (the >EXPR_ASSIGN_MAX_CELLS scale
+    route) produces the SAME semantic_dedup output as the bit-replayable
+    unrolled expression path away from argmax near-ties — training and
+    assignment both ride the selected engine.  Also drives auto-switch
+    (n_cells past the cutoff runs the arrow path end-to-end, every doc
+    labeled exactly once) and the arrow width fail-fast."""
+    import numpy as np  # noqa: F401  (arrow path dependency, baked in)
+
+    from ocr_spark.similarity import (
+        EXPR_ASSIGN_MAX_CELLS,
+        _cell_of_arrow,
+        hyperplanes,
+        semantic_dedup,
+    )
+
+    rows = []
+    for t in range(5):
+        toks = [f"a{t}b{i}" for i in range(20)]
+        rows.append((t * 10, " ".join(toks)))
+        rows.append((t * 10 + 1, " ".join(toks[1:])))  # near-dup partner
+    for i in range(12):
+        rows.append((800 + i, " ".join(f"z{i}q{j}" for j in range(18))))
+    rows.append((990, ""))  # zero vector rides both paths
+    docs = _df(spark, rows, "doc_id bigint, text string")
+
+    def run(mode, n_cells=8):
+        return {
+            r.id: (r.cell, r.cluster_id, r.is_canonical)
+            for r in semantic_dedup(
+                docs, n_cells=n_cells, threshold=0.85, n_iters=2,
+                assign_mode=mode,
+            ).collect()
+        }
+
+    got_expr = run("expr")
+    got_arrow = run("arrow")
+    assert got_expr == got_arrow
+    assert len(got_expr) == len(rows)
+    for t in range(5):  # the planted near-dups merged under both engines
+        assert got_expr[t * 10 + 1][1] == t * 10
+
+    # auto past the cutoff = the arrow path, end-to-end
+    big = run("auto", n_cells=EXPR_ASSIGN_MAX_CELLS + 8)
+    assert sorted(big) == sorted(i for i, _ in rows)
+    assert all(0 <= c < EXPR_ASSIGN_MAX_CELLS + 8 for c, _, _ in big.values())
+
+    # a mismatched embedding width must raise, not score a prefix
+    bad = _df(spark, [(1, [0.1] * 5)], "id bigint, v array<double>")
+    with pytest.raises(Exception, match="embedding width"):
+        bad.select(
+            _cell_of_arrow(F.col("v"), hyperplanes(4, 8)).alias("c")
+        ).collect()

@@ -244,6 +244,80 @@ def _stress(spark, work: str, args) -> None:
     result["ngram_buckets_over_cap"] = over  # capped → bounded recall loss
     result["ngram_wall_s"] = round(time.monotonic() - t0, 1)
 
+    # ---- semantic dedup (SemDeDup): cell-size/candidate telemetry, then
+    # the operator end-to-end.  The quadratic check here is Σ|cell|²/2 —
+    # the exact row count of the within-cell self-join — against the
+    # paper's discipline of growing n_cells with the corpus; max_cell
+    # exposes quantizer skew (one giant cell = one straggler task).
+    from ocr_spark.similarity import (
+        _assign_cell,
+        embed_hash,
+        ivf_train_kmeans,
+        semantic_dedup,
+    )
+
+    n_cells = max(64, args.n_docs // 500)
+    t0 = time.monotonic()
+    emb = embed_hash(docs).persist()
+    cents = ivf_train_kmeans(
+        emb, n_cells=n_cells, n_iters=3, dims=32, vec_col="vec"
+    )
+    result["semantic_train_wall_s"] = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    sizes = [
+        int(r["n"])
+        for r in emb.select(
+            _assign_cell(F.col("vec"), cents).alias("cell")
+        ).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    emb.unpersist()
+    sem_cand = sum(c * (c - 1) // 2 for c in sizes)
+    result["semantic_n_cells"] = n_cells
+    result["semantic_candidates"] = sem_cand
+    result["semantic_cand_per_doc"] = round(sem_cand / args.n_docs, 3)
+    result["semantic_max_cell"] = max(sizes)
+    result["semantic_mean_cell"] = round(args.n_docs / len(sizes), 1)
+    result["semantic_cand_wall_s"] = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    sd = semantic_dedup(
+        docs, n_cells=n_cells, threshold=0.85, centroids=cents
+    ).persist()
+    lab = sd.select("id", "cluster_id")
+    heavy_sem = (
+        lab.alias("l").join(
+            lab.alias("r"), F.col("l.id") + 1 == F.col("r.id")
+        )
+        .filter(
+            (F.col("r.id") % 10 == 1)
+            & (F.col("l.cluster_id") == F.col("r.cluster_id"))
+        ).count()
+    )
+    light_sem = (
+        lab.alias("l").join(
+            lab.alias("r"), F.col("l.id") + 2 == F.col("r.id")
+        )
+        .filter(
+            (F.col("r.id") % 10 == 2)
+            & (F.col("l.cluster_id") == F.col("r.cluster_id"))
+        ).count()
+    )
+    # ids ≡ 3..9 (mod 10) are all-distinct background: any non-canonical
+    # row there is a hash-embedding false merge at this dims/threshold
+    bg_merged = sd.filter(
+        (F.col("id") % 10 >= 3) & ~F.col("is_canonical")
+    ).count()
+    sd.unpersist()
+    spark.catalog.clearCache()
+    result["semantic_heavy_recall"] = (
+        round(heavy_sem / n_heavy, 4) if n_heavy else None
+    )
+    result["semantic_light_recall"] = (
+        round(light_sem / n_light, 4) if n_light else None
+    )
+    result["semantic_bg_false_merged"] = bg_merged
+    result["semantic_wall_s"] = round(time.monotonic() - t0, 1)
+
     print(json.dumps(result))
 
     if args.out:
@@ -270,6 +344,16 @@ def _stress(spark, work: str, args) -> None:
             f"- ngram blocking: {result['ngram_buckets_over_cap']} "
             f"bucket(s) exceeded cap={cap} (sub-bucketed, bounded "
             f"recall loss on those only).\n"
+            f"- semantic dedup (SemDeDup, {result['semantic_n_cells']} "
+            f"trained cells, arrow assignment): "
+            f"{result['semantic_cand_per_doc']} candidates/doc "
+            f"(Σ|cell|²/2 = {result['semantic_candidates']:,}; max cell "
+            f"{result['semantic_max_cell']:,} vs mean "
+            f"{result['semantic_mean_cell']}); heavy-variant recall "
+            f"{result['semantic_heavy_recall']}, light "
+            f"{result['semantic_light_recall']}, background false-merges "
+            f"{result['semantic_bg_false_merged']} at cosine ≥ 0.85 / "
+            f"32 hash dims.\n"
         )
         with open(args.out, "a", encoding="utf-8") as fh:
             fh.write(block)
