@@ -761,9 +761,27 @@ def incremental_lsh_ann_pairs(
     One bucket per vector (single-table LSH), so no pair can be emitted
     twice WITHIN a side — the only distinct is structural (new × new vs
     new × committed are disjoint by the id-disjointness precondition,
-    shared with the whole incremental family).  The verify reads flat
-    scalar columns below the codegen cutoff and the carried array above
-    it (see :func:`_flat_cols`)."""
+    shared with the whole incremental family).
+
+    Physically this is ONE bucket equi-join — probe = the delta, build =
+    delta ∪ committed with a ``same_side`` marker deciding the pair
+    emission rule (``l.id < r.id`` within the delta so each new×new pair
+    emits once; every delta×committed match emits, ids being disjoint) —
+    one shuffle instead of the two a per-side join pair would cost.  The
+    verify carries the vector ARRAY through the join and folds the dot
+    with the HOF :func:`cosine` at EVERY width, deliberately forgoing
+    the ``_flat_cols`` unrolled-column fast path ``lsh_ann_pairs`` uses:
+    when the union (either form — two verified joins unioned after, or
+    the inputs unioned below one join) met the ``dims``-term unrolled
+    cosine filter, Catalyst's constraint propagation
+    (``getAllValidConstraints`` alias substitution + canonicalization)
+    grew exponentially — a measured driver heap OOM at FIVE delta rows ×
+    dims=32, while dims=64 was immune purely because it already rode the
+    array path (lambda-bearing HOFs are opaque to constraint inference).
+    ``dot_fold`` guarantees the fold's left-associative arithmetic is
+    bit-identical to the unrolled twin, so oracle values are unchanged;
+    the forgone codegen win applies per CANDIDATE, a band-join-bounded
+    volume here, not the corpus."""
     def _flat(sdf: DataFrame) -> DataFrame:
         # re-derive the verify payload from the STORED vector: a store
         # written at a different width raises through _guarded_norm
@@ -772,7 +790,7 @@ def incremental_lsh_ann_pairs(
             "id",
             "bucket",
             _guarded_norm(F.col("v"), dims).alias("nrm"),
-            *_flat_cols(F.col("v"), dims, "x"),
+            F.col("v").alias("xarr"),
         )
         # zero/NULL norms: same exclusion as lsh_ann_pairs (the shared
         # all-zero bucket; pairs forced to cosine 0.0 — unverifiable
@@ -792,26 +810,34 @@ def incremental_lsh_ann_pairs(
         return joined.select(
             F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
             F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
-            _flat_cosine(
-                "l.x", "r.x", dims,
+            # the HOF fold, NOT the unrolled flat-column dot: identical
+            # left-associative arithmetic (dot_fold), but the lambda is
+            # opaque to constraint propagation — see the docstring
+            cosine(
+                F.col("l.xarr"), F.col("r.xarr"),
                 norm_a=F.col("l.nrm"), norm_b=F.col("r.nrm"),
             ).alias("cosine_sim"),
         ).filter(F.col("cosine_sim") >= min_cosine)
 
-    nn = _verify(
-        nb.alias("l")
-        .join(nb.alias("r"), on="bucket")
-        .filter(F.col("l.id") < F.col("r.id"))
-    )
     if committed_sketches is None:
-        return nn
-    cb = _flat(committed_sketches)
-    nc = _verify(
-        nb.alias("l")
-        .join(cb.alias("r"), on="bucket")
-        .filter(F.col("l.id") != F.col("r.id"))
+        return _verify(
+            nb.alias("l")
+            .join(nb.alias("r"), on="bucket")
+            .filter(F.col("l.id") < F.col("r.id"))
+        )
+    # single join: build side = delta ∪ committed, marked per row — see
+    # the docstring for why the two-join-then-union form is forbidden
+    build = nb.withColumn("same_side", F.lit(True)).unionByName(
+        _flat(committed_sketches).withColumn("same_side", F.lit(False))
     )
-    return nn.unionByName(nc)
+    return _verify(
+        nb.alias("l")
+        .join(build.alias("r"), on="bucket")
+        .filter(
+            F.when(F.col("r.same_side"), F.col("l.id") < F.col("r.id"))
+            .otherwise(F.col("l.id") != F.col("r.id"))
+        )
+    )
 
 
 def lsh_ann_pairs(
@@ -1137,3 +1163,97 @@ def semantic_dedup(
         if assigned is not None:
             assigned.unpersist()
         emb.unpersist()
+
+
+def semantic_sketches(
+    docs: DataFrame,
+    centroids: list[list[float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 32,
+    assign_mode: str = "auto",
+    persist_emb: bool = True,
+) -> DataFrame:
+    """``(id, v, bucket)`` per document — the PERSISTABLE unit of
+    incremental SemDeDup, completing the incremental dedup family
+    (exact / minhash / simhash / clusters / passages / ANN all have
+    one).  ``v`` is the :func:`embed_hash` vector; ``bucket`` is the
+    quantizer cell id as a string.
+
+    ``persist_emb`` (default on, session-lifetime like the minhash
+    operators' ``persist_base`` — callers batch-clearing via
+    ``spark.catalog.clearCache`` is the convention) caches the embed
+    table so the sketch projection plans over an ``InMemoryRelation``
+    leaf.  This is NOT an optimization knob: the assignment expression
+    references the embedding vector ~``n_cells × dims`` times and the
+    pairing reader re-derives 1 + ``dims`` more columns from it, and
+    optimizing that stack over the raw embed AGGREGATE sends Catalyst's
+    constraint alias-substitution (``getAllValidConstraints``) into the
+    same exponential driver OOM :func:`semantic_dedup` documents — a
+    measured heap exhaustion at THIRTY input rows.  ``ann_sketches``
+    needs no such cut only because its base is a parquet scan leaf
+    already.  Turn it off only when the input embeds trivially or the
+    caller persists upstream itself.
+
+    Deliberately shares the :func:`ann_sketches` store schema so the
+    ENTIRE downstream incremental machinery is single-sourced: pairing
+    is :func:`incremental_lsh_ann_pairs` (cell equi-join + exact-cosine
+    verify — see :func:`incremental_semantic_pairs`), the commit
+    protocol and id-disjointness precondition are the family's, and
+    label maintenance feeds ``dedup.incremental_components`` exactly
+    like minhash pairs do.  The one semantic difference lives here: the
+    join key is a trained-quantizer cell (argmax-dot against pinned
+    centroids) instead of hyperplane sign bits.
+
+    ``centroids`` is REQUIRED and is part of the store's contract —
+    pin the quantizer when the store is created (train once with
+    :func:`ivf_train_kmeans`, or use the seeded unit
+    :func:`ivf_centroids`) and persist its parameters next to the
+    store.  Re-training between runs would re-partition the embedding
+    space and silently orphan every committed cell assignment; that is
+    why this function will not train for you.  Vector width is ``dims``
+    by construction (``embed_hash`` emits exactly ``dims`` entries);
+    a store written at a different width fails fast at pairing time
+    through the reader's ``_guarded_norm``."""
+    emb = embed_hash(docs, text_col=text_col, id_col=id_col, dims=dims)
+    if persist_emb:
+        emb = emb.persist()
+    return emb.select(
+        "id",
+        F.col("vec").alias("v"),
+        _assign_cell(F.col("vec"), centroids, assign_mode)
+        .cast("string")
+        .alias("bucket"),
+    )
+
+
+def incremental_semantic_pairs(
+    new_sketches: DataFrame,
+    committed_sketches: DataFrame | None = None,
+    dims: int = 32,
+    threshold: float = 0.85,
+    persist_new: bool = True,
+) -> DataFrame:
+    """Cross-run incremental SemDeDup: cosine-≥ ``threshold`` semantic
+    pairs TOUCHING the new batch — (new × new) ∪ (new × committed) —
+    without re-pairing the committed corpus against itself.
+
+    Pure delegation to :func:`incremental_lsh_ann_pairs` over
+    :func:`semantic_sketches` rows: the cell id rides the ``bucket``
+    column, so the equi-join, flat-column cosine verify, zero-norm
+    exclusion (token-less docs never pair — same rule as
+    :func:`semantic_dedup`), and new/committed canonicalization are the
+    single-sourced family implementation.  Because a cell assignment is
+    a pure function of (vector, pinned centroids), the union of every
+    run's output equals the one-shot within-cell pair set of
+    :func:`semantic_dedup` under the same centroids — so feeding each
+    run's pairs into ``dedup.incremental_components`` maintains exactly
+    the one-shot cluster labels (gated end-to-end by
+    ``test_incremental_semantic_two_batches_equal_one_run``)."""
+    return incremental_lsh_ann_pairs(
+        new_sketches,
+        committed_sketches,
+        dims=dims,
+        min_cosine=threshold,
+        persist_new=persist_new,
+    )

@@ -2350,3 +2350,76 @@ def test_semantic_dedup_arrow_assignment_matches_expr(spark):
         bad.select(
             _cell_of_arrow(F.col("v"), hyperplanes(4, 8)).alias("c")
         ).collect()
+
+def test_incremental_semantic_two_batches_equal_one_run(spark, tmp_path):
+    """Semantic member of the incremental family: the union of per-run
+    incremental_semantic_pairs outputs, fed through connected
+    components, reproduces the one-shot semantic_dedup LABELS under the
+    same pinned quantizer; run 2 never re-emits a committed-only pair;
+    a planted identical cross-batch text pairs at cosine ~1.0; and the
+    zero-vector doc stays a singleton canonical through both paths."""
+    from ocr_spark.dedup import connected_components
+    from ocr_spark.similarity import (
+        embed_hash,
+        incremental_semantic_pairs,
+        ivf_train_kmeans,
+        semantic_dedup,
+        semantic_sketches,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    rows: list[tuple[int, str]] = []
+    for t in range(6):
+        toks = [f"w{t}x{i}" for i in range(20)]
+        rows.append((t * 10, " ".join(toks)))          # even → batch A
+        rows.append((t * 10 + 1, " ".join(toks[1:])))  # odd  → batch B
+    for i in range(8):  # all-distinct background, split across batches
+        rows.append((900 + i, " ".join(f"u{i}v{j}" for j in range(15))))
+    rows.append((990, ""))           # zero vector, batch A
+    rows.append((991, rows[0][1]))   # text identical to doc 0, batch B
+    full = _df(spark, rows, "doc_id bigint, text string")
+    a = full.filter(F.col("doc_id") % 2 == 0)
+    b = full.filter(F.col("doc_id") % 2 == 1)
+
+    # the quantizer is pinned at store creation (trained on batch A) —
+    # part of the store contract, shared verbatim by every later run
+    # AND by the one-shot reference
+    cents = ivf_train_kmeans(
+        embed_hash(a), n_cells=4, n_iters=2, dims=32, vec_col="vec"
+    )
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    sk_a = semantic_sketches(a, cents)
+    run1 = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in incremental_semantic_pairs(sk_a, None).collect()}
+    io.append(sk_a, "sem")
+
+    committed = io.read(spark, "sem")
+    run2 = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in incremental_semantic_pairs(
+                semantic_sketches(b, cents), committed).collect()}
+
+    assert not (run1 & run2)  # no pair is ever emitted twice
+    b_ids = {r.doc_id for r in b.select("doc_id").collect()}
+    assert all(p[0] in b_ids or p[1] in b_ids for p in run2)
+    planted = [p for p in run2 if p[:2] == (0, 991)]
+    assert planted and planted[0][2] >= 0.999
+
+    # end-to-end: union-of-runs pairs → components == one-shot labels
+    edges = _df(
+        spark,
+        sorted((ia, ib) for ia, ib, _ in run1 | run2),
+        "id_a bigint, id_b bigint",
+    )
+    labels = connected_components(
+        full.select(F.col("doc_id").alias("id")), edges
+    )
+    got = {r.id: r.cluster_id for r in labels.collect()}
+    want = {
+        r.id: r.cluster_id
+        for r in semantic_dedup(full, centroids=cents).collect()
+    }
+    assert got == want
+    assert want[990] == 990  # zero-vector doc: singleton canonical
+    for t in range(6):       # every cross-batch near-dup pair merged
+        assert want[t * 10 + 1] == t * 10
