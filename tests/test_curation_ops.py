@@ -2423,3 +2423,70 @@ def test_incremental_semantic_two_batches_equal_one_run(spark, tmp_path):
     assert want[990] == 990  # zero-vector doc: singleton canonical
     for t in range(6):       # every cross-batch near-dup pair merged
         assert want[t * 10 + 1] == t * 10
+
+def test_incremental_ann_three_run_random_differential(spark, tmp_path):
+    """Seeded-random differential for the single-join incremental ANN
+    shape at an UNROLLED width (dims=16 ≤ UNROLL_MAX_DIMS — the width
+    class whose earlier two-join-union form exponentially OOM'd the
+    driver): three sequential runs through a real parquet store, so run
+    3's committed side is a UNION of two snapshot directories below the
+    join — a plan shape the two-batch test never builds.  Union of the
+    three runs' pairs must equal the one-shot single-table
+    lsh_ann_pairs over the full corpus, with no pair emitted twice and
+    every run-k pair touching batch k."""
+    import random
+
+    from ocr_spark.similarity import (
+        ann_sketches,
+        hyperplanes,
+        incremental_lsh_ann_pairs,
+        lsh_ann_pairs,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    rng = random.Random(20260819)
+    dims = 16
+
+    def unit(seed_vec):
+        n = math.sqrt(sum(x * x for x in seed_vec))
+        return [x / n for x in seed_vec]
+
+    rows = []
+    base_vecs = []
+    for i in range(40):  # anchor vectors
+        v = unit([rng.gauss(0, 1) for _ in range(dims)])
+        base_vecs.append(v)
+        rows.append((i, v))
+    for i in range(40, 120):  # jittered near-dups of random anchors
+        a = base_vecs[rng.randrange(len(base_vecs))]
+        v = unit([x + rng.gauss(0, 0.12) for x in a])
+        rows.append((i, v))
+    rows.append((990, [0.0] * dims))  # zero vector rides a batch
+
+    batch_of = {vid: rng.randrange(3) for vid, _ in rows}
+    full = _df(spark, rows, "vec_id bigint, embedding array<double>")
+    planes = hyperplanes(3, dims=dims)
+    io = ParquetManifestIO(str(tmp_path / "store"))
+
+    runs, seen = [], set()
+    for k in range(3):
+        ids = [vid for vid, _ in rows if batch_of[vid] == k]
+        batch = full.filter(F.col("vec_id").isin(ids))
+        sk = ann_sketches(batch, planes=planes, dims=dims)
+        committed = io.read(spark, "ann") if k else None
+        got = {(r.id_a, r.id_b, r.cosine_sim)
+               for r in incremental_lsh_ann_pairs(
+                   sk, committed, dims=dims, min_cosine=0.8).collect()}
+        assert not (got & seen)  # no pair re-emitted by a later run
+        assert all(
+            batch_of[p[0]] == k or batch_of[p[1]] == k for p in got
+        )
+        runs.append(got)
+        seen |= got
+        io.append(sk, "ann")
+
+    want = {(r.id_a, r.id_b, r.cosine_sim)
+            for r in lsh_ann_pairs(
+                full, planes=planes, dims=dims, min_cosine=0.8).collect()}
+    assert seen == want
+    assert len(want) > 20  # the jitter actually produced pairs to check
