@@ -101,6 +101,16 @@ def test_registry_fits_driver_correctness_window():
     ]
 
 
+def test_bench_headline_is_subset_of_registry():
+    """bench.py times registry entries by name; a registry rename/retire
+    that misses HEADLINE would crash the driver's per-round bench run
+    (BENCH_r{N}.json) instead of this cheap test."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in registry()]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = registry()[name]
