@@ -282,19 +282,23 @@ def score_buckets(
         # NULL scores are excluded from the ntile entirely (they would
         # sort nulls-first into the head bucket AND displace real rows
         # across every tercile) and surface as bucket NULL — same
-        # unscored-doc contract as the sampled branch below.
-        wb = Window.partitionBy("grp").orderBy(
+        # unscored-doc contract as the sampled branch below.  NULL-ness
+        # rides the window PARTITION key instead of a filter + union:
+        # NULL-score rows form their own partition (their ntile is
+        # computed then discarded by the CASE), so scored rows' terciles
+        # are untouched and the input lineage is scanned ONCE — the
+        # filter/filter/union form evaluated an unpersisted upstream
+        # chain twice.
+        wb = Window.partitionBy("grp", F.col("score").isNull()).orderBy(
             F.col("score").asc(), F.col("id").asc()
         )
-        scored_rows = base.filter(F.col("score").isNotNull()).select(
+        return base.select(
             "id", "grp", "score",
-            F.ntile(n_buckets).over(wb).cast("bigint").alias("bucket"),
+            F.when(
+                F.col("score").isNotNull(),
+                F.ntile(n_buckets).over(wb),
+            ).cast("bigint").alias("bucket"),
         )
-        null_rows = base.filter(F.col("score").isNull()).select(
-            "id", "grp", "score",
-            F.lit(None).cast("bigint").alias("bucket"),
-        )
-        return scored_rows.unionByName(null_rows)
     if sample_denom < 1:
         raise ValueError("sample_denom must be >= 1")
     # NULL scores must not enter the boundary sample: they sort

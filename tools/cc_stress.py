@@ -53,6 +53,12 @@ def main() -> None:
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     p.add_argument("--out", help="markdown file to append the addendum to")
     args = p.parse_args()
+    if args.clique_size < 2:
+        # sequence(0, k-2) counts DOWN when k < 2 (sequence(0, -1) =
+        # [0, -1] in Spark), fabricating self-loops and cross-clique
+        # edges that the truth labeler would then call mismatches —
+        # same descending-sequence trap dedup._gram_table_from_toks guards.
+        p.error("--clique-size must be >= 2 (a 1-node clique has no edges)")
     cpus = str(args.cpus)
     if not cpus.isdigit():
         cpus = str(os.cpu_count() or 8)
