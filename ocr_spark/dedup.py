@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ocr_spark.textstats import norm_text, portable_hash, tokens, trunc4
+from ocr_spark.textstats import (
+    explode_non_null,
+    norm_text,
+    portable_hash,
+    tokens,
+    trunc4,
+)
 
 DEFAULT_SHINGLE = 3
 # ngram_jaccard_pairs' sub-bucket split size.  Single-sourced like
@@ -358,6 +364,15 @@ def ngram_jaccard_pairs(
         sh.alias("sh"),
         F.size(sh).alias("n_sh"),
     )
+    # Shingle-less docs (blank/short pages) all share bucket -1, and
+    # every pair they form is a forced J = 0.0 (empty-set union guard)
+    # that can never clear a positive threshold — m such docs would be
+    # m²/2 dead candidate rows in one straggler bucket (quadratic when
+    # bucket_cap=None).  Excluding them pre-join is output-identical
+    # whenever threshold > 0; at threshold ≤ 0 a 0.0 pair legitimately
+    # passes, so they stay (same rule as lsh_ann_pairs' zero norms).
+    if threshold > 0:
+        base = base.filter(F.col("n_sh") > 0)
     join_keys = ["bucket"]
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -502,17 +517,16 @@ def band_table(
                   "sketch store written with a different k?)"),
         ))
     )
-    # explode_OUTER + null filter (not plain explode): the optimizer's
-    # inferred `size(...) > 0` pre-filter for non-outer generators
-    # re-evaluates the band expression below the exchange — see
-    # _dup_gram_positions for the measurement.  k ≥ 1 means no row is
-    # ever actually null here (and a null sig raises in `guarded`).
-    return (
-        sketches.filter(F.size("sh") > 0)  # see docstring: sentinel sigs
-        .select("id", F.explode_outer(guarded).alias("band"))
-        .filter(F.col("band").isNotNull())
-        .select("id", "band.band_idx", "band.band_hash")
-    )
+    # textstats.explode_non_null (outer + null filter), never a plain
+    # explode: the optimizer's inferred `size(...) > 0` pre-filter for
+    # non-outer generators re-evaluates the band expression below the
+    # exchange — see _dup_gram_positions for the measurement.  k ≥ 1
+    # means no row is ever actually null here (a null sig raises in
+    # `guarded`).
+    return explode_non_null(
+        sketches.filter(F.size("sh") > 0),  # see docstring: sentinel sigs
+        guarded, "band", "id",
+    ).select("id", "band.band_idx", "band.band_hash")
 
 
 def _band_self_pairs(banded: DataFrame) -> DataFrame:
@@ -1250,12 +1264,40 @@ def _simhash_block_rows(
     blocks = simhash_blocks(
         F.col("sig"), bits=bits, max_hamming=max_hamming, n_blocks=n_blocks
     )
+    # textstats.explode_non_null, never a plain explode: the inferred
+    # pre-filter would duplicate the block arithmetic (see
+    # _dup_gram_positions for the measurement).
+    return explode_non_null(base, blocks, "b", "id", "sig", *carry).select(
+        "id", "sig", *carry, "b.block_idx", "b.block_val"
+    )
+
+
+def _block_self_pairs(
+    banded: DataFrame, join_keys: list[str] | None = None
+) -> DataFrame:
+    """Canonical candidate ``(id_a, id_b, sig_a, sig_b)`` pairs from a
+    simhash block-table self-join: equi-join on the block key,
+    ``id_a < id_b``, the signatures riding along for the hamming verify.
+    NOT yet distinct — the caller places the distinct.  Single-sourced
+    (like :func:`_band_self_pairs` for the minhash family) so the
+    full-corpus (:func:`simhash_pairs`) and incremental
+    (:func:`incremental_simhash_pairs`) paths cannot drift apart in
+    candidate canonicalization — their run-union equivalence depends on
+    emitting identical pair rows for identical block tables."""
+    keys = (
+        list(join_keys) if join_keys is not None
+        else ["block_idx", "block_val"]
+    )
     return (
-        # outer + null filter: see _dup_gram_positions for why not plain
-        # explode (inferred pre-filter duplicates the block arithmetic).
-        base.select("id", "sig", *carry, F.explode_outer(blocks).alias("b"))
-        .filter(F.col("b").isNotNull())
-        .select("id", "sig", *carry, "b.block_idx", "b.block_val")
+        banded.alias("l")
+        .join(banded.alias("r"), on=keys)
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
     )
 
 
@@ -1305,17 +1347,7 @@ def incremental_simhash_pairs(
     if persist_new:
         new_sketches = new_sketches.persist()
     nb = _simhash_block_rows(new_sketches, bits, max_hamming, n_blocks)
-    nn = (
-        nb.alias("l")
-        .join(nb.alias("r"), on=["block_idx", "block_val"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-    )
+    nn = _block_self_pairs(nb)
     if committed_sketches is None:
         cand = nn.distinct()
     else:
@@ -1404,18 +1436,7 @@ def simhash_pairs(
         carry = ("cohort",)
         join_keys = ["cohort", "block_idx", "block_val"]
     banded = _simhash_block_rows(base, bits, max_hamming, n_blocks, carry)
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), on=join_keys)
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    cand = _block_self_pairs(banded, join_keys).distinct()
     return _hamming_verify(cand, max_hamming)
 
 

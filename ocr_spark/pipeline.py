@@ -96,10 +96,18 @@ def explode_spans(
         keep = keep & (n <= max_spans_per_doc)
         over_n = F.when(n > max_spans_per_doc, n.cast("int"))
     spans = F.when(keep, F.col("spans")).otherwise(marker)
+    # `padded` marks the injected marker row OUT OF BAND (like
+    # `oversized`): a GENUINE input span whose kind is NULL would
+    # otherwise be indistinguishable from the placeholder and silently
+    # vanish from spans_out with no error row — the exact spoofable-
+    # sentinel hazard the docstring above rejects for kind strings.
+    # With the flag, text_path quarantines real null-kind spans loudly
+    # (``null_kind`` error) while the placeholder stays errorless.
     return spans_df.select(
         "doc_id",
         F.explode(spans).alias("s"),
         over_n.alias("oversized"),
+        (~keep).alias("padded"),
     ).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -107,13 +115,15 @@ def explode_spans(
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
         "oversized",
+        "padded",
     )
 
 
 def text_path(exploded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Every NON-media span in one narrow branch: text spans get the
-    boilerplate strip, everything else (empty-doc placeholder,
-    oversized-doc marker, unknown kinds) gets its quarantine error row.
+    boilerplate strip; unknown-kind, null-kind, and oversized-marker
+    rows get their quarantine error rows (the empty-doc placeholder
+    alone passes through errorless).
 
     One branch, not two (rounds 1-4 split text and other into separate
     filter-and-union subtrees): each union arm is its own traversal of
@@ -141,6 +151,13 @@ def text_path(exploded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).when(
         F.col("kind").isNotNull() & ~is_text,
         F.concat(F.lit("unknown_kind:"), F.col("kind")),
+    ).when(
+        # a REAL input span with NULL kind (schema-legal, meaning-less):
+        # quarantined like an unknown kind, not silently dropped — only
+        # the injected empty/oversized placeholder (padded=true, see
+        # explode_spans) is errorless by construction
+        F.col("kind").isNull() & ~F.col("padded"),
+        F.lit("null_kind"),
     )
     return rows.select(
         "doc_id",

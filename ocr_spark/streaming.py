@@ -402,6 +402,47 @@ def _await_drain(query, timeout_s: int) -> None:
         )
 
 
+def _fresh_drain_dirs(*dirs: str) -> None:
+    """A drain is ONE-SHOT: it writes a fresh input, runs an availableNow
+    stream to completion, and reads the full output directory back.  A
+    reused ``work_dir`` breaks both halves silently — the retained
+    checkpoint treats the overwritten input's new part-file as more data
+    for the OLD run, and the read-back unions the previous drain's
+    output part-files with this run's.  Each drain therefore owns its
+    ``out/`` and ``ckpt/`` subdirs and clears them up front (``in/`` is
+    already ``mode('overwrite')``-owned)."""
+    import shutil
+
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _require_no_sentinel_collision(
+    spark: SparkSession, inp: str, col: str, sentinel,
+) -> None:
+    """The sentinel-bearing drains finalize real windows/sessions by
+    appending ONE in-band row past the watermark and filtering it back
+    out of the result — so a REAL input row that happens to carry the
+    sentinel value (``user_id`` = :data:`STREAM_SENTINEL_USER`,
+    ``event_type`` = :data:`STREAM_SENTINEL_EVENT_TYPE`) would be
+    silently dropped with it.  Counting sentinel matches in the
+    just-written single-file input (one narrow column scan — no upstream
+    recompute) fails fast on the collision instead: exactly one match is
+    the drain's own sentinel."""
+    n = (
+        spark.read.parquet(inp)
+        .filter(F.col(col).eqNullSafe(F.lit(sentinel)))
+        .count()
+    )
+    if n != 1:
+        raise ValueError(
+            f"events input contains {n - 1} row(s) whose {col} equals "
+            f"the drain's in-band watermark sentinel ({sentinel!r}); "
+            "they would be silently filtered out of the drained result — "
+            "remap that value before draining"
+        )
+
+
 def _sentinel_row(spark, events: DataFrame, lead_s: float,
                   event_type: str = "a", user_id: int = 1) -> DataFrame:
     """One row ``lead_s`` seconds past the max event time (one-scalar
@@ -435,7 +476,10 @@ def drain_windowed_counts(
     lead = interval_seconds(watermark) + interval_seconds(window) + 3600
     sent = _sentinel_row(spark, events, lead,
                          event_type=STREAM_SENTINEL_EVENT_TYPE)
+    _fresh_drain_dirs(out, ckpt)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
+    _require_no_sentinel_collision(
+        spark, inp, "event_type", STREAM_SENTINEL_EVENT_TYPE)
     with _shuffle_partitions(
             spark, state_partitions or DRAIN_STATE_PARTITIONS):
         q = stream_windowed_counts(spark, inp, out, ckpt, window=window,
@@ -469,6 +513,7 @@ def drain_dedup_exact(
             "would emit nothing and the output read-back would fail in "
             "schema inference)"
         )
+    _fresh_drain_dirs(out, ckpt)
     events.coalesce(1).write.mode("overwrite").parquet(inp)
     with _shuffle_partitions(
             spark, state_partitions or DRAIN_STATE_PARTITIONS):
@@ -489,7 +534,10 @@ def drain_sessions(
     inp, out, ckpt = (f"{work_dir}/{d}" for d in ("in", "out", "ckpt"))
     lead = interval_seconds(watermark) + gap_s + 3600
     sent = _sentinel_row(spark, events, lead, user_id=STREAM_SENTINEL_USER)
+    _fresh_drain_dirs(out, ckpt)
     events.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(inp)
+    _require_no_sentinel_collision(
+        spark, inp, "user_id", STREAM_SENTINEL_USER)
     with _shuffle_partitions(
             spark, state_partitions or DRAIN_STATE_PARTITIONS):
         q = sessionize_stream(spark, inp, out, ckpt, gap_s=gap_s,

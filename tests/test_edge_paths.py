@@ -63,8 +63,9 @@ def test_randomized_span_shapes_hold_routing_invariants(spark):
     - every input doc appears in the output exactly once;
     - spans_out is offset-sorted and contains exactly the non-null-kind
       input spans (empty/oversized docs → empty spans_out);
-    - every unknown-kind span carries an unknown_kind error; an
-      oversized doc carries exactly one oversized_doc error;
+    - every unknown-kind span carries an unknown_kind error, every
+      null-kind span a null_kind error; an oversized doc carries
+      exactly one oversized_doc error;
     - media spans with no store row carry missing_media errors."""
     import random
 
@@ -76,7 +77,10 @@ def test_randomized_span_shapes_hold_routing_invariants(spark):
         shape = rng.random()
         if shape < 0.08:
             docs.append((did, []))
-            expected[did] = {"spans": 0, "unknown": 0, "oversized": False}
+            expected[did] = {
+                "spans": 0, "unknown": 0, "null_kind": 0,
+                "oversized": False,
+            }
             continue
         n = rng.randint(1, 12) if shape > 0.12 else rng.randint(60, 70)
         oversized = n > 50
@@ -86,9 +90,10 @@ def test_randomized_span_shapes_hold_routing_invariants(spark):
             text = rng.choice(["hola mundo", "", None]) if k == "text" \
                 else None
             ref = f"m{i}_{off}" if k == "media" else None
-            # null-kind input spans are indistinguishable from the
-            # empty-doc placeholder BY DESIGN: dropped from spans_out
-            # with no error row; only a non-null unknown kind quarantines
+            # null-kind input spans are dropped from spans_out (they
+            # carry no routable content) but quarantine LOUDLY with a
+            # null_kind error — only the injected empty/oversized
+            # placeholder (out-of-band `padded` flag) is errorless
             if k is not None and k not in ("text", "media"):
                 unknown += 1
             spans.append((k, text, ref, off))
@@ -99,6 +104,9 @@ def test_randomized_span_shapes_hold_routing_invariants(spark):
                 1 for s in spans if s[0] is not None
             ),
             "unknown": 0 if oversized else unknown,
+            "null_kind": 0 if oversized else sum(
+                1 for s in spans if s[0] is None
+            ),
             "oversized": oversized,
         }
     spans_df = spark.createDataFrame(docs, schema=SPANS_DDL)
@@ -120,6 +128,9 @@ def test_randomized_span_shapes_hold_routing_invariants(spark):
         else:
             n_media = sum(1 for s in r.spans_out if s.kind == "media")
             assert errs.count("unknown_kind") == want["unknown"], did
+            # a real null-kind span quarantines; the empty-doc
+            # placeholder does not
+            assert errs.count("null_kind") == want["null_kind"], did
             # empty media store: every media span quarantines
             assert errs.count("missing_media") == n_media, did
 
