@@ -28,7 +28,8 @@ tests/test_compact_store.py):
 - ``signatures``: the run_dedup_incremental store — applies every
   accumulated ``role='merge'`` rename to the ``role='doc'`` labels
   (min-reachable over the rename graph, exactly the read path's
-  ``_current_labels``) and keeps only resolved doc rows, so future reads
+  ``ocr_spark.dedup.current_store_labels``) and keeps only resolved doc
+  rows, so future reads
   skip merge resolution entirely until new merges accrue.
 
 Time travel before the compaction point is discarded by design (that is
@@ -70,14 +71,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _signatures_fold(df):
     """Resolve accumulated merges into the doc labels; drop merge rows.
 
-    Mirrors run_dedup_incremental._current_labels (the read path), then
+    Applies ocr_spark.dedup.current_store_labels (the store's canonical
+    read path, same code the incremental job reads through), then
     re-attaches the per-doc sketch payload so the compacted store is a
     drop-in replacement for the accreted one."""
     from pyspark.sql import functions as F
 
-    from jobs.run_dedup_incremental import _current_labels
+    from ocr_spark.dedup import current_store_labels
 
-    labels = _current_labels(df)
+    labels = current_store_labels(df)
     payload = df.filter("role = 'doc'").select("id", "digest", "sh", "sig")
     return (
         payload.join(labels, on="id")

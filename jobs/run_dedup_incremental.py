@@ -53,31 +53,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _current_labels(committed):
-    """CURRENT cluster label per committed doc: stored 'doc' labels with
-    every accumulated 'merge' record applied.  Renames always point to a
-    smaller label, so across runs the rename graph's min-reachable label
-    IS the final one — one connected_components over the (few) merge
-    rows collapses any chain; no merge rows means the stored labels are
-    already current."""
-    from pyspark.sql import functions as F
+    """Alias for :func:`ocr_spark.dedup.current_store_labels` — the
+    store's canonical read path lives in the library (``--py-files``
+    deployments ship only the ``ocr_spark`` package); kept here so
+    existing callers and tests keep one import site per job."""
+    from ocr_spark.dedup import current_store_labels
 
-    from ocr_spark.dedup import connected_components, resolve_labels
-
-    docs = committed.filter("role = 'doc'").select("id", "cluster_id")
-    merges = committed.filter("role = 'merge'").select("id", "cluster_id")
-    if merges.isEmpty():
-        return docs
-    nodes = (
-        merges.select("id")
-        .unionByName(merges.select(F.col("cluster_id").alias("id")))
-        .distinct()
-    )
-    final = connected_components(
-        nodes, merges.select(
-            F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
-        )
-    )
-    return resolve_labels(docs, final)
+    return current_store_labels(committed)
 
 
 def main(argv: list[str] | None = None) -> dict:

@@ -1840,3 +1840,36 @@ def resolve_labels(
             .alias("cluster_id"),
         )
     )
+
+
+def current_store_labels(committed: DataFrame) -> DataFrame:
+    """CURRENT cluster label per committed doc: stored ``role='doc'``
+    labels with every accumulated ``role='merge'`` record applied.
+
+    Renames always point to a smaller label, so across runs the rename
+    graph's min-reachable label IS the final one — one
+    :func:`connected_components` over the (few) merge rows collapses any
+    chain; no merge rows means the stored labels are already current.
+
+    This is the signature store's canonical read path, shared by the
+    incremental dedup job (``jobs/run_dedup_incremental.py``) and store
+    compaction (``jobs/compact_store.py --mode signatures``); it lives in
+    the library (not a ``jobs/`` entry point) because ``--py-files``
+    deployments ship only the ``ocr_spark`` package.
+    """
+    docs = committed.filter("role = 'doc'").select("id", "cluster_id")
+    merges = committed.filter("role = 'merge'").select("id", "cluster_id")
+    if merges.isEmpty():
+        return docs
+    nodes = (
+        merges.select("id")
+        .unionByName(merges.select(F.col("cluster_id").alias("id")))
+        .distinct()
+    )
+    final = connected_components(
+        nodes,
+        merges.select(
+            F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        ),
+    )
+    return resolve_labels(docs, final)
