@@ -16,9 +16,11 @@ its grams.  Per doc: distinct-shingle hashes (narrow, reuses
 :func:`ocr_spark.dedup.shingle_hashes`), a broadcast-hash-join against the
 eval grams, and one groupBy(doc_id) over the MATCHED grams only (tiny —
 contamination is rare).  No O(corpus × eval) pair blowup, no corpus-side
-gram shuffle.  For an eval set too big to broadcast, pre-bucket both sides
-on ``gram_hash % B`` and run the same join shuffled — the operator shape
-is unchanged.
+gram shuffle.  For a membership set too big to broadcast exactly
+(blocklists / seen-registries at 10^9+ keys), use
+:func:`decontaminate_bloom`: a Bloom bitmap built as a TABLE
+(:mod:`ocr_spark.membership`) prunes the corpus grams first, and the
+exact join runs only on the tiny surviving fraction.
 """
 
 from __future__ import annotations
@@ -90,7 +92,13 @@ def decontaminate(
         docs, shingle_hashes(tokens(F.col(text_col)), n), "g",
         F.col(id_col).alias("doc_id"),
     )
-    hits = (
+    return _finish(docs, id_col, _hits(dg, eg), min_overlap)
+
+
+def _hits(dg: DataFrame, eg: DataFrame) -> DataFrame:
+    """groupBy(doc_id) over the matched grams — shared by the broadcast
+    and Bloom-pruned paths, which differ only in what reaches the join."""
+    return (
         dg.join(F.broadcast(eg), on="g")
         .groupBy("doc_id")
         .agg(
@@ -98,6 +106,11 @@ def decontaminate(
             F.countDistinct("eval_id").alias("n_eval_hit"),
         )
     )
+
+
+def _finish(
+    docs: DataFrame, id_col: str, hits: DataFrame, min_overlap: int
+) -> DataFrame:
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(hits, on="doc_id", how="left")
@@ -109,3 +122,70 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = DEFAULT_DECONTAM_NGRAM,
+    min_overlap: int = DEFAULT_MIN_OVERLAP,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    mode: str = "verify",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    broadcast_bloom: bool = True,
+) -> DataFrame:
+    """Bloom-pruned decontamination — the membership-set scale path.
+
+    ``mode='verify'`` (the default, and the production shape): build a
+    Bloom bitmap over the eval grams (:func:`ocr_spark.membership.bloom_build`),
+    prune the corpus grams through it, then run the EXACT eval join on
+    the survivors only.  Bloom filters have no false negatives, so the
+    output is **identical** to :func:`decontaminate` — same schema, same
+    rows — while the exact join (the part that needs the full eval gram
+    table resident) processes only the pruned fraction.  Size
+    ``m_bits ≈ 12 × distinct eval grams`` for ~0.6% false-positive rate
+    at ``k=4``.
+
+    ``mode='approx'``: skip the verify join entirely — after the bitmap
+    is built, the eval table is never touched again (THE blocklist shape:
+    the bitmap is computed once, persisted, and reused across corpora).
+    Output ``(doc_id, n_bloom_grams, contaminated)`` where
+    ``n_bloom_grams`` counts distinct doc grams the filter accepts;
+    ``contaminated`` errs only toward over-flagging (false positives at
+    the filter's fpp), never under.
+
+    ``broadcast_bloom=False`` switches the probe to a shuffled hash join
+    for bitmaps past the broadcast ceiling (≳10^8 bits).
+    """
+    from ocr_spark.membership import bloom_build, bloom_probe
+
+    if mode not in ("verify", "approx"):
+        raise ValueError(f"mode must be 'verify' or 'approx', got {mode!r}")
+    eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
+    bloom = bloom_build(eg, "g", m_bits, k)
+    dg = explode_non_null(
+        docs, shingle_hashes(tokens(F.col(text_col)), n), "g",
+        F.col(id_col).alias("doc_id"),
+    ).distinct()
+    probed = bloom_probe(
+        dg, bloom, "g", m_bits, k, broadcast_bloom=broadcast_bloom
+    )
+    candidates = probed.filter(F.col("might_contain")).drop("might_contain")
+    if mode == "approx":
+        hits = candidates.groupBy("doc_id").agg(
+            F.countDistinct("g").alias("n_bloom_grams")
+        )
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(hits, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bloom_grams", F.lit(0)).alias("n_bloom_grams"),
+                (F.coalesce("n_bloom_grams", F.lit(0)) >= min_overlap)
+                .alias("contaminated"),
+            )
+        )
+    return _finish(docs, id_col, _hits(candidates, eg), min_overlap)

@@ -1641,15 +1641,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold rather than any-hit.  n=3 explicitly (the module default is
     the decontamination-typical 8): the fixture corpus shares SENTENCES
     between docs, and trigram width is what makes sub-sentence overlap
-    visible on ~50-token documents."""
-    from ocr_spark.decontam import decontaminate
+    visible on ~50-token documents.
+
+    Round 5 added the Bloom-filter scale path's approx columns to the
+    same row (``n_bloom_grams``/``contaminated_bloom`` from
+    :func:`ocr_spark.decontam.decontaminate_bloom` in ``mode='approx'``)
+    so the bitmap build+probe arithmetic (:mod:`ocr_spark.membership`,
+    63-bit portable words, double-hashed positions) is itself under the
+    hash gate — the oracle replays it bit-for-bit, false positives
+    included."""
+    from ocr_spark.decontam import decontaminate, decontaminate_bloom
 
     docs = _docs_df(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    return decontaminate(docs, eval_set, n=3, min_overlap=2)
+    exact = decontaminate(docs, eval_set, n=3, min_overlap=2)
+    approx = decontaminate_bloom(
+        docs, eval_set, n=3, min_overlap=2,
+        m_bits=_BLOOM_M_BITS, k=_BLOOM_K, mode="approx",
+    ).select(
+        "doc_id", "n_bloom_grams",
+        F.col("contaminated").alias("contaminated_bloom"),
+    )
+    return exact.join(approx, on="doc_id")
 
+
+# Bloom sizing for the contract fixture: ~1.4k distinct eval trigrams at
+# m=16384/k=4 → fpp ≈ 0.7%; small enough that the approx columns mostly
+# agree with exact while the FP arithmetic still gets exercised — and
+# either way both engines replay the identical bitmap, so the hash gate
+# is exact regardless of where the FPs land.
+_BLOOM_M_BITS = 16384
+_BLOOM_K = 4
+
+# Kirsch-Mitzenmacher positions over the portable 60-bit gram hash —
+# the arithmetic twin of membership.bloom_positions (h1 = g & (2^31-1),
+# h2 = ((g>>31) & (2^29-1)) | 1, pos_i = (h1 + i·h2) mod m); words are
+# 63-bit (membership.WORD_BITS) because DuckDB overflows on << 63.
+_DUCK_BLOOM_POS = (
+    "((g & 2147483647) + i * (((g >> 31) & 536870911) | 1))"
+    f" % {_BLOOM_M_BITS}"
+)
 
 SQL_DECONTAMINATE = f"""
 WITH eg AS (
@@ -1665,12 +1698,37 @@ hits AS (
          count(DISTINCT dg.g)::bigint AS n_matched_grams,
          count(DISTINCT eg.eval_id)::bigint AS n_eval_hit
   FROM dg JOIN eg ON dg.g = eg.g
-  GROUP BY dg.doc_id)
+  GROUP BY dg.doc_id),
+bm AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << (pos % 63)::INT) AS word
+  FROM (SELECT {_DUCK_BLOOM_POS} AS pos
+        FROM (SELECT DISTINCT g FROM eg),
+             (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i))
+  GROUP BY 1),
+pp AS (
+  SELECT doc_id, g, {_DUCK_BLOOM_POS} AS pos
+  FROM (SELECT DISTINCT doc_id, g FROM dg),
+       (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i)),
+ok AS (
+  SELECT doc_id, g,
+         min(CASE WHEN bm.word IS NOT NULL
+                   AND (bm.word & (1::BIGINT << (pp.pos % 63)::INT)) <> 0
+                  THEN 1 ELSE 0 END) = 1 AS might
+  FROM pp LEFT JOIN bm ON pp.pos // 63 = bm.word_idx
+  GROUP BY doc_id, g),
+bh AS (
+  SELECT doc_id, count(DISTINCT g)::bigint AS n_bloom_grams
+  FROM ok WHERE might GROUP BY doc_id)
 SELECT d.doc_id,
   coalesce(h.n_matched_grams, 0)::bigint AS n_matched_grams,
   coalesce(h.n_eval_hit, 0)::bigint AS n_eval_hit,
-  (coalesce(h.n_matched_grams, 0) >= 2) AS contaminated
-FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  (coalesce(h.n_matched_grams, 0) >= 2) AS contaminated,
+  coalesce(b.n_bloom_grams, 0)::bigint AS n_bloom_grams,
+  (coalesce(b.n_bloom_grams, 0) >= 2) AS contaminated_bloom
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+LEFT JOIN bh b ON d.doc_id = b.doc_id
 """
 
 

@@ -1,0 +1,152 @@
+"""Distributed Bloom-filter membership: the scale path for set-membership
+joins whose build side is too big to broadcast exactly.
+
+:func:`ocr_spark.decontam.decontaminate` broadcasts the eval set's hashed
+n-grams — right for benchmark eval sets (10^4–10^6 grams), wrong for the
+other membership workloads a 100 TB curation pipeline runs daily: URL /
+domain blocklists, previously-emitted-document registries, cross-corpus
+"seen" sets, all of which reach 10^9+ keys (8+ GB exact — far past any
+broadcast ceiling).  The classic fix is a Bloom filter, and the
+Spark-first shape for one is **the bitmap as a table**:
+
+* **build** — every key contributes ``k`` bit positions; positions group
+  by 63-bit word index and ``bit_or`` into one bigint per word.  One
+  narrow shuffle of ``k`` ints per key, output ``m/63`` rows total
+  (a 10^10-bit filter is ~159M rows ≈ 2.5 GB — a *table*, not a
+  broadcast, so the build side has no memory ceiling).
+* **probe** — each probe key explodes its ``k`` positions, equi-joins
+  the bitmap on ``word_idx`` (broadcast when the filter is small,
+  shuffled hash join when it is not — Spark picks via AQE), and passes
+  iff **all** ``k`` bits are set.
+
+No false negatives ever; false positives at the standard
+``(1 - e^{-kn/m})^k`` rate, so the intended composition is
+**prune → exact verify**: Bloom-prune the 99.9% of probe keys that
+cannot match, then run the exact join on the survivors only
+(:func:`ocr_spark.decontam.decontaminate_bloom` with ``mode='verify'``).
+
+Portability contract (oracle-replayable, like everything else here):
+
+* positions come from Kirsch-Mitzenmacher double hashing over the
+  already-portable 60-bit md5 hash (:func:`ocr_spark.textstats.portable_hash`):
+  ``h1 = g & (2^31-1)``, ``h2 = ((g >> 31) & (2^29-1)) | 1`` (odd, so it
+  steps through all residues), ``pos_i = (h1 + i·h2) mod m``.  Max
+  intermediate ``h1 + (k-1)·h2 < 2^36`` — no int64 overflow in either
+  engine.
+* words hold **63 bits, not 64**: DuckDB raises OutOfRange on
+  ``1::BIGINT << 63`` (sign bit), so the portable word uses shifts
+  ≤ 62 and both engines agree bit-for-bit.  The 1/64 space overhead is
+  the price of an exact cross-engine twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_BITS = 63  # NOT 64 — see module docstring (DuckDB << 63 overflow)
+
+_H1_MASK = (1 << 31) - 1
+_H2_MASK = (1 << 29) - 1
+
+# Defaults sized for the prune→verify composition: k=4 with m/n ≈ 12
+# gives fpp ≈ 0.6%; callers size m_bits = 12 × expected keys (rounded up)
+# and keep k=4 unless they measure otherwise.
+DEFAULT_K = 4
+
+
+def bloom_positions(g: Column, m_bits: int, k: int = DEFAULT_K) -> Column:
+    """``array<bigint>`` of ``k`` bit positions in ``[0, m_bits)`` for a
+    60-bit portable hash ``g`` — Kirsch-Mitzenmacher double hashing, pure
+    int64 arithmetic (see module docstring for the overflow headroom)."""
+    if m_bits <= 0:
+        raise ValueError(f"m_bits must be positive, got {m_bits}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h1 = g.bitwiseAND(F.lit(_H1_MASK))
+    h2 = F.shiftrightunsigned(g, 31).bitwiseAND(F.lit(_H2_MASK)) \
+        .bitwiseOR(F.lit(1))
+    return F.array(*[
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("bigint")
+        for i in range(k)
+    ])
+
+
+def _word_idx(pos: Column) -> Column:
+    # pos ≥ 0, so truncation == floor; keep it bigint end-to-end
+    return (pos / F.lit(WORD_BITS)).cast("bigint")
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """``(word_idx: bigint, word: bigint)`` bitmap table for the distinct
+    hashed keys in ``keys[key_col]`` (bigint).  One shuffle: explode the
+    ``k`` positions per key, group by 63-bit word index, ``bit_or`` the
+    masks.  Output cardinality ≤ ``ceil(m_bits / 63)`` regardless of key
+    count — the filter's whole point."""
+    pos = (
+        keys.select(F.col(key_col).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .select(F.explode(bloom_positions(F.col("g"), m_bits, k)).alias("pos"))
+    )
+    return (
+        pos.select(
+            _word_idx(F.col("pos")).alias("word_idx"),
+            F.expr(f"shiftleft(1L, CAST(pmod(pos, {WORD_BITS}) AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = DEFAULT_K,
+    out_col: str = "might_contain",
+    broadcast_bloom: bool = True,
+) -> DataFrame:
+    """``probe`` + boolean ``out_col``: true iff every one of the key's
+    ``k`` positions has its bit set in ``bloom``.
+
+    The probe explodes to ``k`` rows per input row, equi-joins the bitmap
+    on ``word_idx`` (LEFT: a word index absent from the bitmap means no
+    key ever touched that word — bit unset), and re-aggregates with
+    ``min(hit)``.  ``broadcast_bloom=True`` is right whenever
+    ``m_bits/63`` rows fit an executor (up to ~10^8 bits); beyond that
+    pass False and let the shuffled hash join + AQE handle it.  The
+    re-aggregation groups on the probe's FULL row (all original columns),
+    so callers need no surrogate key; keep the probe projection narrow.
+    """
+    pcols = probe.columns
+    if out_col in pcols:
+        raise ValueError(f"probe already has a column named {out_col!r}")
+    exploded = probe.select(
+        *pcols,
+        F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    ).select(
+        *pcols,
+        _word_idx(F.col("pos")).alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST(pmod(pos, {WORD_BITS}) AS INT))")
+        .alias("mask"),
+    )
+    bm = F.broadcast(bloom) if broadcast_bloom else bloom
+    hit = F.when(
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        exploded.join(bm, on="word_idx", how="left")
+        .select(*pcols, hit.alias("hit"))
+        .groupBy(*pcols)
+        .agg((F.min("hit") == 1).alias(out_col))
+    )
