@@ -1465,12 +1465,33 @@ FROM marked d LEFT JOIN sc USING (doc_id)
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·idf with bit-quantized
-    idf — exact bigint scores, ties broken (score DESC, token ASC)."""
-    return ts.tfidf_topk(_marked_docs(spark, sf_dir), k=3)
+    idf — exact bigint scores, ties broken (score DESC, token ASC).
+    Round 5 extended the row with ``bm25_ppm`` (``with_bm25=True``): the
+    Okapi BM25 weight of the SAME selected rows — floored to exact ppm
+    per term (see textstats.bm25_term_ppm) so the dl/avgdl length
+    normalization sits under the hash gate too."""
+    return ts.tfidf_topk(_marked_docs(spark, sf_dir), k=3, with_bm25=True)
+
+
+def _duck_bm25_ppm(tf: str, idf: str, dl: str, avgdl: str) -> str:
+    """DuckDB twin of textstats.bm25_term_ppm — the SAME expression tree
+    with literals emitted via repr() from the SAME Python constants, so
+    both engines parse identical doubles and every +|*|/ is IEEE-
+    correctly-rounded on identical operands."""
+    k1, b = ts.BM25_K1, ts.BM25_B
+    return (
+        f"floor(((({idf})::DOUBLE * (({tf})::DOUBLE * {k1 + 1.0!r})) / "
+        f"(({tf})::DOUBLE + {k1!r} * ({1.0 - b!r} + {b!r} * "
+        f"(({dl})::DOUBLE / {avgdl})))) * 1000000.0)::BIGINT"
+    )
 
 
 def _sql_tfidf_topk(k: int = 3) -> str:
     toks = _DUCK_TOKENS.format(t="text")
+    bm25 = _duck_bm25_ppm(
+        "r.tf", "(length(bin(n.n_docs)) - length(bin(r.df_docs)))",
+        "dlt.dl", "(SELECT avgdl FROM avg)",
+    )
     return f"""
 WITH marked AS ({_DUCK_MARKED}),
 tok AS (
@@ -1480,6 +1501,9 @@ tc AS (SELECT doc_id, token, count(*)::bigint AS tf
 dfreq AS (SELECT token, count(*)::bigint AS df_docs
           FROM tc GROUP BY token),
 n AS (SELECT count(*)::bigint AS n_docs FROM marked),
+dlt AS (SELECT doc_id, sum(tf)::bigint AS dl FROM tc GROUP BY doc_id),
+avg AS (SELECT (SELECT sum(dl) FROM dlt)::DOUBLE
+             / (SELECT n_docs FROM n)::DOUBLE AS avgdl),
 sc AS (SELECT tc.doc_id, tc.token, tc.tf, dfreq.df_docs,
          (tc.tf * (length(bin(n.n_docs)) - length(bin(dfreq.df_docs))))
            ::bigint AS score
@@ -1487,8 +1511,10 @@ sc AS (SELECT tc.doc_id, tc.token, tc.tf, dfreq.df_docs,
 r AS (SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
       FROM sc)
-SELECT doc_id, rnk::bigint AS rank, token, tf, df_docs, score
-FROM r WHERE rnk <= {k}
+SELECT r.doc_id, r.rnk::bigint AS rank, r.token, r.tf, r.df_docs, r.score,
+       {bm25} AS bm25_ppm
+FROM r JOIN dlt ON r.doc_id = dlt.doc_id, n
+WHERE r.rnk <= {k}
 """
 
 

@@ -427,6 +427,7 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_counts: bool = True,
+    with_bm25: bool = False,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf·idf with the
     idf quantized to whole bits: ``idf(t) = bitlen(N) − bitlen(df_t)``
@@ -469,7 +470,7 @@ def tfidf_topk(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("token").asc()
     )
-    return (
+    scored = (
         tc.join(idf, on="token")
         .select(
             "doc_id", "token", "tf", "df_docs",
@@ -478,4 +479,144 @@ def tfidf_topk(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "token", "tf", "df_docs", "score")
+    )
+    if not with_bm25:
+        return scored
+    # BM25 weight OF THE TFIDF-SELECTED rows (selection stays tf·idf so
+    # the output is a strict column extension): needs dl per doc and the
+    # corpus avgdl, then the shared per-term ppm expression.  idf_q is
+    # re-derived via the same broadcast join rather than threaded through
+    # the window to keep the selected plan unchanged.
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    avg = dl.join(F.broadcast(n_docs)).agg(
+        (F.sum("dl").cast("double")
+         / F.first("n_docs").cast("double")).alias("avgdl")
+    )
+    return (
+        scored.join(dl, on="doc_id")
+        .join(F.broadcast(avg))
+        .join(idf.select("token", "idf_q"), on="token")
+        .select(
+            "doc_id", "rank", "token", "tf", "df_docs", "score",
+            bm25_term_ppm(
+                F.col("tf"), F.col("idf_q"), F.col("dl"), F.col("avgdl")
+            ).alias("bm25_ppm"),
+        )
+    )
+
+
+# Okapi BM25 constants (the standard defaults) and the exactness trick:
+# the per-term score is ONE double expression — literals parse to the
+# same doubles everywhere, +|*|/ are IEEE-correctly-rounded, so the
+# expression is bit-identical across engines as long as the
+# parenthesization matches — floored to integer parts-per-million.
+# Summing the resulting BIGINTs is then order-independent, dodging the
+# float-summation-order trap that would otherwise flip trunc/tie
+# boundaries between Spark and DuckDB partial-aggregation orders.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_term_ppm(
+    tf: Column, idf_q: Column, dl: Column, avgdl: Column
+) -> Column:
+    """Per-(doc, term) Okapi BM25 partial score in exact ppm:
+    ``floor(1e6 · idf_q · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)))``
+    with the bit-quantized idf (:func:`bitlen`) standing in for the
+    log-idf.  The DuckDB twin must replicate this exact expression tree
+    (see the module-level constants' comment)."""
+    tfd = tf.cast("double")
+    num = idf_q.cast("double") * (tfd * F.lit(BM25_K1 + 1.0))
+    den = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl.cast("double") / avgdl)
+    )
+    return F.floor((num / den) * F.lit(1000000.0)).cast("bigint")
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-``k`` documents per query —
+    the sparse/lexical complement to the embedding-ANN operators in
+    :mod:`ocr_spark.similarity` (hybrid retrieval runs both and merges).
+
+    Scoring: per matched (query, doc, term), :func:`bm25_term_ppm`
+    (bit-quantized idf, standard k1=1.2 / b=0.75 length normalization);
+    per (query, doc), the exact bigint sum of term ppms; ranking by
+    ``(score_ppm DESC, doc_id ASC)`` — a total order, so results are
+    partitioning-independent and oracle-replayable.
+
+    Output: ``(query_id, doc_id, rank, n_terms_matched, score_ppm)``,
+    ≤ ``k`` rows per query; queries matching nothing produce no rows.
+
+    Shape for 100 TB: the corpus side is the same two groupBys
+    tfidf_topk runs (term counts with map-side combine, then one row
+    per distinct token); queries are small by definition — their
+    distinct (query_id, token) pairs BROADCAST into the term-count
+    table, so the corpus never shuffles against the query set, and only
+    matched rows (|queries| · avg postings) reach the per-pair sum.
+    The final top-k window shuffles matched pairs by query_id only.
+    """
+    tc = (
+        explode_non_null(
+            docs, tokens(F.col(text_col)), "token",
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dfreq = tc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.join(F.broadcast(n_docs)).select(
+        "token",
+        (bitlen(F.col("n_docs")) - bitlen(F.col("df_docs"))).alias("idf_q"),
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    avg = dl.join(F.broadcast(n_docs)).agg(
+        (F.sum("dl").cast("double")
+         / F.first("n_docs").cast("double")).alias("avgdl")
+    )
+    qt = (
+        explode_non_null(
+            queries, tokens(F.col(query_text_col)), "token",
+            F.col(query_id_col).alias("query_id"),
+        )
+        .select("query_id", "token")
+        .distinct()
+    )
+    matched = (
+        tc.join(F.broadcast(qt), on="token")
+        .join(idf, on="token")
+        .join(dl, on="doc_id")
+        .join(F.broadcast(avg))
+        .select(
+            "query_id", "doc_id",
+            bm25_term_ppm(
+                F.col("tf"), F.col("idf_q"), F.col("dl"), F.col("avgdl")
+            ).alias("term_ppm"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("term_ppm").cast("bigint").alias("score_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "n_terms_matched", "score_ppm")
     )

@@ -1617,6 +1617,139 @@ def test_tfidf_topk_ranks_and_ties(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
 
 
+def _py_bm25_ppm(tf: int, idf_q: int, dl: int, avgdl: float) -> int:
+    """Driver-side twin of textstats.bm25_term_ppm — same constants,
+    same expression tree, same IEEE doubles."""
+    import math
+
+    from ocr_spark.textstats import BM25_B, BM25_K1
+
+    num = float(idf_q) * (float(tf) * (BM25_K1 + 1.0))
+    den = float(tf) + BM25_K1 * (
+        (1.0 - BM25_B) + BM25_B * (float(dl) / avgdl)
+    )
+    return math.floor((num / den) * 1000000.0)
+
+
+def _py_bm25_search(doc_rows, query_rows, k):
+    """Plain-Python BM25 retrieval twin (whitespace tokens, bit-quantized
+    idf, ppm floor per term, bigint sum, (score DESC, doc ASC) top-k)."""
+    toks = {d: t.split() for d, t in doc_rows}
+    n_docs = len(doc_rows)
+    tc: dict = {}
+    for d, ws in toks.items():
+        for w in ws:
+            tc[(d, w)] = tc.get((d, w), 0) + 1
+    dfreq: dict = {}
+    for (_d, w) in tc:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    avgdl = float(sum(dl.values())) / float(n_docs)
+    out = []
+    for qid, qtext in query_rows:
+        scores: dict = {}
+        nterms: dict = {}
+        for w in set(qtext.split()):
+            if w not in dfreq:
+                continue
+            idf_q = n_docs.bit_length() - dfreq[w].bit_length()
+            for d in dl:
+                if (d, w) in tc:
+                    scores[d] = scores.get(d, 0) + _py_bm25_ppm(
+                        tc[(d, w)], idf_q, dl[d], avgdl
+                    )
+                    nterms[d] = nterms.get(d, 0) + 1
+        ranked = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+        out.extend(
+            (qid, d, i + 1, nterms[d], scores[d])
+            for i, d in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+def test_bm25_search_matches_python_twin(spark):
+    """Full-output equality with the plain-Python twin on a corpus with
+    varied lengths, repeated terms, a token-less doc (counts toward N,
+    matches nothing), and multi-term queries."""
+    from ocr_spark.textstats import bm25_search
+
+    doc_rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark tuning spark"),
+        (3, "the cluster scheduler assigns tasks to the cluster nodes"),
+        (4, "data skew breaks shuffle performance on big data joins"),
+        (5, "unrelated cooking recipe with olive oil and garlic"),
+        (6, ""),
+        (7, "spark cluster data " * 10),     # long doc: normalized down
+    ]
+    query_rows = [
+        (100, "spark cluster"),
+        (101, "data skew"),
+        (102, "garlic"),
+        (103, "nonexistent tokens only"),
+    ]
+    docs = _df(spark, doc_rows, "doc_id bigint, text string")
+    queries = _df(spark, query_rows, "query_id bigint, text string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.n_terms_matched, r.score_ppm)
+        for r in bm25_search(docs, queries, k=3).collect()
+    )
+    assert got == _py_bm25_search(doc_rows, query_rows, k=3)
+    # the no-match query must produce no rows at all
+    assert not [r for r in got if r[0] == 103]
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf of the query term, shorter document → higher BM25 (the
+    property tf·idf lacks and the dl/avgdl term exists to provide)."""
+    from ocr_spark.textstats import bm25_search
+
+    docs = _df(spark, [
+        (1, "needle " + "hay " * 3),
+        (2, "needle " + "hay " * 40),
+        # fillers so idf_q = bitlen(4) - bitlen(2) = 1 (not quantized to 0)
+        (3, "straw bale"),
+        (4, "grass field"),
+    ], "doc_id bigint, text string")
+    queries = _df(spark, [(9, "needle")], "query_id bigint, text string")
+    got = {r.doc_id: r for r in bm25_search(docs, queries, k=2).collect()}
+    assert got[1].rank == 1 and got[2].rank == 2
+    assert got[1].score_ppm > got[2].score_ppm
+
+
+def test_tfidf_with_bm25_extends_not_reranks(spark):
+    """with_bm25=True adds bm25_ppm to the SAME tfidf-selected rows
+    (selection and ranks unchanged), and each bm25_ppm matches the
+    Python twin's arithmetic."""
+    from ocr_spark.textstats import tfidf_topk
+
+    doc_rows = [
+        (1, "common zebra common common"),
+        (2, "common apple banana"),
+        (3, "common common"),
+        (4, ""),
+    ]
+    df = _df(spark, doc_rows, "doc_id bigint, text string")
+    base = {(r.doc_id, r.rank): (r.token, r.tf, r.df_docs, r.score)
+            for r in tfidf_topk(df, k=2).collect()}
+    ext = tfidf_topk(df, k=2, with_bm25=True).collect()
+    assert {(r.doc_id, r.rank): (r.token, r.tf, r.df_docs, r.score)
+            for r in ext} == base
+
+    toks = {d: t.split() for d, t in doc_rows}
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    avgdl = float(sum(dl.values())) / float(len(doc_rows))
+    dfreq: dict = {}
+    for ws in toks.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    for r in ext:
+        idf_q = len(doc_rows).bit_length() - dfreq[r.token].bit_length()
+        assert r.bm25_ppm == _py_bm25_ppm(
+            r.tf, idf_q, dl[r.doc_id], avgdl
+        ), (r.doc_id, r.token)
+
+
 def test_mixture_sample_rates_and_determinism(spark):
     """Integer allocation/rate arithmetic and pure-function membership:
     the capped domain keeps everything, the zero-weight domain keeps
