@@ -31,6 +31,10 @@ tests/test_compact_store.py):
   ``ocr_spark.dedup.current_store_labels``) and keeps only resolved doc
   rows, so future reads
   skip merge resolution entirely until new merges accrue.
+- ``bloom-or``: a Bloom membership registry
+  (``ocr_spark.membership.bloom_store_*``) — OR-merges the per-run
+  bitmaps per word index (``bloom_store_fold``, the read path's exact
+  fold); refuses mixed (m_bits, k) geometries.
 
 Time travel before the compaction point is discarded by design (that is
 the storage being reclaimed).  Storage reclamation is three separate
@@ -95,7 +99,7 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--store", required=True, help="tableio store root")
     p.add_argument("--table", required=True, help="table name to compact")
     p.add_argument("--mode", default="identity",
-                   choices=["identity", "sum-by", "signatures"])
+                   choices=["identity", "sum-by", "signatures", "bloom-or"])
     p.add_argument("--key", help="sum-by: group key column")
     p.add_argument("--value", help="sum-by: summed value column")
     p.add_argument("--vacuum", action="store_true",
@@ -150,6 +154,10 @@ def main(argv: list[str] | None = None) -> dict:
             return df.groupBy(key).agg(F.sum(value).alias(value))
     elif args.mode == "signatures":
         transform = _signatures_fold
+    elif args.mode == "bloom-or":
+        from ocr_spark.membership import bloom_store_fold
+
+        transform = bloom_store_fold
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("ocr-spark-compact-store", master="submit")

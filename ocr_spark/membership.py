@@ -150,3 +150,97 @@ def bloom_probe(
         .groupBy(*pcols)
         .agg((F.min("hit") == 1).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run Bloom registry: an incremental membership store.
+#
+# Bloom bitmaps merge by OR — union(A, B)'s filter is exactly
+# bit_or(word_A, word_B) per word index, with NO recomputation of either
+# side's keys.  That makes a "seen" registry the cheapest member of the
+# incremental-store family (dedup sketch stores persist per-doc rows and
+# re-join them; this store persists only ≤ m/63 words per run and folds
+# by one groupBy): each ingest run appends its delta keys' bitmap as one
+# tableio snapshot, the read side ORs all snapshots, and compaction
+# (jobs/compact_store.py --mode bloom-or) folds history into one
+# snapshot without touching any key data.
+#
+# The honest trade, stated where callers will read it: the registry
+# stores ONLY the bitmap, so "have we seen this key?" is approximate —
+# a false positive silently drops a genuinely novel key at the filter's
+# fpp.  Use it where that loss is acceptable (seen-URL suppression,
+# best-effort cross-corpus novelty) or as the prune stage in front of an
+# exact store; for exactly-once semantics use the digest store
+# (dedup.exact_duplicates_incremental), which keeps the keys.
+#
+# Parameter drift is the corruption mode (a bitmap built at m=2^20 is
+# meaningless read at m=2^24), so every row carries (m_bits, k) and the
+# read side FAILS FAST on any mismatch — same loud-break discipline as
+# the dedup stores' band_size/k guards.
+
+def bloom_store_append(
+    io,
+    keys: DataFrame,
+    key_col: str,
+    table: str,
+    m_bits: int,
+    k: int = DEFAULT_K,
+) -> int:
+    """Build the delta keys' bitmap and commit it as one snapshot of
+    ``table`` via the tableio seam.  Returns the snapshot id."""
+    words = bloom_build(keys, key_col, m_bits, k).select(
+        F.lit(m_bits).cast("bigint").alias("m_bits"),
+        F.lit(k).cast("int").alias("k"),
+        "word_idx", "word",
+    )
+    return io.append(words, table)
+
+
+def bloom_store_read(
+    io,
+    spark,
+    table: str,
+    m_bits: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The registry's current bitmap: every committed snapshot OR-folded
+    per word index.  Raises on any snapshot whose (m_bits, k) disagree
+    with the caller's — probing a bitmap under the wrong geometry is
+    silent garbage, never a degraded answer."""
+    raw = io.read(spark, table)
+    bad = (
+        raw.select("m_bits", "k").distinct()
+        .filter((F.col("m_bits") != m_bits) | (F.col("k") != k))
+        .collect()          # bounded: one row per distinct param pair
+    )
+    if bad:
+        seen = ", ".join(f"(m_bits={r.m_bits}, k={r.k})" for r in bad)
+        raise ValueError(
+            f"bloom store {table!r} holds snapshots with {seen}; caller "
+            f"expects (m_bits={m_bits}, k={k}) — a geometry change needs "
+            "a NEW table, bitmaps cannot be reinterpreted"
+        )
+    return raw.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_store_fold(df: DataFrame) -> DataFrame:
+    """The compaction transform for a bloom registry (OR-merge words per
+    index, parameters carried through) — pass to ``tableio.compact`` /
+    ``jobs/compact_store.py``.  Refuses mixed-geometry history for the
+    same reason the read side does."""
+    folded = df.groupBy("m_bits", "k", "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+    # cheap distinct-param guard without a second scan of the raw table:
+    # a mixed-geometry store folds into > 1 row per word_idx and the
+    # count check below catches it at commit time.
+    dup = (
+        folded.groupBy("word_idx").count().filter(F.col("count") > 1)
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            "bloom store holds mixed (m_bits, k) geometries; it cannot "
+            "be compacted — split the histories into separate tables"
+        )
+    return folded.select("m_bits", "k", "word_idx", "word")

@@ -253,3 +253,102 @@ def test_mode_validation(spark):
     eval_set = _df(spark, _EVAL, "eval_id bigint, text string")
     with pytest.raises(ValueError, match="mode"):
         decontaminate_bloom(docs, eval_set, mode="exact")
+
+
+# --------------------------------------------- cross-run bloom registry
+
+def test_bloom_store_two_runs_equal_one_shot(spark, tmp_path):
+    """Appending two delta bitmaps then OR-folding on read yields the
+    EXACT word table of a one-shot build over the union — the merge
+    identity the whole registry design rests on — and probes through the
+    store see run-1 ∪ run-2 with no false negatives."""
+    from ocr_spark.membership import (
+        bloom_store_append,
+        bloom_store_read,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    m_bits, k = 8192, 4
+    run1 = [py_portable_hash(f"r1-{i}") for i in range(200)]
+    run2 = [py_portable_hash(f"r2-{i}") for i in range(200)]
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    bloom_store_append(io, _keys(spark, run1), "g", "seen", m_bits, k)
+    bloom_store_append(io, _keys(spark, run2), "g", "seen", m_bits, k)
+
+    folded = bloom_store_read(io, spark, "seen", m_bits, k)
+    one_shot = {
+        r.word_idx: r.word
+        for r in bloom_build(_keys(spark, run1 + run2), "g", m_bits, k)
+        .collect()
+    }
+    assert {r.word_idx: r.word for r in folded.collect()} == one_shot
+
+    got = bloom_probe(
+        _keys(spark, run1 + run2), folded, "g", m_bits, k
+    ).collect()
+    assert all(r.might_contain for r in got)
+
+
+def test_bloom_store_rejects_geometry_drift(spark, tmp_path):
+    """Reading under different (m_bits, k) than any committed snapshot
+    must fail fast — a bitmap probed at the wrong geometry is silent
+    garbage, not a degraded answer."""
+    from ocr_spark.membership import bloom_store_append, bloom_store_read
+    from ocr_spark.tableio import ParquetManifestIO
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    bloom_store_append(io, _keys(spark, [1, 2, 3]), "g", "seen", 8192, 4)
+    with pytest.raises(ValueError, match="geometry change needs"):
+        bloom_store_read(io, spark, "seen", 16384, 4)
+    with pytest.raises(ValueError, match="geometry change needs"):
+        bloom_store_read(io, spark, "seen", 8192, 5)
+
+
+def test_bloom_store_compaction_invisible_to_probe(spark, tmp_path):
+    """jobs/compact_store.py --mode bloom-or folds the registry to ONE
+    snapshot with probe verdicts identical before and after; a
+    mixed-geometry store refuses to compact."""
+    from jobs.compact_store import main as compact_main
+    from ocr_spark.membership import (
+        bloom_store_append,
+        bloom_store_fold,
+        bloom_store_read,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    m_bits, k = 8192, 4
+    store = str(tmp_path / "store")
+    io = ParquetManifestIO(store)
+    for run in range(3):
+        keys = [py_portable_hash(f"run{run}-{i}") for i in range(100)]
+        bloom_store_append(io, _keys(spark, keys), "g", "seen", m_bits, k)
+    probes = _keys(
+        spark,
+        [py_portable_hash(f"run1-{i}") for i in range(100)]
+        + [py_portable_hash(f"x-{i}") for i in range(100)],
+    )
+    before = {
+        r.g: r.might_contain
+        for r in bloom_probe(
+            probes, bloom_store_read(io, spark, "seen", m_bits, k),
+            "g", m_bits, k,
+        ).collect()
+    }
+    compact_main(
+        ["--store", store, "--table", "seen", "--mode", "bloom-or"]
+    )
+    assert len(io.snapshots("seen")) == 1
+    after = {
+        r.g: r.might_contain
+        for r in bloom_probe(
+            probes, bloom_store_read(io, spark, "seen", m_bits, k),
+            "g", m_bits, k,
+        ).collect()
+    }
+    assert after == before
+
+    # mixed geometry: a rogue snapshot under different params must make
+    # the fold refuse (never silently OR incompatible bitmaps)
+    bloom_store_append(io, _keys(spark, [7, 8]), "g", "seen", 4096, 4)
+    with pytest.raises(ValueError, match="mixed"):
+        bloom_store_fold(io.read(spark, "seen")).collect()
