@@ -1257,3 +1257,75 @@ def incremental_semantic_pairs(
         min_cosine=threshold,
         persist_new=persist_new,
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists (Cormack &
+    Clarke 2009) — the standard way to combine this engine's lexical
+    (:func:`ocr_spark.textstats.bm25_search`) and embedding
+    (:func:`brute_force_topk` / :func:`ivf_search`) retrievers into one
+    hybrid ranking::
+
+        lex = bm25_search(docs, queries, k=100)
+        sem = brute_force_topk(corpus_vecs, query_vecs, k=100).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(...).alias("rank"))
+        hybrid = rrf_fuse([lex, sem], k=10)
+
+    Scoring: RRF's ``1/(k_rrf + rank)`` is computed as the EXACT integer
+    ``1_000_000_000 div (k_rrf + rank)`` (parts-per-billion, floor
+    division) — monotone-identical per term to the float form, and the
+    per-(query, doc) sum of bigints is order-independent, so fused ranks
+    never depend on union or aggregation order (the same summation
+    discipline as bm25's ppm scores).  Ties break ``(score DESC,
+    doc ASC)`` — a total order.
+
+    Output: ``(query_id, doc_id, rank, n_lists, rrf_ppb)``, ≤ ``k`` rows
+    per query; ``n_lists`` = how many input lists ranked the doc (the
+    agreement signal hybrid pipelines threshold on).
+
+    Shape for 100 TB: inputs are already top-k'd per query (bounded:
+    lists × k rows per query), so the union + one groupBy + one window
+    all shuffle only ranked candidates, never corpora.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k_rrf < 0:
+        raise ValueError(f"k_rrf must be >= 0, got {k_rrf}")
+    # integer DIV, not `/`+cast: float division's rounding could differ
+    # from exact floor division in the last bit; DIV is exact in both
+    # engines (DuckDB `//`, Python `//`)
+    parts = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(k_rrf).cast("bigint")
+             + F.col(rank_col).cast("bigint")).alias("denom"),
+        ).selectExpr(
+            "query_id", "doc_id",
+            "CAST(1000000000L DIV denom AS BIGINT) AS ppb",
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("ppb").cast("bigint").alias("rrf_ppb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppb").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "n_lists", "rrf_ppb")
+    )

@@ -1750,6 +1750,85 @@ def test_tfidf_with_bm25_extends_not_reranks(spark):
         ), (r.doc_id, r.token)
 
 
+def test_rrf_fuse_matches_python_twin(spark):
+    """Exact integer RRF: overlap sums both lists' ppb, exclusives keep
+    one, ties break doc-ascending, k bounds output, n_lists counts
+    agreement."""
+    from ocr_spark.similarity import rrf_fuse
+
+    lex = _df(spark, [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        (2, 20, 1), (2, 21, 2),
+    ], "query_id bigint, doc_id bigint, rank bigint")
+    sem = _df(spark, [
+        (1, 11, 1), (1, 13, 2), (1, 10, 3),
+        (2, 22, 1),
+    ], "query_id bigint, doc_id bigint, rank bigint")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.n_lists, r.rrf_ppb)
+        for r in rrf_fuse([lex, sem], k=3, k_rrf=60).collect()
+    )
+
+    ppb = lambda rank: 1_000_000_000 // (60 + rank)
+    lists = {
+        1: {10: [1, 3], 11: [2, 1], 12: [3], 13: [2]},
+        2: {20: [1], 21: [2], 22: [1]},
+    }
+    want = []
+    for q, docs in lists.items():
+        scores = {d: sum(ppb(r) for r in rs) for d, rs in docs.items()}
+        ranked = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+        want.extend(
+            (q, d, i + 1, len(docs[d]), scores[d])
+            for i, d in enumerate(ranked)
+        )
+    assert got == sorted(want)
+    # query 2: docs 20 and 22 tie (both rank-1 in one list) → doc asc
+    q2 = [(d, r) for (q, d, r, _n, _s) in got if q == 2]
+    assert (20, 1) in q2 and (22, 2) in q2
+
+
+def test_rrf_fuse_hybrid_with_bm25(spark):
+    """Composition shape: fuse bm25 rankings with a second ranked list;
+    the doc both retrievers agree on outranks each list's exclusive
+    top-1 (RRF's defining property)."""
+    from ocr_spark.similarity import rrf_fuse
+    from ocr_spark.textstats import bm25_search
+
+    docs = _df(spark, [
+        (1, "needle in a small haystack"),
+        (2, "needle needle sharp needle"),
+        (3, "straw bale grass"),
+        (4, "field mouse lives here"),
+        (5, "other filler content entirely"),
+    ], "doc_id bigint, text string")
+    queries = _df(spark, [(9, "needle haystack")],
+                  "query_id bigint, text string")
+    lex = bm25_search(docs, queries, k=3)   # doc 1 or 2 lead lexically
+    lex_top = {(r.rank): r.doc_id for r in lex.collect()}
+    # a "semantic" list agreeing with the lexical #2 and promoting doc 4
+    sem = _df(spark, [
+        (9, 4, 1), (9, lex_top[2], 2), (9, 3, 3),
+    ], "query_id bigint, doc_id bigint, rank bigint")
+    fused = {r.doc_id: r for r in rrf_fuse([lex, sem], k=5).collect()}
+    both = lex_top[2]
+    # agreement (rank 2 + rank 2-ish) beats every single-list exclusive
+    assert fused[both].n_lists == 2
+    exclusives = [d for d in fused if fused[d].n_lists == 1]
+    assert all(fused[both].rrf_ppb > fused[d].rrf_ppb for d in exclusives)
+
+
+def test_rrf_fuse_validation(spark):
+    from ocr_spark.similarity import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    lst = _df(spark, [(1, 2, 1)],
+              "query_id bigint, doc_id bigint, rank bigint")
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([lst], k_rrf=-1)
+
+
 def test_mixture_sample_rates_and_determinism(spark):
     """Integer allocation/rate arithmetic and pure-function membership:
     the capped domain keeps everything, the zero-weight domain keeps
