@@ -209,3 +209,66 @@ def test_embed_hash_codegen_compiles(spark):
     assert rows[3] == [0.0] * 32          # token-less → zero vector
     import math
     assert math.isclose(sum(v * v for v in rows[1]), 1.0, rel_tol=1e-9)
+
+
+def test_bloom_probe_plan_broadcast_no_cartesian(spark):
+    """The bloom probe's bitmap join must be a broadcast hash join on
+    word_idx (never a cartesian / sort-merge), and the whole probe runs
+    in two exchanges: the build's word groupBy and the probe's
+    re-aggregation by key."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.membership import bloom_build, bloom_probe
+
+    keys = spark.range(100).select(F.col("id").alias("g"))
+    bloom = bloom_build(keys, "g", 8192, 4)
+    plan = _plan(bloom_probe(keys, bloom, "g", 8192, 4))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """bm25_search: the query-gram join into the term-count table is a
+    broadcast (the corpus must never shuffle against the query set), and
+    no join in the plan degenerates to a cartesian."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.textstats import bm25_search
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 50).cast("string"),
+                 F.lit(" common filler tokens here")).alias("text"),
+    )
+    queries = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(bm25_search(docs, queries, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-k per query is group-limited before the final window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_rrf_fuse_plan_single_aggregation(spark):
+    """rrf_fuse over N lists: one union, one aggregation exchange keyed
+    by (query, doc), one window exchange keyed by query — no joins."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.similarity import rrf_fuse
+
+    mk = lambda seed: spark.range(20).select(
+        (F.col("id") % 3).alias("query_id"),
+        ((F.col("id") * seed) % 17).alias("doc_id"),
+        (F.col("id") % 5 + 1).alias("rank"),
+    )
+    plan = _plan(rrf_fuse([mk(3), mk(7)], k=5))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree summary + detail)
+    assert plan.count(") Union") == 1
+    # the fused sum combines map-side before its exchange; exactly two
+    # exchanges total — the (query, doc) aggregation and the per-query
+    # top-k window repartition — nothing incidental
+    assert "partial_sum(ppb" in plan
+    assert plan.count("Exchange (") == 2
