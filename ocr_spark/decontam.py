@@ -95,11 +95,16 @@ def decontaminate(
     return _finish(docs, id_col, _hits(dg, eg), min_overlap)
 
 
-def _hits(dg: DataFrame, eg: DataFrame) -> DataFrame:
+def _hits(
+    dg: DataFrame, eg: DataFrame, broadcast_eval: bool = True
+) -> DataFrame:
     """groupBy(doc_id) over the matched grams — shared by the broadcast
-    and Bloom-pruned paths, which differ only in what reaches the join."""
+    and Bloom-pruned paths, which differ only in what reaches the join.
+    ``broadcast_eval=False`` makes the gram join a shuffled hash join for
+    membership sets past the broadcast ceiling (the Bloom verify path at
+    blocklist scale)."""
     return (
-        dg.join(F.broadcast(eg), on="g")
+        dg.join(F.broadcast(eg) if broadcast_eval else eg, on="g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_matched_grams"),
@@ -136,6 +141,8 @@ def decontaminate_bloom(
     text_col: str = "text",
     eval_id_col: str = "eval_id",
     broadcast_bloom: bool = True,
+    broadcast_eval: bool = True,
+    persist_eval: bool = True,
 ) -> DataFrame:
     """Bloom-pruned decontamination — the membership-set scale path.
 
@@ -157,19 +164,35 @@ def decontaminate_bloom(
     ``contaminated`` errs only toward over-flagging (false positives at
     the filter's fpp), never under.
 
-    ``broadcast_bloom=False`` switches the probe to a shuffled hash join
-    for bitmaps past the broadcast ceiling (≳10^8 bits).
+    Scale knobs, all three needed at the 10^9-key blocklist regime:
+    ``broadcast_bloom=False`` switches the bitmap probe to a shuffled
+    hash join for bitmaps past the broadcast ceiling (≳10^8 bits);
+    ``broadcast_eval=False`` does the same for the VERIFY join's eval
+    gram table (an 8+ GB membership set cannot broadcast — without this
+    the verify path would collect it to the driver);
+    ``persist_eval`` caches the eval gram table so the bitmap build and
+    the verify join share one tokenize/shingle pass (pass False if the
+    caller manages its own cache of :func:`eval_gram_table`).  In approx
+    mode neither eval knob matters — the eval set is read once, for the
+    bitmap, and never joined.
     """
     from ocr_spark.membership import bloom_build, bloom_probe
 
     if mode not in ("verify", "approx"):
         raise ValueError(f"mode must be 'verify' or 'approx', got {mode!r}")
     eg = eval_gram_table(eval_set, n, eval_id_col, text_col)
+    if mode == "verify" and persist_eval:
+        # the bitmap build and the verify join both consume eg; without
+        # the cache the membership set is tokenized/shingled twice.
+        eg = eg.persist()
     bloom = bloom_build(eg, "g", m_bits, k)
+    # no .distinct() on the corpus grams: shingle_hashes is array_distinct
+    # per doc, so (doc_id, g) is already unique — a global distinct here
+    # would just force an extra full shuffle of every corpus gram row.
     dg = explode_non_null(
         docs, shingle_hashes(tokens(F.col(text_col)), n), "g",
         F.col(id_col).alias("doc_id"),
-    ).distinct()
+    )
     probed = bloom_probe(
         dg, bloom, "g", m_bits, k, broadcast_bloom=broadcast_bloom
     )
@@ -188,4 +211,6 @@ def decontaminate_bloom(
                 .alias("contaminated"),
             )
         )
-    return _finish(docs, id_col, _hits(candidates, eg), min_overlap)
+    return _finish(
+        docs, id_col, _hits(candidates, eg, broadcast_eval), min_overlap
+    )

@@ -1702,11 +1702,12 @@ _BLOOM_M_BITS = 16384
 _BLOOM_K = 4
 
 # Kirsch-Mitzenmacher positions over the portable 60-bit gram hash —
-# the arithmetic twin of membership.bloom_positions (h1 = g & (2^31-1),
-# h2 = ((g>>31) & (2^29-1)) | 1, pos_i = (h1 + i·h2) mod m); words are
+# the arithmetic twin of membership.bloom_positions (the FULL hash as the
+# base so filters past 2^31 bits stay addressable;
+# h2 = ((g>>31) & (2^29-1)) | 1, pos_i = (g + i·h2) mod m); words are
 # 63-bit (membership.WORD_BITS) because DuckDB overflows on << 63.
 _DUCK_BLOOM_POS = (
-    "((g & 2147483647) + i * (((g >> 31) & 536870911) | 1))"
+    "(g + i * (((g >> 31) & 536870911) | 1))"
     f" % {_BLOOM_M_BITS}"
 )
 

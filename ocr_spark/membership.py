@@ -29,10 +29,16 @@ Portability contract (oracle-replayable, like everything else here):
 
 * positions come from Kirsch-Mitzenmacher double hashing over the
   already-portable 60-bit md5 hash (:func:`ocr_spark.textstats.portable_hash`):
-  ``h1 = g & (2^31-1)``, ``h2 = ((g >> 31) & (2^29-1)) | 1`` (odd, so it
-  steps through all residues), ``pos_i = (h1 + i·h2) mod m``.  Max
-  intermediate ``h1 + (k-1)·h2 < 2^36`` — no int64 overflow in either
-  engine.
+  ``h2 = ((g >> 31) & (2^29-1)) | 1`` (odd, so it steps through all
+  residues of a power-of-two ``m``), ``pos_i = (g + i·h2) mod m``.
+  The base term is the FULL 60-bit hash, not a 31-bit slice, so
+  positions stay uniform over ``[0, m)`` for any ``m_bits`` up to the
+  ``2^50`` guard (mod bias ≤ 2^-10; the 10^10-bit blocklist regime is
+  ~2^34).  Max intermediate ``g + (k-1)·h2 < 2^60 + k·2^29`` — no
+  int64 overflow in either engine, independent of ``m_bits``.
+  (For power-of-two ``m_bits ≤ 2^31`` this is bit-identical to the
+  earlier ``h1 = g & (2^31-1)`` form, since ``2^31 ≡ 0 (mod m)`` —
+  existing small-geometry bitmaps remain readable.)
 * words hold **63 bits, not 64**: DuckDB raises OutOfRange on
   ``1::BIGINT << 63`` (sign bit), so the portable word uses shifts
   ≤ 62 and both engines agree bit-for-bit.  The 1/64 space overhead is
@@ -46,8 +52,12 @@ from pyspark.sql import functions as F
 
 WORD_BITS = 63  # NOT 64 — see module docstring (DuckDB << 63 overflow)
 
-_H1_MASK = (1 << 31) - 1
 _H2_MASK = (1 << 29) - 1
+
+# Uniformity guard: positions are g mod m_bits over a 60-bit hash, so the
+# mod bias is ~m/2^60 — capped at 2^50 it stays ≤ 2^-10.  Anything larger
+# is also far past a sane filter (2^50 bits ≈ 141 TB of bitmap).
+MAX_M_BITS = 1 << 50
 
 # Defaults sized for the prune→verify composition: k=4 with m/n ≈ 12
 # gives fpp ≈ 0.6%; callers size m_bits = 12 × expected keys (rounded up)
@@ -58,16 +68,23 @@ DEFAULT_K = 4
 def bloom_positions(g: Column, m_bits: int, k: int = DEFAULT_K) -> Column:
     """``array<bigint>`` of ``k`` bit positions in ``[0, m_bits)`` for a
     60-bit portable hash ``g`` — Kirsch-Mitzenmacher double hashing, pure
-    int64 arithmetic (see module docstring for the overflow headroom)."""
+    int64 arithmetic (see module docstring for the overflow headroom).
+    The base term is the full hash, so every bit of an arbitrarily large
+    filter is addressable (up to the ``MAX_M_BITS`` uniformity guard)."""
     if m_bits <= 0:
         raise ValueError(f"m_bits must be positive, got {m_bits}")
+    if m_bits > MAX_M_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds MAX_M_BITS={MAX_M_BITS}; positions "
+            "are derived mod m from a 60-bit hash and lose uniformity "
+            "past 2^50 bits"
+        )
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    h1 = g.bitwiseAND(F.lit(_H1_MASK))
     h2 = F.shiftrightunsigned(g, 31).bitwiseAND(F.lit(_H2_MASK)) \
         .bitwiseOR(F.lit(1))
     return F.array(*[
-        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("bigint")
+        F.pmod(g + F.lit(i) * h2, F.lit(m_bits)).cast("bigint")
         for i in range(k)
     ])
 
@@ -105,6 +122,14 @@ def bloom_build(
     )
 
 
+# bloom_probe's internal working columns — reserved (validated against the
+# probe projection, since the re-aggregation keys on the probe's full row).
+_PROBE_INTERNAL = (
+    "__bloom_pos", "__bloom_word_idx", "__bloom_mask",
+    "__bloom_word", "__bloom_hit",
+)
+
+
 def bloom_probe(
     probe: DataFrame,
     bloom: DataFrame,
@@ -118,37 +143,49 @@ def bloom_probe(
     ``k`` positions has its bit set in ``bloom``.
 
     The probe explodes to ``k`` rows per input row, equi-joins the bitmap
-    on ``word_idx`` (LEFT: a word index absent from the bitmap means no
+    on the word index (LEFT: a word index absent from the bitmap means no
     key ever touched that word — bit unset), and re-aggregates with
     ``min(hit)``.  ``broadcast_bloom=True`` is right whenever
     ``m_bits/63`` rows fit an executor (up to ~10^8 bits); beyond that
     pass False and let the shuffled hash join + AQE handle it.  The
     re-aggregation groups on the probe's FULL row (all original columns),
     so callers need no surrogate key; keep the probe projection narrow.
+    Internal working columns are ``__bloom_``-prefixed, so arbitrary
+    probe projections never collide (validated, not assumed).
     """
     pcols = probe.columns
-    if out_col in pcols:
-        raise ValueError(f"probe already has a column named {out_col!r}")
+    clash = [c for c in pcols if c == out_col or c in _PROBE_INTERNAL]
+    if clash:
+        raise ValueError(
+            f"probe columns {clash!r} collide with the probe output "
+            f"({out_col!r}) or its reserved internals {_PROBE_INTERNAL}"
+        )
     exploded = probe.select(
         *pcols,
-        F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+        F.explode(bloom_positions(F.col(key_col), m_bits, k))
+        .alias("__bloom_pos"),
     ).select(
         *pcols,
-        _word_idx(F.col("pos")).alias("word_idx"),
-        F.expr(f"shiftleft(1L, CAST(pmod(pos, {WORD_BITS}) AS INT))")
-        .alias("mask"),
+        _word_idx(F.col("__bloom_pos")).alias("__bloom_word_idx"),
+        F.expr(f"shiftleft(1L, CAST(pmod(__bloom_pos, {WORD_BITS}) AS INT))")
+        .alias("__bloom_mask"),
     )
-    bm = F.broadcast(bloom) if broadcast_bloom else bloom
+    bm = bloom.select(
+        F.col("word_idx").alias("__bloom_word_idx"),
+        F.col("word").alias("__bloom_word"),
+    )
+    if broadcast_bloom:
+        bm = F.broadcast(bm)
     hit = F.when(
-        F.col("word").isNotNull()
-        & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+        F.col("__bloom_word").isNotNull()
+        & (F.col("__bloom_word").bitwiseAND(F.col("__bloom_mask")) != 0),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
-        exploded.join(bm, on="word_idx", how="left")
-        .select(*pcols, hit.alias("hit"))
+        exploded.join(bm, on="__bloom_word_idx", how="left")
+        .select(*pcols, hit.alias("__bloom_hit"))
         .groupBy(*pcols)
-        .agg((F.min("hit") == 1).alias(out_col))
+        .agg((F.min("__bloom_hit") == 1).alias(out_col))
     )
 
 
@@ -228,19 +265,17 @@ def bloom_store_fold(df: DataFrame) -> DataFrame:
     index, parameters carried through) — pass to ``tableio.compact`` /
     ``jobs/compact_store.py``.  Refuses mixed-geometry history for the
     same reason the read side does."""
-    folded = df.groupBy("m_bits", "k", "word_idx").agg(
-        F.bit_or("word").alias("word")
-    )
-    # cheap distinct-param guard without a second scan of the raw table:
-    # a mixed-geometry store folds into > 1 row per word_idx and the
-    # count check below catches it at commit time.
-    dup = (
-        folded.groupBy("word_idx").count().filter(F.col("count") > 1)
-        .limit(1).collect()
-    )
-    if dup:
+    # direct geometry check (same as the read path's): the earlier
+    # word_idx-collision heuristic missed disjoint-word-index histories,
+    # which would have compacted into a silently mixed snapshot.
+    geoms = df.select("m_bits", "k").distinct().limit(2).collect()
+    if len(geoms) > 1:
         raise ValueError(
             "bloom store holds mixed (m_bits, k) geometries; it cannot "
             "be compacted — split the histories into separate tables"
         )
-    return folded.select("m_bits", "k", "word_idx", "word")
+    return (
+        df.groupBy("m_bits", "k", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .select("m_bits", "k", "word_idx", "word")
+    )

@@ -541,6 +541,7 @@ def bm25_search(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    persist_counts: bool = True,
 ) -> DataFrame:
     """Okapi BM25 lexical retrieval: top-``k`` documents per query —
     the sparse/lexical complement to the embedding-ANN operators in
@@ -562,6 +563,13 @@ def bm25_search(
     table, so the corpus never shuffles against the query set, and only
     matched rows (|queries| · avg postings) reach the per-pair sum.
     The final top-k window shuffles matched pairs by query_id only.
+
+    ``persist_counts`` caches the (doc, token, tf) table that feeds the
+    df/dl builds and the query probe (same knob as
+    :func:`tfidf_topk`).  The cache outlives the call — a long-lived
+    session scoring many corpora in a loop should pass False (or
+    unpersist between corpora) to avoid accumulating one cached
+    corpus-sized table per call.
     """
     tc = (
         explode_non_null(
@@ -570,8 +578,9 @@ def bm25_search(
         )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
     )
+    if persist_counts:
+        tc = tc.persist()
     dfreq = tc.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_docs")
     )

@@ -37,9 +37,8 @@ def _keys(spark, values):
 def _py_positions(g: int, m_bits: int, k: int) -> list[int]:
     """Driver-side twin of bloom_positions — used to cross-check the
     Spark expressions and to build expected bitmaps in plain Python."""
-    h1 = g & ((1 << 31) - 1)
     h2 = ((g >> 31) & ((1 << 29) - 1)) | 1
-    return [(h1 + i * h2) % m_bits for i in range(k)]
+    return [(g + i * h2) % m_bits for i in range(k)]
 
 
 def test_no_false_negatives(spark):
@@ -132,7 +131,7 @@ def test_duckdb_replays_build_and_probe(spark):
         "CREATE TABLE prb AS SELECT unnest(?::BIGINT[]) AS g", [probes]
     )
     pos_expr = (
-        f"((g & 2147483647) + i * (((g >> 31) & 536870911) | 1)) % {m_bits}"
+        f"(g + i * (((g >> 31) & 536870911) | 1)) % {m_bits}"
     )
     duck_words = dict(con.execute(f"""
         WITH p AS (
@@ -173,6 +172,51 @@ def test_param_validation():
         bloom_positions(F.lit(1).cast("bigint"), 0, 4)
     with pytest.raises(ValueError, match="k must"):
         bloom_positions(F.lit(1).cast("bigint"), 64, 0)
+    with pytest.raises(ValueError, match="MAX_M_BITS"):
+        bloom_positions(F.lit(1).cast("bigint"), (1 << 50) + 1, 4)
+
+
+def test_positions_address_full_filter_above_2_31(spark):
+    """Regression: the earlier h1 = g & (2^31-1) base meant no position
+    could exceed ~2^31 + (k-1)·2^29, silently wasting every bit above
+    that in a large filter (the 10^10-bit blocklist regime).  With the
+    full-hash base, positions over a 1.2e10-bit filter must (a) match
+    the Python twin and (b) actually land above 2^31."""
+    m_bits, k = 12_000_000_000, 4      # the module's own 10^9-key sizing
+    hashes = [py_portable_hash(f"big-{i}") for i in range(2000)]
+    rows = (
+        _keys(spark, hashes)
+        .select("g", bloom_positions(F.col("g"), m_bits, k).alias("p"))
+        .collect()
+    )
+    top = 0
+    for r in rows:
+        assert list(r.p) == _py_positions(r.g, m_bits, k), r.g
+        top = max(top, max(r.p))
+    # with 8000 uniform positions over 1.2e10 the max is > 2^31 with
+    # probability 1 - (2^31/1.2e10)^8000 ≈ 1 - 10^-6000
+    assert top > (1 << 31), f"positions still capped at {top}"
+
+
+def test_no_false_negatives_above_2_31(spark):
+    """End-to-end build+probe at m_bits > 2^31: every inserted key still
+    probes true (the bitmap table stays tiny — word cardinality is the
+    number of TOUCHED words, not m/63)."""
+    m_bits = (1 << 31) + (1 << 31) // 2   # 3.2e9, past the old ceiling
+    hashes = [py_portable_hash(f"hi-{i}") for i in range(300)]
+    bloom = bloom_build(_keys(spark, hashes), "g", m_bits, k=4)
+    got = bloom_probe(_keys(spark, hashes), bloom, "g", m_bits, k=4).collect()
+    assert len(got) == 300 and all(r.might_contain for r in got)
+
+
+def test_probe_rejects_reserved_internal_names(spark):
+    """A probe DataFrame carrying one of the probe's internal working
+    columns must fail loudly at call time, not with an
+    ambiguous-reference AnalysisException at planning time."""
+    bloom = bloom_build(_keys(spark, [1, 2]), "g", 63, 1)
+    probe = _df(spark, [(1, 5)], "g bigint, __bloom_pos bigint")
+    with pytest.raises(ValueError, match="__bloom_pos"):
+        bloom_probe(probe, bloom, "g", 63, 1)
 
 
 def test_probe_rejects_column_collision(spark):
@@ -244,6 +288,25 @@ def test_approx_mode_never_under_flags(spark):
         assert flag_bloom >= flag_exact, doc_id   # never under-flags
     # at m/n ≫ 12 on this tiny fixture, FPs are vanishingly unlikely:
     assert approx == {d: v for d, v in exact.items()}
+
+
+def test_verify_mode_shuffled_eval_join_equals_exact(spark):
+    """broadcast_eval=False (the blocklist-scale verify shape) must
+    produce the identical output through a shuffled gram join — and the
+    plan must NOT broadcast the eval gram table."""
+    from ocr_spark.decontam import decontaminate, decontaminate_bloom
+
+    docs = _df(spark, _DOCS, "doc_id bigint, text string")
+    eval_set = _df(spark, _EVAL, "eval_id bigint, text string")
+    exact = sorted(
+        map(tuple, decontaminate(docs, eval_set, n=3, min_overlap=2)
+            .collect())
+    )
+    shuffled = decontaminate_bloom(
+        docs, eval_set, n=3, min_overlap=2, m_bits=1 << 12, k=4,
+        mode="verify", broadcast_eval=False, persist_eval=False,
+    )
+    assert sorted(map(tuple, shuffled.collect())) == exact
 
 
 def test_mode_validation(spark):
@@ -352,3 +415,29 @@ def test_bloom_store_compaction_invisible_to_probe(spark, tmp_path):
     bloom_store_append(io, _keys(spark, [7, 8]), "g", "seen", 4096, 4)
     with pytest.raises(ValueError, match="mixed"):
         bloom_store_fold(io.read(spark, "seen")).collect()
+
+
+def test_fold_refuses_disjoint_word_index_geometries(spark, tmp_path):
+    """Regression: the fold's old guard only fired when the two
+    geometries COLLIDED on a word_idx, so a (m=63, k=1) history plus a
+    second geometry whose keys touch no bit in word 0 compacted into a
+    silently mixed snapshot.  The direct distinct-(m_bits, k) check must
+    refuse regardless of which words the bitmaps touch."""
+    from ocr_spark.membership import (
+        bloom_store_append,
+        bloom_store_fold,
+    )
+    from ocr_spark.tableio import ParquetManifestIO
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    # geometry A: m_bits=63 → every row has word_idx 0
+    bloom_store_append(io, _keys(spark, [1, 2, 3]), "g", "seen", 63, 1)
+    # geometry B: keys chosen so NO position lands in word 0 at m=8192
+    avoid0 = [
+        g for g in (py_portable_hash(f"dj-{i}") for i in range(500))
+        if all(p >= 63 for p in _py_positions(g, 8192, 4))
+    ][:20]
+    assert avoid0, "fixture failed to find word-0-avoiding keys"
+    bloom_store_append(io, _keys(spark, avoid0), "g", "seen", 8192, 4)
+    with pytest.raises(ValueError, match="mixed"):
+        bloom_store_fold(io.read(spark, "seen"))
