@@ -1,0 +1,304 @@
+"""Streaming ingest with cross-batch exact dedup through the store seam.
+
+The production composition the batch pieces were built for: a
+Structured-Streaming source of ``(doc_id, text)`` document rows is
+drained micro-batch by micro-batch, each batch is deduplicated against
+the COMMITTED digest store (first-run-wins — a document whose normalized
+text digest is already committed is dropped; within the batch the
+minimum id wins, via :func:`ocr_spark.dedup.exact_duplicates_incremental`),
+the surviving canonical documents land in a per-batch output partition,
+and the batch's digests are appended to the store as ONE tagged tableio
+snapshot.  The reference service (main.py:1284-1346) processes each
+uploaded document exactly once per request; this is that semantic as a
+continuously-running, restartable pipeline.
+
+Exactly-once across crashes and foreachBatch replays, with NO
+distributed transaction, comes from write ordering plus one idempotence
+primitive:
+
+1. **Replay short-circuit** — each batch commits under a deterministic
+   tag ``{stream_id}/b{batch_id}``.  If the tag is already in the
+   store's manifest, the batch committed in a previous life: skip
+   everything.  (Recomputing would be WRONG, not just wasted: the store
+   now contains this batch's digests, so every doc would classify
+   dup-of-committed and an overwrite would erase the batch's output.)
+2. **Optional Bloom registry first** — when a registry table is
+   configured, the batch's digest bitmap is appended BEFORE the main
+   store commit.  A crash between the two leaves extra bits whose main
+   commit never happened: future probes see false POSITIVES (extra
+   verify work, resolved by the exact join), never false negatives
+   (which would admit duplicates).  The safe over-approximation is why
+   the registry is written first.
+3. **Docs partition next** — per-batch dynamic partition overwrite, so
+   a replayed write of the same batch id replaces rather than
+   duplicates.
+4. **Tagged store append LAST** — the commit point.  The append is
+   refused under the writer lock if the tag already exists
+   (:class:`ocr_spark.tableio.DuplicateTagError`), so even two racing
+   replays of one batch commit exactly once.
+
+A crash at any point therefore converges on retry: before (4) the store
+is unchanged, so the recomputed kept-set is identical and the docs
+overwrite is idempotent; after (4) the tag short-circuits.
+
+Scale shape: per batch, one groupBy(digest) over the BATCH only, one
+digest-keyed join of batch digests against the store probe (Bloom-pruned
+to the might-contain survivors when the registry is on — at a 10^12-doc
+store the registry bitmap is what keeps the probe join's build side from
+being the whole store), and one narrow append.  The committed corpus is
+never re-grouped.  Store growth is one snapshot per batch — fold with
+``jobs/compact_store.py`` (tags survive compaction).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.dedup import exact_digests, exact_duplicates_incremental
+from ocr_spark.tableio import DuplicateTagError, ParquetManifestIO
+from ocr_spark.textstats import portable_hash
+
+DOCS_SCHEMA_DDL = "doc_id bigint, text string"
+
+#: store table holding the committed ``(id, digest)`` rows
+STORE_TABLE = "digests"
+
+
+def _registry_params(m_bits: int):
+    from ocr_spark.membership import DEFAULT_K
+
+    return m_bits, DEFAULT_K
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    batch_id: int,
+    io: ParquetManifestIO,
+    out_dir: str,
+    *,
+    stream_id: str = "ingest",
+    store_table: str = STORE_TABLE,
+    registry_m_bits: int | None = None,
+    enforce_disjoint_ids: bool = True,
+) -> dict:
+    """Process ONE micro-batch of ``(doc_id, text)`` rows — the
+    foreachBatch body of :func:`run_stream_dedup_ingest`, callable
+    directly for batch-mode ingest.  Returns a stats dict
+    (``replayed`` True when the tag short-circuit fired).
+
+    ``registry_m_bits`` enables the Bloom-registry prune: size it at
+    ~12 bits per EXPECTED TOTAL corpus doc (the membership module's
+    m/n ≈ 12 → fpp ≈ 0.6% guidance) — the geometry is fixed at table
+    creation and cannot be grown later.
+    """
+    tag = f"{stream_id}/b{batch_id:06d}"
+    t0 = time.monotonic()
+    if tag in io.tags(store_table):
+        return {"batch_id": batch_id, "tag": tag, "replayed": True}
+
+    # batch-sized, consumed by up to four actions (disjointness guard,
+    # verdict, registry append, store append) — one cache, dropped on exit
+    new_digests = exact_digests(docs).persist()
+
+    committed = None
+    try:
+        committed = io.read(spark, store_table)
+    except FileNotFoundError:
+        pass  # first batch ever — nothing committed yet
+
+    n_pruned = None
+    if committed is not None:
+        if enforce_disjoint_ids:
+            # same precondition + fail-fast as jobs/run_dedup_incremental:
+            # a batch re-submitting committed ids under a NEW tag would
+            # double-commit digests and corrupt first-run-wins semantics.
+            overlap = (
+                new_digests.select("id")
+                .join(committed.select("id"), on="id", how="left_semi")
+                .limit(3)
+                .collect()
+            )
+            if overlap:
+                raise ValueError(
+                    f"batch {batch_id}: doc ids overlap the committed "
+                    f"store (e.g. {sorted(r.id for r in overlap)}); each "
+                    "batch must carry fresh ids — a replay of an "
+                    "already-committed batch is detected by TAG, not by "
+                    "resubmitting ids under a new tag"
+                )
+        if registry_m_bits is not None:
+            committed, n_pruned = _registry_prune(
+                spark, io, new_digests, committed, store_table,
+                registry_m_bits,
+            )
+
+    try:
+        verdict = exact_duplicates_incremental(new_digests, committed)
+        kept_ids = verdict.filter(F.col("kept")).select("id").persist()
+        # NULL-text rows have no digest (exact_digests excludes them to
+        # avoid a bogus NULL-digest group) — they ride through unscreened
+        # rather than vanish: content-less rows can't be duplicates, and
+        # dropping data silently is never this pipeline's job.
+        kept_docs = docs.filter(F.col("text").isNull()).unionByName(
+            docs.join(
+                kept_ids.withColumnRenamed("id", "doc_id"),
+                on="doc_id", how="left_semi",
+            )
+        )
+
+        if registry_m_bits is not None:
+            # registry BEFORE docs/store (module docstring, ordering
+            # rule 2: crash between the appends must over-contain, so
+            # future probes get false positives, never false negatives)
+            _registry_append(io, new_digests, store_table, registry_m_bits)
+
+        (
+            kept_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+        # commit point: kept rows only (keeps the store digest-unique by
+        # construction — the probe's defensive distinct never multiplies)
+        kept_digest_rows = new_digests.join(
+            kept_ids, on="id", how="left_semi"
+        )
+        try:
+            snap = io.append(kept_digest_rows, store_table, tag=tag)
+        except DuplicateTagError:
+            # a racing replay won the lock between our tags() check and
+            # the append; its docs overwrite carried the same content
+            return {"batch_id": batch_id, "tag": tag, "replayed": True}
+
+        n_in = new_digests.count()  # digestable (non-NULL-text) rows
+        n_kept = kept_ids.count()
+        return {
+            "batch_id": batch_id,
+            "tag": tag,
+            "replayed": False,
+            "snapshot": snap,
+            "docs_in": n_in,
+            "docs_kept": n_kept,
+            "docs_dropped": n_in - n_kept,
+            "registry_survivors": n_pruned,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+    finally:
+        new_digests.unpersist()
+        try:
+            kept_ids.unpersist()
+        except NameError:
+            pass
+
+
+def _registry_table(store_table: str) -> str:
+    return f"{store_table}_bloom"
+
+
+def _registry_key(df: DataFrame) -> DataFrame:
+    """Bloom keys are the portable 60-bit hash of the digest string —
+    the registry's unit is the digest, matching the store's join key."""
+    return df.select(portable_hash(F.col("digest")).alias("g"))
+
+
+def _registry_append(
+    io, new_digests: DataFrame, store_table: str, m_bits: int
+) -> None:
+    from ocr_spark.membership import bloom_store_append
+
+    m, k = _registry_params(m_bits)
+    bloom_store_append(
+        io, _registry_key(new_digests), "g",
+        _registry_table(store_table), m, k,
+    )
+
+
+def _registry_prune(
+    spark, io, new_digests: DataFrame, committed: DataFrame,
+    store_table: str, m_bits: int,
+):
+    """Shrink the store probe to digests the registry says MIGHT be
+    committed.  No false negatives (every committed digest's bits are
+    set — the registry commits before the store, so it can only
+    over-contain); false positives just ride through to the exact join.
+    Returns (pruned committed-side, survivor count) — the committed side
+    is filtered by semi-join against the surviving batch digests, so the
+    exact join's build input is |survivors|-bounded, not |store|."""
+    from ocr_spark.membership import bloom_probe, bloom_store_read
+
+    m, k = _registry_params(m_bits)
+    try:
+        bitmap = bloom_store_read(
+            io, spark, _registry_table(store_table), m, k
+        )
+    except FileNotFoundError:
+        # registry table not yet created (e.g. enabled on an existing
+        # store): no prune this batch; the append below creates it
+        return committed, None
+    probed = bloom_probe(
+        _registry_key(new_digests).distinct(), bitmap, "g", m, k
+    )
+    survivors = (
+        probed.filter(F.col("might_contain"))
+        .select("g")
+        .persist()          # consumed by the count and the semi-join
+    )
+    n_survivors = survivors.count()
+    pruned = committed.join(
+        survivors,
+        on=portable_hash(F.col("digest")) == survivors["g"],
+        how="left_semi",
+    )
+    return pruned, n_survivors
+
+
+def run_stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    stream_id: str = "ingest",
+    registry_m_bits: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+    collect_stats: list | None = None,
+):
+    """Stream ``(doc_id, text)`` parquet drops from ``input_dir``
+    through :func:`ingest_batch`; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything present and stops (the
+    scheduled-incremental mode); ``False`` runs continuously.  Restart
+    with the same ``checkpoint_dir`` to resume — already-processed files
+    are skipped by the checkpoint, and a replayed in-flight batch is
+    skipped by its store tag.  ``collect_stats`` (a list) receives each
+    batch's stats dict — test/driver telemetry only.
+    """
+    io = ParquetManifestIO(store_root)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ingest_batch(
+            spark, batch_df, batch_id, io, out_dir,
+            stream_id=stream_id,
+            registry_m_bits=registry_m_bits,
+        )
+        if collect_stats is not None:
+            collect_stats.append(stats)
+
+    writer = (
+        spark.readStream.schema(DOCS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -40,6 +40,13 @@ class ConcurrentWriteError(RuntimeError):
     manifest swap; the store was left untouched."""
 
 
+class DuplicateTagError(RuntimeError):
+    """An append carried a ``tag`` the manifest already records — the
+    tagged commit already happened (e.g. a foreachBatch replay of an
+    already-committed micro-batch).  The caller treats this as success:
+    nothing was written twice."""
+
+
 class ParquetManifestIO:
     """Snapshot-append table over a directory tree."""
 
@@ -160,7 +167,8 @@ class ParquetManifestIO:
             return d
         return os.path.join(self.root, table, d)
 
-    def append(self, df: DataFrame, table: str) -> int:
+    def append(self, df: DataFrame, table: str,
+               tag: str | None = None) -> int:
         """Write ``df`` as a new snapshot; returns the snapshot id.
 
         Data first, manifest second: the write is invisible until the
@@ -168,16 +176,35 @@ class ParquetManifestIO:
         len(snapshots): after a :meth:`compact` the manifest holds one
         snapshot carrying the pre-compaction max id, and the next append
         must keep ids monotone (a len-based id would collide with
-        history and break ``read(asof=...)`` ordering)."""
+        history and break ``read(asof=...)`` ordering).
+
+        ``tag`` makes the append an IDEMPOTENCE primitive: the manifest
+        records each tag exactly once, and a second append carrying an
+        already-recorded tag raises :class:`DuplicateTagError` *under
+        the writer lock* (no check-then-act race) without committing
+        anything.  This is how a streaming ``foreachBatch`` replay of an
+        already-committed micro-batch is detected exactly-once — the
+        same role Iceberg's WAP/branch commit or a Delta txn appId/
+        version plays.  Tags live in the manifest's commit log, not in
+        the data: :meth:`compact` preserves them, so a replay arriving
+        after store maintenance is still refused."""
         # Provisional id for the directory NAME only (cosmetic); the real
         # id is recomputed under the writer lock, where the manifest
         # cannot change underneath us.  Unique suffix: an orphan from a
         # crashed append must never collide with the retry (a
         # deterministic s<N> path would fail errorifexists forever and
         # brick the table).
+        pre_manifest = self._load(table)
+        if tag is not None and tag in pre_manifest.get("tags", {}):
+            # cheap pre-write refusal (saves the Spark write); the
+            # authoritative race-free check repeats under the lock below
+            raise DuplicateTagError(
+                f"table {table!r}: tag {tag!r} already committed as "
+                f"snapshot {pre_manifest['tags'][tag]}"
+            )
         prov_id = (
-            max((s["id"] for s in self._load(table)["snapshots"]),
-                default=-1) + 1
+            max((s["id"] for s in pre_manifest["snapshots"]), default=-1)
+            + 1
         )
         rel_dir = f"data/s{prov_id:06d}-{secrets.token_hex(4)}"
         data_dir = os.path.join(self.root, table, rel_dir)
@@ -198,13 +225,29 @@ class ParquetManifestIO:
             # records.
             self._check_commitable(table, data_dir, rel_dir, "append")
             manifest = self._load(table)
+            if tag is not None and tag in manifest.get("tags", {}):
+                raise DuplicateTagError(
+                    f"table {table!r}: tag {tag!r} was committed as "
+                    f"snapshot {manifest['tags'][tag]} while this append "
+                    "wrote its data (concurrent replay); nothing "
+                    "committed — the orphan dir awaits vacuum_orphans"
+                )
             snap_id = (
                 max((s["id"] for s in manifest["snapshots"]), default=-1)
                 + 1
             )
             manifest["snapshots"].append({"id": snap_id, "dir": rel_dir})
+            if tag is not None:
+                manifest.setdefault("tags", {})[tag] = snap_id
             self._commit_manifest(table, manifest)
         return snap_id
+
+    def tags(self, table: str) -> dict[str, int]:
+        """Committed tag → snapshot id.  Snapshot ids below a compaction
+        horizon are no longer readable via ``asof``, but their tags
+        remain — a tag answers "did this commit happen", not "what data
+        did it carry"."""
+        return dict(self._load(table).get("tags", {}))
 
     def read(self, spark: SparkSession, table: str,
              asof: int | None = None) -> DataFrame:
@@ -321,6 +364,10 @@ class ParquetManifestIO:
                 # vacuum=True reclaims prior expired dirs below too;
                 # otherwise the fold's old dirs join the expired queue
                 "expired": [] if vacuum else prior_expired + old_rel,
+                # tags are commit-log facts, not data: a replay guard
+                # (append with an already-seen tag) must keep refusing
+                # after maintenance folds the data away
+                "tags": current_manifest.get("tags", {}),
             }
             self._commit_manifest(table, new_manifest)
         if vacuum:

@@ -1,0 +1,276 @@
+"""Streaming ingest with cross-batch dedup: exactly-once semantics.
+
+What these tests pin, in order of importance:
+
+1. Tagged appends are the race-free idempotence primitive (tableio).
+2. A two-drop drain drops cross-drop exact duplicates via the store and
+   the result EQUALS the one-shot batch dedup of the concatenated
+   corpus (first-run-wins ≡ min-id-wins because drops arrive in id
+   order — the equivalence the incremental operator's oracle pins).
+3. Replays converge from every crash window: before the docs write,
+   between the docs write and the store commit, and after the commit.
+4. The Bloom-registry prune changes NOTHING about the output, and a
+   crash between the registry append and the store commit still
+   converges (over-containment is safe by construction).
+5. Checkpoint resume: a second drain with new files processes only the
+   new files, still deduped against the full committed store.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.corpus import synthetic_documents
+from ocr_spark.dedup import exact_digests, exact_duplicates
+from ocr_spark.ingest import ingest_batch, run_stream_dedup_ingest
+from ocr_spark.tableio import DuplicateTagError, ParquetManifestIO
+
+
+def _drop(spark, tmp_path, n, start):
+    d = str(tmp_path / "in")
+    synthetic_documents(spark, n, start=start).coalesce(1) \
+        .write.mode("append").parquet(d)
+    return d
+
+
+def _drain(spark, tmp_path, stats, **kw):
+    q = run_stream_dedup_ingest(
+        spark,
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        collect_stats=stats,
+        **kw,
+    )
+    q.awaitTermination()
+
+
+def _expected_kept(spark, n_total):
+    """One-shot ground truth over the full corpus: keep every doc except
+    non-canonical members of exact-duplicate groups (min id wins —
+    identical to first-run-wins under id-ordered drops)."""
+    full = synthetic_documents(spark, n_total, start=0)
+    dups = exact_duplicates(full)
+    drop = (
+        exact_digests(full)
+        .join(dups, on="digest")
+        .filter(F.col("id") != F.col("canonical_id"))
+        .select("id")
+    )
+    return set(
+        r.doc_id
+        for r in full.join(
+            drop.withColumnRenamed("id", "doc_id"),
+            on="doc_id", how="left_anti",
+        ).select("doc_id").collect()
+    )
+
+
+# ---------------------------------------------------------------- tableio tags
+
+
+def test_tagged_append_is_idempotence_primitive(spark, tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "s"))
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("digest"))
+    sid = io.append(df, "t", tag="run/b1")
+    assert io.tags("t") == {"run/b1": sid}
+    with pytest.raises(DuplicateTagError, match="run/b1"):
+        io.append(df, "t", tag="run/b1")
+    # untagged appends and distinct tags still work
+    io.append(df, "t")
+    io.append(df, "t", tag="run/b2")
+    assert set(io.tags("t")) == {"run/b1", "run/b2"}
+    assert io.read(spark, "t").count() == 9
+
+
+def test_tags_survive_compaction(spark, tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "s"))
+    df = spark.range(2).select(F.col("id"), F.lit("x").alias("digest"))
+    io.append(df, "t", tag="run/b1")
+    io.append(df, "t", tag="run/b2")
+    io.compact(spark, "t", vacuum=True)
+    assert set(io.tags("t")) == {"run/b1", "run/b2"}
+    with pytest.raises(DuplicateTagError):
+        io.append(df, "t", tag="run/b1")
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+@pytest.mark.parametrize("registry_bits", [None, 1 << 14])
+def test_two_drop_drain_equals_one_shot(spark, tmp_path, registry_bits):
+    """Drop [0,100) then [100,200); the stream must keep exactly the
+    one-shot dedup's survivors — cross-drop duplicates (ids %10==6
+    pointing at earlier drops) die against the committed store."""
+    _drop(spark, tmp_path, 100, 0)
+    _drop(spark, tmp_path, 100, 100)
+    stats: list[dict] = []
+    _drain(spark, tmp_path, stats, max_files_per_trigger=1,
+           registry_m_bits=registry_bits)
+
+    assert len(stats) == 2 and not any(s["replayed"] for s in stats)
+    assert sum(s["docs_in"] for s in stats) == 200
+    got = set(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id").collect()
+    )
+    assert got == _expected_kept(spark, 200)
+    # store is digest-unique: kept rows only, one per surviving digest
+    store = ParquetManifestIO(str(tmp_path / "store"))
+    digs = store.read(spark, "digests")
+    assert digs.count() == digs.select("digest").distinct().count()
+    assert len(store.tags("digests")) == 2
+
+
+def test_replay_short_circuits_after_commit(spark, tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    docs = synthetic_documents(spark, 50, start=0)
+    out = str(tmp_path / "out")
+    first = ingest_batch(spark, docs, 0, io, out)
+    assert not first["replayed"] and first["docs_kept"] > 0
+    replay = ingest_batch(spark, docs, 0, io, out)
+    assert replay["replayed"]
+    assert io.read(spark, "digests").count() == first["docs_kept"]
+    assert spark.read.parquet(out).count() == first["docs_kept"]
+
+
+def test_crash_before_store_commit_converges(spark, tmp_path, monkeypatch):
+    """Crash window: docs partition written, store append never reached.
+    The retry recomputes against the UNCHANGED store — identical
+    kept-set, idempotent overwrite, single store snapshot."""
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    ingest_batch(spark, synthetic_documents(spark, 50, start=0), 0, io, out)
+
+    docs1 = synthetic_documents(spark, 50, start=50)
+    real_append = ParquetManifestIO.append
+
+    def boom(self, df, table, tag=None):
+        if tag is not None:
+            raise RuntimeError("injected crash before store commit")
+        return real_append(self, df, table, tag=tag)
+
+    monkeypatch.setattr(ParquetManifestIO, "append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_batch(spark, docs1, 1, io, out)
+    monkeypatch.undo()
+
+    retry = ingest_batch(spark, docs1, 1, io, out)
+    assert not retry["replayed"]
+    got = set(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == _expected_kept(spark, 100)
+    assert len(io.snapshots("digests")) == 2  # batch 0 + retried batch 1
+
+
+def test_crash_between_registry_and_store_commit_converges(
+    spark, tmp_path, monkeypatch
+):
+    """The ordering rule under test: the registry bitmap committed but
+    the store didn't.  The retry re-appends the bitmap (harmless — OR of
+    identical bits) and the over-containing registry can only produce
+    false POSITIVES in later prunes, so no duplicate is ever admitted."""
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    bits = 1 << 14
+    ingest_batch(spark, synthetic_documents(spark, 50, start=0), 0, io, out,
+                 registry_m_bits=bits)
+
+    real_append = ParquetManifestIO.append
+
+    def boom(self, df, table, tag=None):
+        if tag is not None:  # the registry append is untagged; store isn't
+            raise RuntimeError("injected crash after registry append")
+        return real_append(self, df, table, tag=tag)
+
+    docs1 = synthetic_documents(spark, 50, start=50)
+    monkeypatch.setattr(ParquetManifestIO, "append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_batch(spark, docs1, 1, io, out, registry_m_bits=bits)
+    monkeypatch.undo()
+    # the crash left batch 1's registry snapshot but no store snapshot
+    assert len(io.snapshots("digests_bloom")) == 2
+    assert len(io.snapshots("digests")) == 1
+
+    retry = ingest_batch(spark, docs1, 1, io, out, registry_m_bits=bits)
+    assert not retry["replayed"]
+    assert len(io.snapshots("digests_bloom")) == 3  # harmless re-OR
+    # batch 2 must still dedup correctly against everything committed
+    docs2 = synthetic_documents(spark, 50, start=100)
+    ingest_batch(spark, docs2, 2, io, out, registry_m_bits=bits)
+    got = set(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == _expected_kept(spark, 150)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    _drop(spark, tmp_path, 100, 0)
+    s1: list[dict] = []
+    _drain(spark, tmp_path, s1)
+    assert len(s1) == 1 and s1[0]["docs_in"] == 100
+
+    _drop(spark, tmp_path, 100, 100)
+    s2: list[dict] = []
+    _drain(spark, tmp_path, s2)
+    # resumed drain sees ONLY the new drop...
+    assert sum(s.get("docs_in", 0) for s in s2) == 100
+    # ...but dedups it against the full committed store
+    got = set(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id").collect()
+    )
+    assert got == _expected_kept(spark, 200)
+
+
+def test_overlapping_ids_rejected(spark, tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    ingest_batch(spark, synthetic_documents(spark, 50, start=0), 0, io, out)
+    with pytest.raises(ValueError, match="overlap"):
+        ingest_batch(
+            spark, synthetic_documents(spark, 50, start=25), 1, io, out
+        )
+
+
+def test_null_text_rides_through(spark, tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    res = ingest_batch(spark, docs, 0, io, out)
+    kept = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert set(kept) == {1, 2}          # 3 is an exact dup of 1
+    assert kept[2] is None              # content-less row not dropped
+    assert res["docs_in"] == 2          # digestable rows only
+
+
+def test_job_cli_two_synthetic_drops(tmp_path):
+    """The spark-submit wrapper end-to-end (its own SparkSession)."""
+    import jobs.run_stream_ingest as job
+
+    summary = job.main([
+        "--input", str(tmp_path / "in"),
+        "--store", str(tmp_path / "store"),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthetic-drops", "2", "--drop-docs", "100",
+        "--max-files-per-trigger", "1",
+    ])
+    assert summary["batches"] == 2
+    assert summary["docs_in"] == 200
+    assert summary["docs_dropped"] > 0
+    assert (
+        summary["docs_kept"] + summary["docs_dropped"]
+        == summary["docs_in"]
+    )
