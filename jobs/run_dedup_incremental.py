@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--out", required=True, help="output dir for this run")
     p.add_argument("--threshold", type=float, default=0.3,
                    help="near-dup Jaccard verify threshold")
+    p.add_argument("--tag", default=None,
+                   help="idempotence tag for the store commit (e.g. the "
+                        "orchestrator's run id): a resubmission whose tag "
+                        "already committed exits 0 with replayed=true "
+                        "instead of double-committing — the refusal "
+                        "happens under the store's writer lock, so even "
+                        "two racing retries commit exactly once")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -107,6 +114,15 @@ def main(argv: list[str] | None = None) -> dict:
         docs = spark.read.parquet(args.docs)
 
     io = ParquetManifestIO(args.store)
+    if args.tag is not None and args.tag in io.tags("signatures"):
+        # cheap short-circuit before any Spark work; the authoritative
+        # race-free refusal is the tagged append's own lock-held check
+        summary = {"replayed": True, "tag": args.tag}
+        json.dump(summary, sys.stdout)
+        print()
+        if owns_session:
+            spark.stop()
+        return summary
     has_store = os.path.exists(
         os.path.join(args.store, "signatures", "manifest.json")
     )
@@ -231,6 +247,7 @@ def main(argv: list[str] | None = None) -> dict:
             "id", "digest", "sh", "sig", "cluster_id", "role"
         ).unionByName(merge_rows),
         "signatures",
+        tag=args.tag,
     )
 
     counts = exact.agg(

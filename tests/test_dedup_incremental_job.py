@@ -235,3 +235,37 @@ def test_job_empty_first_batch_does_not_brick_store(spark, tmp_path):
     r1 = job_main(["--synthetic", "20", "--store", store,
                    "--out", str(tmp_path / "out1")])
     assert r1["n_kept"] > 0 and r1["store_snapshot"] == 1
+
+
+def test_job_tag_makes_resubmission_exactly_once(spark, tmp_path):
+    """--tag is the orchestrator-facing idempotence handle: a retried
+    submission whose tag already committed exits replayed=true with the
+    store untouched — the failure mode the id-overlap guard catches only
+    when the retry REUSES the id range; the tag catches it always."""
+    from ocr_spark.tableio import ParquetManifestIO
+
+    store = str(tmp_path / "store")
+    r1 = job_main(["--synthetic", "30", "--start", "0",
+                   "--store", store, "--out", str(tmp_path / "r1"),
+                   "--tag", "orchestrator/run-001"])
+    assert "replayed" not in r1
+    io = ParquetManifestIO(store)
+    snaps = io.snapshots("signatures")
+
+    r2 = job_main(["--synthetic", "30", "--start", "0",
+                   "--store", store, "--out", str(tmp_path / "r2"),
+                   "--tag", "orchestrator/run-001"])
+    assert r2 == {"replayed": True, "tag": "orchestrator/run-001"}
+    assert io.snapshots("signatures") == snaps
+    # the short-circuit must fire before any output write
+    import os
+    assert not os.path.exists(str(tmp_path / "r2"))
+
+    # a NEW tag with a fresh id range proceeds normally
+    r3 = job_main(["--synthetic", "30", "--start", "30",
+                   "--store", store, "--out", str(tmp_path / "r3"),
+                   "--tag", "orchestrator/run-002"])
+    assert r3["n_dup_of_committed"] > 0
+    assert set(io.tags("signatures")) == {
+        "orchestrator/run-001", "orchestrator/run-002",
+    }
