@@ -89,13 +89,7 @@ def main(argv: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from ocr_spark.corpus import synthetic_documents
-    from ocr_spark.dedup import (
-        exact_digests,
-        exact_duplicates_incremental,
-        incremental_components,
-        incremental_minhash_pairs,
-        minhash_sketches,
-    )
+    from ocr_spark.dedup import incremental_signature_delta
     from pyspark.sql import SparkSession
 
     from ocr_spark.session import get_spark
@@ -142,113 +136,27 @@ def main(argv: list[str] | None = None) -> dict:
                 "before running"
             )
     committed = io.read(spark, "signatures") if has_store else None
-    committed_doc_rows = (
-        committed.filter("role = 'doc'") if committed is not None else None
-    )
-    committed_digests = (
-        committed_doc_rows.select("id", "digest")
-        if committed_doc_rows is not None else None
-    )
-    committed_sketches = (
-        committed_doc_rows.select("id", "sh", "sig")
-        if committed_doc_rows is not None else None
-    )
-    committed_labels = (
-        _current_labels(committed)
-        if committed is not None else None
-    )
 
-    # Enforce the id-disjointness PRECONDITION the whole incremental
-    # family rests on (see incremental_minhash_pairs' docstring): a
-    # re-submitted batch overlapping committed ids (e.g. an operator
-    # retrying the same --start after a run that DID commit) would
-    # silently double-commit sketch/digest rows, duplicating pairs and
-    # corrupting cluster labels — while every other misuse here (legacy
-    # layout, k mismatch, band_size) already fails loudly.  One semi-join
-    # against the store's doc ids, bounded by the delta's size.
-    if committed_doc_rows is not None:
-        # The store side's id is aliased to a private name: an
-        # unqualified F.col("id") resolved against BOTH join children
-        # whenever the delta parquet happened to carry its own 'id'
-        # column — AMBIGUOUS_REFERENCE from the precondition CHECK
-        # itself, and only on the second run (after a store exists).
-        overlap = (
-            docs.join(
-                committed_doc_rows.select(
-                    F.col("id").alias("_store_id")
-                ),
-                docs.doc_id == F.col("_store_id"),
-                "leftsemi",
-            )
-            .select("doc_id")
-            .limit(5)
-            .collect()
+    # compute core shared with the streaming wrapper (exact pass,
+    # near-dup over exact survivors, incremental cluster maintenance,
+    # store-row assembly, id-disjointness precondition) — ONE definition
+    # in the library so the two deployment shapes cannot drift
+    try:
+        delta = incremental_signature_delta(
+            docs, committed, threshold=args.threshold
         )
-        if overlap:
-            raise SystemExit(
-                "delta doc ids overlap committed store ids (e.g. "
-                f"{sorted(r.doc_id for r in overlap)}); each run must "
-                "submit a disjoint id range — the store append is the "
-                "commit point, so a retried range means the prior run "
-                "committed and this submission would double-count it"
-            )
-
-    # exact pass — the decision table is this run's primary output
-    exact = exact_duplicates_incremental(
-        exact_digests(docs), committed_digests
-    ).persist()  # feeds the kept filter, the commit append, and counts
+    except ValueError as e:
+        raise SystemExit(str(e))
+    exact, pairs, inc = delta["exact"], delta["pairs"], delta["clusters"]
     exact.write.mode("errorifexists").parquet(f"{args.out}/exact")
-    kept_ids = exact.filter("kept").select("id")
-
-    # near-dup pass over the exact survivors only (standard order: exact
-    # dedup first so byte-identical docs never reach the band join)
-    survivors = docs.join(
-        kept_ids, docs.doc_id == kept_ids.id, "leftsemi"
-    )
-    sketches = minhash_sketches(survivors)
-    pairs = incremental_minhash_pairs(
-        sketches, committed_sketches, verify_threshold=args.threshold
-    )
-    pairs = pairs.persist()  # feeds the run output AND the cluster step
     pairs.write.mode("errorifexists").parquet(f"{args.out}/pairs")
-
-    # cluster maintenance — delta labels + merge records against the
-    # committed store (incremental_components touches only the pair
-    # endpoints' committed rows, never the whole label store)
-    inc = incremental_components(
-        kept_ids, pairs.select("id_a", "id_b"), committed_labels
-    ).persist()
     inc.write.mode("errorifexists").parquet(f"{args.out}/clusters")
 
     # commit — kept rows' (digest, sketch, cluster label) plus this run's
     # merge records become the next run's committed side, in ONE atomic
     # snapshot (see the module docstring for why the store pieces must
-    # not commit separately).  Appending KEPT rows only keeps the store
-    # digest-unique by construction (see exact_duplicates_incremental);
-    # the survivors ARE the kept ids, so these joins are bijections over
-    # rows already cached.
-    doc_rows = (
-        exact.filter("kept").select("id", "digest")
-        .join(sketches, on="id")
-        .join(inc.filter("role = 'delta'").select("id", "cluster_id"),
-              on="id")
-        .withColumn("role", F.lit("doc"))
-    )
-    merge_rows = inc.filter("role = 'merge'").select(
-        "id",
-        F.lit(None).cast("string").alias("digest"),
-        F.lit(None).cast("array<bigint>").alias("sh"),
-        F.lit(None).cast("array<bigint>").alias("sig"),
-        "cluster_id",
-        F.lit("merge").alias("role"),
-    )
-    store_snap = io.append(
-        doc_rows.select(
-            "id", "digest", "sh", "sig", "cluster_id", "role"
-        ).unionByName(merge_rows),
-        "signatures",
-        tag=args.tag,
-    )
+    # not commit separately).
+    store_snap = io.append(delta["store_rows"], "signatures", tag=args.tag)
 
     counts = exact.agg(
         F.count(F.lit(1)).alias("n_new"),
@@ -266,7 +174,7 @@ def main(argv: list[str] | None = None) -> dict:
         "store_snapshot": store_snap,
     }
     exact.unpersist()
-    sketches.unpersist()  # persisted inside incremental_minhash_pairs
+    delta["sketches"].unpersist()  # persisted inside incremental_minhash_pairs
     pairs.unpersist()
     inc.unpersist()
     json.dump(summary, sys.stdout)

@@ -1873,3 +1873,113 @@ def current_store_labels(committed: DataFrame) -> DataFrame:
         ),
     )
     return resolve_labels(docs, final)
+
+
+def incremental_signature_delta(
+    docs: DataFrame,
+    committed: DataFrame | None,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """ONE delta batch against the committed signature store — the
+    shared compute core of the batch job
+    (``jobs/run_dedup_incremental.py``) and the streaming wrapper
+    (:func:`ocr_spark.ingest.neardup_ingest_batch`): exact pass, near-dup
+    pass over the exact survivors, incremental cluster maintenance, and
+    the store rows whose append commits the run.  One definition so the
+    two deployment shapes cannot drift semantically.
+
+    ``committed`` is the full signatures table (``role`` doc+merge) or
+    None for a virgin store.  Returns persisted DataFrames
+    ``{"exact", "sketches", "pairs", "clusters", "store_rows"}`` — the
+    caller owns the writes, the (tagged or untagged) store append, and
+    the final ``unpersist()`` of the first four.
+
+    Raises ``ValueError`` when the delta's ids overlap committed ids —
+    the precondition the whole incremental family rests on (a retried
+    range after a successful commit must be refused, or digests/sketches
+    double-commit and cluster labels corrupt; idempotent retries go
+    through the append's ``tag`` instead).
+    """
+    committed_doc_rows = (
+        committed.filter("role = 'doc'") if committed is not None else None
+    )
+    if committed_doc_rows is not None:
+        # store-side id aliased to a private name: an unqualified id
+        # would be AMBIGUOUS whenever the delta carries its own 'id'
+        overlap = (
+            docs.join(
+                committed_doc_rows.select(F.col("id").alias("_store_id")),
+                docs[id_col] == F.col("_store_id"),
+                "leftsemi",
+            )
+            .select(id_col)
+            .limit(5)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "delta doc ids overlap committed store ids (e.g. "
+                f"{sorted(r[id_col] for r in overlap)}); each run must "
+                "submit a disjoint id range — the store append is the "
+                "commit point, so a retried range means the prior run "
+                "committed and this submission would double-count it"
+            )
+    committed_digests = (
+        committed_doc_rows.select("id", "digest")
+        if committed_doc_rows is not None else None
+    )
+    committed_sketches = (
+        committed_doc_rows.select("id", "sh", "sig")
+        if committed_doc_rows is not None else None
+    )
+    committed_labels = (
+        current_store_labels(committed) if committed is not None else None
+    )
+
+    exact = exact_duplicates_incremental(
+        exact_digests(docs, text_col, id_col), committed_digests
+    ).persist()
+    kept_ids = exact.filter("kept").select("id")
+
+    # near-dup over the exact survivors only (byte-identical docs must
+    # never reach the band join)
+    survivors = docs.join(
+        kept_ids, docs[id_col] == kept_ids["id"], "leftsemi"
+    )
+    sketches = minhash_sketches(survivors, text_col, id_col)
+    pairs = incremental_minhash_pairs(
+        sketches, committed_sketches, verify_threshold=threshold
+    ).persist()
+    clusters = incremental_components(
+        kept_ids, pairs.select("id_a", "id_b"), committed_labels
+    ).persist()
+
+    doc_rows = (
+        exact.filter("kept").select("id", "digest")
+        .join(sketches, on="id")
+        .join(
+            clusters.filter("role = 'delta'").select("id", "cluster_id"),
+            on="id",
+        )
+        .withColumn("role", F.lit("doc"))
+    )
+    merge_rows = clusters.filter("role = 'merge'").select(
+        "id",
+        F.lit(None).cast("string").alias("digest"),
+        F.lit(None).cast("array<bigint>").alias("sh"),
+        F.lit(None).cast("array<bigint>").alias("sig"),
+        "cluster_id",
+        F.lit("merge").alias("role"),
+    )
+    store_rows = doc_rows.select(
+        "id", "digest", "sh", "sig", "cluster_id", "role"
+    ).unionByName(merge_rows)
+    return {
+        "exact": exact,
+        "sketches": sketches,
+        "pairs": pairs,
+        "clusters": clusters,
+        "store_rows": store_rows,
+    }

@@ -302,3 +302,148 @@ def run_stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------- near-dup
+
+SIGNATURES_TABLE = "signatures"
+
+
+def neardup_ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    batch_id: int,
+    io: ParquetManifestIO,
+    out_dir: str,
+    *,
+    stream_id: str = "neardup",
+    threshold: float = 0.3,
+) -> dict:
+    """One micro-batch through the FULL incremental dedup family (exact
+    + MinHash near-dup + cluster maintenance) against the committed
+    signature store — the streaming twin of
+    ``jobs/run_dedup_incremental.py``, sharing its compute core
+    (:func:`ocr_spark.dedup.incremental_signature_delta`) so batch and
+    streaming deployments cannot drift.
+
+    Outputs per batch (both ``batch_id``-partitioned dynamic overwrite,
+    so replays rewrite rather than duplicate):
+
+    * ``{out_dir}/docs`` — exact-kept docs with their CURRENT cluster
+      label (NULL-text rows ride through with a NULL label, as in
+      :func:`ingest_batch`);
+    * ``{out_dir}/pairs`` — verified near-dup pairs touching this batch.
+
+    Commit point: ONE tagged append of the batch's signature rows
+    (docs + merge records).  Same crash-window argument as
+    :func:`ingest_batch`: before the tagged append the store is
+    unchanged, so a replay recomputes the identical delta and the
+    overwrites are idempotent; after it, the tag short-circuits.
+    """
+    from ocr_spark.dedup import incremental_signature_delta
+
+    tag = f"{stream_id}/b{batch_id:06d}"
+    t0 = time.monotonic()
+    if tag in io.tags(SIGNATURES_TABLE):
+        return {"batch_id": batch_id, "tag": tag, "replayed": True}
+
+    committed = None
+    try:
+        committed = io.read(spark, SIGNATURES_TABLE)
+    except FileNotFoundError:
+        pass
+
+    delta = incremental_signature_delta(docs, committed, threshold)
+    try:
+        labeled = docs.filter(F.col("text").isNull()).withColumn(
+            "cluster_id", F.lit(None).cast("bigint")
+        ).unionByName(
+            docs.join(
+                delta["clusters"].filter("role = 'delta'").select(
+                    F.col("id").alias("doc_id"), "cluster_id"
+                ),
+                on="doc_id",
+            )
+        )
+        (
+            labeled.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/docs")
+        )
+        (
+            delta["pairs"].withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/pairs")
+        )
+
+        try:
+            snap = io.append(
+                delta["store_rows"], SIGNATURES_TABLE, tag=tag
+            )
+        except DuplicateTagError:
+            return {"batch_id": batch_id, "tag": tag, "replayed": True}
+
+        counts = delta["exact"].agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("dup_of_committed").cast("bigint"))
+            .alias("n_dup_of_committed"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        ).first()
+        return {
+            "batch_id": batch_id,
+            "tag": tag,
+            "replayed": False,
+            "snapshot": snap,
+            "docs_in": counts["n_new"],
+            "docs_kept": int(counts["n_kept"] or 0),
+            "dup_of_committed": int(counts["n_dup_of_committed"] or 0),
+            "near_pairs": delta["pairs"].count(),
+            "merges": delta["clusters"].filter("role = 'merge'").count(),
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+    finally:
+        for k in ("exact", "sketches", "pairs", "clusters"):
+            delta[k].unpersist()
+
+
+def run_stream_neardup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    stream_id: str = "neardup",
+    threshold: float = 0.3,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+    collect_stats: list | None = None,
+):
+    """Stream ``(doc_id, text)`` parquet drops through
+    :func:`neardup_ingest_batch` — continuous ingestion with cross-batch
+    exact AND near-duplicate maintenance.  Same checkpoint/tag resume
+    semantics as :func:`run_stream_dedup_ingest`."""
+    io = ParquetManifestIO(store_root)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = neardup_ingest_batch(
+            spark, batch_df, batch_id, io, out_dir,
+            stream_id=stream_id, threshold=threshold,
+        )
+        if collect_stats is not None:
+            collect_stats.append(stats)
+
+    writer = (
+        spark.readStream.schema(DOCS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

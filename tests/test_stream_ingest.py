@@ -274,3 +274,115 @@ def test_job_cli_two_synthetic_drops(tmp_path):
         summary["docs_kept"] + summary["docs_dropped"]
         == summary["docs_in"]
     )
+
+
+# --------------------------------------------------------- near-dup stream
+
+
+def _label_sets(spark, store_root):
+    from jobs.run_dedup_incremental import _current_labels
+
+    io = ParquetManifestIO(store_root)
+    committed = io.read(spark, "signatures")
+    docs = set(
+        (r.id, r.digest)
+        for r in committed.filter("role = 'doc'")
+        .select("id", "digest").collect()
+    )
+    labels = set(
+        (r.id, r.cluster_id)
+        for r in _current_labels(committed).collect()
+    )
+    return docs, labels
+
+
+def test_neardup_stream_equals_batch_job(spark, tmp_path):
+    """The same two deltas through (a) the streaming wrapper and (b) two
+    runs of jobs/run_dedup_incremental must leave IDENTICAL stores:
+    same committed (id, digest) doc rows, same current cluster labels,
+    same verified near-dup pairs.  They share the compute core, so this
+    pins the wrapper's plumbing (ordering, writes, commit), not the
+    operators again."""
+    import jobs.run_dedup_incremental as job
+    from ocr_spark.ingest import run_stream_neardup_ingest
+
+    # streaming leg
+    _drop(spark, tmp_path, 100, 0)
+    _drop(spark, tmp_path, 100, 100)
+    stats: list[dict] = []
+    q = run_stream_neardup_ingest(
+        spark, str(tmp_path / "in"), str(tmp_path / "s_stream"),
+        str(tmp_path / "o_stream"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, collect_stats=stats,
+    )
+    q.awaitTermination()
+    assert len(stats) == 2 and not any(s["replayed"] for s in stats)
+    assert stats[1]["dup_of_committed"] > 0   # cross-batch dups really hit
+
+    # batch-job leg, same splits
+    job.main(["--synthetic", "100", "--start", "0",
+              "--store", str(tmp_path / "s_job"),
+              "--out", str(tmp_path / "j1")])
+    job.main(["--synthetic", "100", "--start", "100",
+              "--store", str(tmp_path / "s_job"),
+              "--out", str(tmp_path / "j2")])
+
+    s_docs, s_labels = _label_sets(spark, str(tmp_path / "s_stream"))
+    j_docs, j_labels = _label_sets(spark, str(tmp_path / "s_job"))
+    assert s_docs == j_docs
+    assert s_labels == j_labels
+
+    stream_pairs = set(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "o_stream" / "pairs"))
+        .select("id_a", "id_b").collect()
+    )
+    job_pairs = set(
+        (r.id_a, r.id_b)
+        for d in ("j1", "j2")
+        for r in spark.read.parquet(str(tmp_path / d / "pairs"))
+        .select("id_a", "id_b").collect()
+    )
+    assert stream_pairs == job_pairs
+
+    # labeled docs output: every kept doc carries its label
+    docs_out = spark.read.parquet(str(tmp_path / "o_stream" / "docs"))
+    assert set(r.doc_id for r in docs_out.select("doc_id").collect()) \
+        == set(i for i, _ in s_labels)
+
+
+def test_neardup_replay_and_crash_converge(spark, tmp_path, monkeypatch):
+    from ocr_spark.ingest import neardup_ingest_batch
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    first = neardup_ingest_batch(
+        spark, synthetic_documents(spark, 60, start=0), 0, io, out
+    )
+    assert not first["replayed"]
+
+    # crash before the tagged commit, then retry
+    docs1 = synthetic_documents(spark, 60, start=60)
+    real_append = ParquetManifestIO.append
+
+    def boom(self, df, table, tag=None):
+        if tag is not None:
+            raise RuntimeError("injected crash")
+        return real_append(self, df, table, tag=tag)
+
+    monkeypatch.setattr(ParquetManifestIO, "append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        neardup_ingest_batch(spark, docs1, 1, io, out)
+    monkeypatch.undo()
+    retry = neardup_ingest_batch(spark, docs1, 1, io, out)
+    assert not retry["replayed"]
+    assert len(io.snapshots("signatures")) == 2
+
+    # replay after commit short-circuits
+    replay = neardup_ingest_batch(spark, docs1, 1, io, out)
+    assert replay["replayed"]
+    assert len(io.snapshots("signatures")) == 2
+    # outputs cover exactly the kept docs of both batches, once each
+    docs_out = spark.read.parquet(f"{out}/docs").select("doc_id")
+    assert docs_out.count() == docs_out.distinct().count() \
+        == first["docs_kept"] + retry["docs_kept"]
