@@ -50,7 +50,15 @@ def main(argv: list[str] | None = None) -> dict:
                    help="tag namespace; one per logical stream")
     p.add_argument("--registry-bits", type=int, default=None,
                    help="enable the Bloom registry prune at this bitmap "
-                        "size (~12 bits per expected total corpus doc)")
+                        "size (~12 bits per expected total corpus doc); "
+                        "exact mode only")
+    p.add_argument("--near-dup", action="store_true",
+                   help="run the FULL incremental family per batch "
+                        "(exact + MinHash near-dup + cluster "
+                        "maintenance) against a signature store instead "
+                        "of exact-only against a digest store")
+    p.add_argument("--threshold", type=float, default=0.3,
+                   help="near-dup Jaccard verify threshold (--near-dup)")
     p.add_argument("--continuous", action="store_true",
                    help="keep running instead of one availableNow drain")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
@@ -75,17 +83,32 @@ def main(argv: list[str] | None = None) -> dict:
                 start=args.start + i * args.drop_docs,
             ).coalesce(1).write.mode("append").parquet(args.input)
 
-    from ocr_spark.ingest import run_stream_dedup_ingest
+    from ocr_spark.ingest import (
+        run_stream_dedup_ingest,
+        run_stream_neardup_ingest,
+    )
 
     stats: list[dict] = []
-    query = run_stream_dedup_ingest(
-        spark, args.input, args.store, args.out, args.checkpoint,
-        stream_id=args.stream_id,
-        registry_m_bits=args.registry_bits,
-        available_now=not args.continuous,
-        max_files_per_trigger=args.max_files_per_trigger,
-        collect_stats=stats,
-    )
+    if args.near_dup:
+        if args.registry_bits is not None:
+            p.error("--registry-bits applies to exact mode only")
+        query = run_stream_neardup_ingest(
+            spark, args.input, args.store, args.out, args.checkpoint,
+            stream_id=args.stream_id,
+            threshold=args.threshold,
+            available_now=not args.continuous,
+            max_files_per_trigger=args.max_files_per_trigger,
+            collect_stats=stats,
+        )
+    else:
+        query = run_stream_dedup_ingest(
+            spark, args.input, args.store, args.out, args.checkpoint,
+            stream_id=args.stream_id,
+            registry_m_bits=args.registry_bits,
+            available_now=not args.continuous,
+            max_files_per_trigger=args.max_files_per_trigger,
+            collect_stats=stats,
+        )
     query.awaitTermination()
 
     summary = {
@@ -96,6 +119,12 @@ def main(argv: list[str] | None = None) -> dict:
         "docs_dropped": sum(s.get("docs_dropped", 0) for s in stats),
         "per_batch": stats,
     }
+    if args.near_dup:
+        summary["docs_dropped"] = (
+            summary["docs_in"] - summary["docs_kept"]
+        )
+        summary["near_pairs"] = sum(s.get("near_pairs", 0) for s in stats)
+        summary["merges"] = sum(s.get("merges", 0) for s in stats)
     print(json.dumps(summary))
     return summary
 

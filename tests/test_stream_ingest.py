@@ -386,3 +386,24 @@ def test_neardup_replay_and_crash_converge(spark, tmp_path, monkeypatch):
     docs_out = spark.read.parquet(f"{out}/docs").select("doc_id")
     assert docs_out.count() == docs_out.distinct().count() \
         == first["docs_kept"] + retry["docs_kept"]
+
+
+def test_job_cli_near_dup_mode(tmp_path):
+    import jobs.run_stream_ingest as job
+
+    summary = job.main([
+        "--input", str(tmp_path / "in"),
+        "--store", str(tmp_path / "store"),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--synthetic-drops", "2", "--drop-docs", "100",
+        "--max-files-per-trigger", "1", "--near-dup",
+    ])
+    assert summary["batches"] == 2
+    assert summary["docs_in"] == 200
+    assert summary["docs_dropped"] > 0          # cross-batch exact dups
+    assert summary["near_pairs"] > 0            # J≈0.5 planted variants
+    assert (
+        summary["docs_kept"] + summary["docs_dropped"]
+        == summary["docs_in"]
+    )
