@@ -73,3 +73,52 @@ def test_spark_submit_pyfiles_extraction_and_resume(tmp_path):
         f"select count(*) from read_parquet('{out}/*/*.parquet')"
     ).fetchone()[0]
     assert n == 24
+
+
+def test_spark_submit_pyfiles_stream_ingest_resume(tmp_path):
+    """The streaming-ingest job under the real cluster launch contract:
+    a fresh-JVM availableNow drain, then a SECOND spark-submit with the
+    same checkpoint + store — it must process ONLY the new drop, still
+    deduped against the store committed by the first JVM (the
+    cross-process resume semantics the checkpoint + tags exist for)."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    from tools.pyfiles import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip(str(tmp_path / "ocr_spark.zip"))
+    job = str(tmp_path / "job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run_stream_ingest.py"), job)
+
+    base = [
+        "--input", str(tmp_path / "in"),
+        "--store", str(tmp_path / "store"),
+        "--out", str(tmp_path / "outp"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--drop-docs", "100", "--max-files-per-trigger", "1",
+    ]
+    first = _submit(
+        spark_submit, zip_path, job,
+        base + ["--synthetic-drops", "2", "--start", "0"],
+        str(tmp_path),
+    )
+    assert first["batches"] == 2 and first["docs_in"] == 200
+    assert first["docs_dropped"] > 0      # cross-drop dups died in-JVM
+
+    second = _submit(
+        spark_submit, zip_path, job,
+        base + ["--synthetic-drops", "1", "--start", "200"],
+        str(tmp_path),
+    )
+    # only the new drop is processed; its %10==6 docs duplicate texts
+    # committed by the FIRST JVM's store snapshots
+    assert second["batches"] == 1 and second["docs_in"] == 100
+    assert second["docs_dropped"] > 0
+
+    import duckdb
+
+    n = duckdb.sql(
+        "select count(distinct doc_id) from "
+        f"read_parquet('{tmp_path}/outp/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == first["docs_kept"] + second["docs_kept"]
