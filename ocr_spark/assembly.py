@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.textstats import portable_hash, token_count
@@ -84,9 +84,7 @@ def pack_sequences(
     Output: (doc_id, shard, bin, n_tokens, cum_tokens) where
     ``cum_tokens`` includes this document.
     """
-    shard = F.pmod(
-        portable_hash(F.col(id_col).cast("string")), F.lit(n_shards)
-    ).cast("int")
+    shard = shard_key(F.col(id_col), n_shards)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard"),
@@ -453,4 +451,118 @@ def curation_verdicts(
             & ~F.col("repetitive")
             & ~F.col("contaminated")
         ).alias("kept"),
+    )
+
+
+def shard_key(id_col: Column, n_shards: int) -> Column:
+    """The corpus's shard assignment — single-sourced so the packer
+    (:func:`pack_sequences`), the physical exporter
+    (:func:`write_training_shards`), and any telemetry all key on the
+    SAME expression (hash of the stringified id mod ``n_shards``)."""
+    return F.pmod(
+        portable_hash(id_col.cast("string")), F.lit(n_shards)
+    ).cast("int")
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard accounting: ``(shard, n_docs, n_tokens, content_xor)``.
+
+    ``content_xor`` is the bit-XOR of each member's portable hash of
+    ``id || '\\x1f' || text`` — ORDER-INDEPENDENT (xor commutes) and
+    overflow-free, so the digest is a pure function of the shard's
+    membership + contents no matter how partitions deliver rows.  The
+    same aggregation over the WRITTEN files must reproduce it
+    (:func:`verify_training_shards`) — a torn/duplicated/lost row flips
+    it with probability 1 − 2⁻⁶⁰.
+    """
+    return (
+        docs.select(
+            shard_key(F.col(id_col), n_shards).alias("shard"),
+            token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+            portable_hash(
+                F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                            F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.bit_xor("h").alias("content_xor"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Terminal export: write the corpus as ``n_shards`` self-contained
+    parquet shards plus a verifiable manifest — the deterministic
+    hand-off a training job consumes.
+
+    Layout: ``{out_dir}/shards/shard=K/`` holds ONE file per shard
+    (repartitioned on the shard key, rows sorted by id within it — a
+    rerun over the same corpus is byte-stable modulo parquet metadata,
+    and the manifest is exactly reproducible), and
+    ``{out_dir}/manifest/`` holds the per-shard accounting of
+    :func:`shard_manifest`.  ``errorifexists`` on both: an export is a
+    publication, never silently rewritten — re-export to a fresh
+    directory and swap.
+
+    Scale shape: one hash repartition into ``n_shards`` (the shuffle a
+    terminal sort-ordered export cannot avoid), in-partition sort, one
+    file each; the manifest is one groupBy over the same key.  Size
+    ``n_shards`` so one shard's rows fit an executor (at 100 TB that is
+    thousands of shards, matching :func:`pack_sequences`' guidance).
+    Returns the manifest DataFrame (read back from what was committed).
+    """
+    spark = docs.sparkSession
+    keyed = docs.withColumn("shard", shard_key(F.col(id_col), n_shards))
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("errorifexists")
+        .partitionBy("shard")
+        .parquet(f"{out_dir}/shards")
+    )
+    # manifest computed from the WRITTEN data, not the input plan: what
+    # the manifest attests is what a reader will actually see
+    written = spark.read.parquet(f"{out_dir}/shards").drop("shard")
+    shard_manifest(written, n_shards, text_col, id_col).write.mode(
+        "errorifexists"
+    ).parquet(f"{out_dir}/manifest")
+    return spark.read.parquet(f"{out_dir}/manifest")
+
+
+def verify_training_shards(spark, out_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Integrity check a consumer runs before training: recompute the
+    per-shard accounting from the shard files and anti-join it against
+    the committed manifest BOTH ways.  Returns a DataFrame of
+    discrepancies — empty means every shard's membership, token count,
+    and content XOR match exactly; any torn, duplicated, lost, or
+    bit-flipped row surfaces as a row here, naming its shard."""
+    manifest = spark.read.parquet(f"{out_dir}/manifest")
+    n_shards = manifest.count()
+    recomputed = shard_manifest(
+        spark.read.parquet(f"{out_dir}/shards").drop("shard"),
+        n_shards, text_col, id_col,
+    )
+    cols = ["shard", "n_docs", "n_tokens", "content_xor"]
+    a, b = manifest.select(cols), recomputed.select(cols)
+    return (
+        a.exceptAll(b).withColumn("side", F.lit("manifest_only"))
+        .unionByName(
+            b.exceptAll(a).withColumn("side", F.lit("recomputed_only"))
+        )
     )
