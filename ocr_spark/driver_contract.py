@@ -1330,11 +1330,23 @@ WHERE ('0x' || substr(md5('sample/' || cast(doc_id AS varchar)), 1, 15))
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing into 512-token bins across 8
-    hash shards (per-shard window cumsum — the parallelism unit)."""
-    from ocr_spark.assembly import pack_sequences
+    hash shards (per-shard window cumsum — the parallelism unit), plus
+    the shard-level EXPORT MANIFEST columns (round 5:
+    :func:`ocr_spark.assembly.shard_manifest` — docs, tokens, and the
+    order-independent content XOR per shard) joined back per doc, so
+    the training-shard exporter's accounting arithmetic sits under the
+    same hash gate."""
+    from ocr_spark.assembly import pack_sequences, shard_manifest
 
-    return pack_sequences(
-        _docs_df(spark, sf_dir), target_tokens=512, n_shards=8
+    docs = _docs_df(spark, sf_dir)
+    manifest = shard_manifest(docs, n_shards=8).select(
+        "shard",
+        F.col("n_docs").alias("shard_docs"),
+        F.col("n_tokens").alias("shard_tokens"),
+        F.col("content_xor").alias("shard_xor"),
+    )
+    return pack_sequences(docs, target_tokens=512, n_shards=8).join(
+        F.broadcast(manifest), on="shard"
     )
 
 
@@ -1343,17 +1355,26 @@ WITH b AS (
   SELECT doc_id,
     (('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 8)
       ::int AS shard,
-    len({_DUCK_TOKENS.format(t='text')})::bigint AS n_tokens
+    len({_DUCK_TOKENS.format(t='text')})::bigint AS n_tokens,
+    ('0x' || substr(md5(
+        cast(doc_id AS varchar) || chr(31) || coalesce(text, '')
+      ), 1, 15))::bigint AS h
   FROM documents),
 c AS (
   SELECT doc_id, shard, n_tokens,
     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
       ::bigint AS cum_tokens
-  FROM b)
-SELECT doc_id, shard,
-  floor((cum_tokens - n_tokens) / 512.0)::bigint AS bin,
-  n_tokens, cum_tokens
-FROM c
+  FROM b),
+m AS (
+  SELECT shard, count(*)::bigint AS shard_docs,
+    sum(n_tokens)::bigint AS shard_tokens,
+    bit_xor(h)::bigint AS shard_xor
+  FROM b GROUP BY shard)
+SELECT c.doc_id, c.shard,
+  floor((cum_tokens - c.n_tokens) / 512.0)::bigint AS bin,
+  c.n_tokens, cum_tokens,
+  m.shard_docs, m.shard_tokens, m.shard_xor
+FROM c JOIN m USING (shard)
 """
 
 
