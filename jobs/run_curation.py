@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> dict:
                    help="mixture domain weights, e.g. web=3,books=1")
     p.add_argument("--source-col", default="source",
                    help="domain column for the mixture stage")
+    p.add_argument("--export-shards", type=int, default=None,
+                   help="after curation (and mixture, if any), export the "
+                        "final kept docs as N training shards with a "
+                        "verifiable manifest under {out}/export "
+                        "(assembly.write_training_shards); the job "
+                        "re-verifies the written shards and fails loudly "
+                        "on any discrepancy")
     args = p.parse_args(argv)
 
     if (args.budget_tokens is None) != (args.weights is None):
@@ -253,6 +260,38 @@ def main(argv: list[str] | None = None) -> dict:
         summary["budget_tokens"] = args.budget_tokens
     else:
         summary["kept_final"] = summary["kept_curation"]
+
+    if args.export_shards:
+        import shutil
+
+        from ocr_spark.assembly import (
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        export_dir = os.path.join(args.out, "export")
+        # the library exporter is errorifexists (an export is a
+        # publication); THIS job's contract is byte-identical reruns
+        # under the same args, so a rerun replaces its own export
+        shutil.rmtree(export_dir, ignore_errors=True)
+        manifest = write_training_shards(
+            spark.read.parquet(os.path.join(args.out, "kept"))
+            .select("doc_id", "text"),
+            export_dir, n_shards=args.export_shards,
+        )
+        bad = verify_training_shards(spark, export_dir).count()
+        if bad:
+            raise SystemExit(
+                f"training-shard export failed verification: {bad} "
+                "manifest discrepancies — export not usable"
+            )
+        mrows = manifest.collect()
+        summary["export"] = {
+            "n_shards": args.export_shards,
+            "docs": sum(int(r.n_docs) for r in mrows),
+            "tokens": sum(int(r.n_tokens) for r in mrows),
+            "verified": True,
+        }
     json.dump(summary, sys.stdout)
     print()
     if owns_session:

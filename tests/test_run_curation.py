@@ -208,3 +208,23 @@ def test_weights_parsing_and_arg_validation(tmp_path):
                        "--budget-tokens", "100"])  # weights missing
     with pytest.raises(SystemExit):
         curation_main(["--out", str(tmp_path)])  # no corpus at all
+
+
+def test_export_shards_stage(tmp_path):
+    import jobs.run_curation as job
+
+    out = str(tmp_path / "c")
+    s = job.main([
+        "--synthetic", "120", "--out", out, "--eval-mod", "17",
+        "--export-shards", "8",
+    ])
+    assert s["export"]["verified"] is True
+    assert s["export"]["n_shards"] == 8
+    assert s["export"]["docs"] == s["kept_final"]
+    assert s["export"]["tokens"] > 0
+    # rerun under the same args replaces its own export identically
+    s2 = job.main([
+        "--synthetic", "120", "--out", out, "--eval-mod", "17",
+        "--export-shards", "8",
+    ])
+    assert s2["export"] == s["export"]
