@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.dedup import exact_digests, exact_duplicates_incremental
@@ -439,6 +439,180 @@ def run_stream_neardup_ingest(
 
     writer = (
         spark.readStream.schema(DOCS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ------------------------------------------------- extraction × dedup store
+
+EXTRACT_STORE_TABLE = "doc_digests"
+
+#: record separator between serialized spans; unit separator within one
+_SPAN_RS, _SPAN_US = "\x1e", "\x1f"
+
+
+def serialized_spans(spans_out: Column) -> Column:
+    """Canonical serialization of an extracted span sequence — the digest
+    input for document-level dedup: every field of every span, in offset
+    order (``spans_out`` is emitted ordered), field- and
+    record-delimited with non-printing separators so distinct sequences
+    cannot collide by concatenation.  NULL for an EMPTY sequence:
+    quarantined/empty documents carry no content to deduplicate on and
+    must not collapse into one bogus ''-digest group (they ride through
+    unscreened, like NULL-text rows in :func:`ingest_batch`)."""
+    ser = F.array_join(
+        F.transform(
+            spans_out,
+            lambda s: F.concat_ws(
+                _SPAN_US,
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                s["offset"].cast("string"),
+            ),
+        ),
+        _SPAN_RS,
+    )
+    return F.when(F.size(spans_out) > 0, ser)
+
+
+def extract_ingest_batch(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    batch_id: int,
+    io: ParquetManifestIO,
+    out_dir: str,
+    *,
+    cfg=None,
+    stream_id: str = "extract",
+    store_table: str = EXTRACT_STORE_TABLE,
+) -> dict:
+    """One micro-batch of INTERLEAVED documents (span rows + media
+    store) through the flagship extraction pipeline, then exact
+    document-level dedup against the committed store — the north-rule
+    pipeline as a continuously-running, exactly-once ingest:
+
+    1. ``run_extraction`` (boilerplate strip, OCR seam, offset-order
+       splice) produces ``(doc_id, spans_out, fields, errors)``;
+    2. the span sequence serializes canonically
+       (:func:`serialized_spans` — the SAME (kind, text, media_ref,
+       order) tuple the north invariant equates on) and digests against
+       the committed store, first-run-wins;
+    3. kept documents (full extraction rows) land in a
+       ``batch_id``-partitioned dynamic-overwrite output;
+    4. the batch's digests commit as ONE tagged snapshot.
+
+    Same crash-window convergence as :func:`ingest_batch`.  Documents
+    with EMPTY ``spans_out`` (quarantined/oversized/genuinely empty)
+    ride through unscreened — no content, no dedup, never dropped.
+    """
+    tag = f"{stream_id}/b{batch_id:06d}"
+    t0 = time.monotonic()
+    if tag in io.tags(store_table):
+        return {"batch_id": batch_id, "tag": tag, "replayed": True}
+
+    from ocr_spark.pipeline import run_extraction
+
+    docs = run_extraction(spark, spans_df, media_df, cfg).persist()
+    try:
+        keyed = docs.select(
+            "doc_id", serialized_spans(F.col("spans_out")).alias("text")
+        )
+        new_digests = exact_digests(keyed, "text", "doc_id").persist()
+
+        committed = None
+        try:
+            committed = io.read(spark, store_table)
+        except FileNotFoundError:
+            pass
+
+        verdict = exact_duplicates_incremental(new_digests, committed)
+        kept_ids = verdict.filter(F.col("kept")).select("id").persist()
+        kept_docs = docs.join(
+            keyed.filter(F.col("text").isNull()).select("doc_id"),
+            on="doc_id", how="left_semi",
+        ).unionByName(
+            docs.join(
+                kept_ids.withColumnRenamed("id", "doc_id"),
+                on="doc_id", how="left_semi",
+            )
+        )
+        (
+            kept_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        kept_digest_rows = new_digests.join(kept_ids, on="id",
+                                            how="left_semi")
+        try:
+            snap = io.append(kept_digest_rows, store_table, tag=tag)
+        except DuplicateTagError:
+            return {"batch_id": batch_id, "tag": tag, "replayed": True}
+        n_in = docs.count()
+        n_digestable = new_digests.count()
+        n_kept = kept_ids.count()
+        return {
+            "batch_id": batch_id,
+            "tag": tag,
+            "replayed": False,
+            "snapshot": snap,
+            "docs_in": n_in,
+            "docs_empty": n_in - n_digestable,
+            "docs_kept": n_kept,
+            "docs_dropped": n_digestable - n_kept,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+    finally:
+        docs.unpersist()
+        try:
+            new_digests.unpersist()
+            kept_ids.unpersist()
+        except NameError:
+            pass  # failed before the later persists existed
+
+
+def run_stream_extract_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    media_df: DataFrame,
+    store_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    cfg=None,
+    stream_id: str = "extract",
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+    collect_stats: list | None = None,
+):
+    """Stream span-row parquet drops through extraction + store-backed
+    document dedup (:func:`extract_ingest_batch`) — the flagship
+    pipeline as continuous exactly-once ingestion.  ``media_df`` is the
+    media store dimension (static, joined per batch, as in
+    :func:`ocr_spark.streaming.run_streaming_extraction`)."""
+    from ocr_spark.fixtures import SPANS_SCHEMA_DDL
+
+    io = ParquetManifestIO(store_root)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = extract_ingest_batch(
+            spark, batch_df, media_df, batch_id, io, out_dir,
+            cfg=cfg, stream_id=stream_id,
+        )
+        if collect_stats is not None:
+            collect_stats.append(stats)
+
+    writer = (
+        spark.readStream.schema(SPANS_SCHEMA_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
         .writeStream.foreachBatch(process_batch)

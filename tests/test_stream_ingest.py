@@ -407,3 +407,77 @@ def test_job_cli_near_dup_mode(tmp_path):
         summary["docs_kept"] + summary["docs_dropped"]
         == summary["docs_in"]
     )
+
+
+# ------------------------------------------- extraction x dedup store
+
+
+def test_extract_ingest_drops_cross_batch_content_dups(spark, tmp_path):
+    """The flagship pipeline as exactly-once streaming ingest: drop B
+    re-submits 10 of drop A's documents under NEW doc_ids (same spans,
+    same media) — their extracted span sequences digest identically and
+    die against the committed store; B's genuinely new docs survive.
+    Kept rows carry the FULL extraction output, equal to what the batch
+    pipeline produces for the same documents."""
+    from ocr_spark.fixtures import corpus_dataframes
+    from ocr_spark.ingest import run_stream_extract_ingest
+    from ocr_spark.pipeline import run_extraction
+
+    spans_df, media_df = corpus_dataframes(spark, seed=7, n_docs=40)
+    a = spans_df.filter(F.col("doc_id") < F.lit("doc_000020"))
+    b_new = spans_df.filter(F.col("doc_id") >= F.lit("doc_000020"))
+    b_dup = a.filter(F.col("doc_id") < F.lit("doc_000010")).select(
+        F.concat(F.lit("resub-"), F.col("doc_id")).alias("doc_id"),
+        "spans",
+    )
+    in_dir = str(tmp_path / "in")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b_new.unionByName(b_dup).coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+
+    stats: list[dict] = []
+    q = run_stream_extract_ingest(
+        spark, in_dir, media_df, str(tmp_path / "store"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, collect_stats=stats,
+    )
+    q.awaitTermination()
+
+    assert len(stats) == 2
+    assert stats[0]["docs_in"] == 20 and stats[0]["docs_dropped"] == 0
+    assert stats[1]["docs_in"] == 30
+    # every resubmission died against the committed store (any
+    # additional drops would be same-batch content collisions)
+    assert stats[1]["docs_dropped"] >= 10
+    got = spark.read.parquet(str(tmp_path / "out"))
+    kept_ids = set(r.doc_id for r in got.select("doc_id").collect())
+    assert not any(i.startswith("resub-") for i in kept_ids)
+    assert set(r.doc_id for r in a.select("doc_id").collect()) <= kept_ids
+
+    # content equality vs the batch pipeline for a kept doc
+    batch = {
+        r.doc_id: [tuple(s) for s in r.spans_out]
+        for r in run_extraction(spark, spans_df, media_df).collect()
+    }
+    stream = {
+        r.doc_id: [tuple(s) for s in r.spans_out]
+        for r in got.select("doc_id", "spans_out").collect()
+        if r.doc_id in batch
+    }
+    assert stream == {k: v for k, v in batch.items() if k in stream}
+
+    # replay short-circuit on the committed tags
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    assert len(io.tags("doc_digests")) == 2
+
+
+def test_serialized_spans_null_for_empty(spark):
+    from ocr_spark.ingest import serialized_spans
+
+    df = spark.createDataFrame(
+        [("a", []), ("b", [("text", "x", None, 0)])],
+        "doc_id string, spans_out array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).select("doc_id", serialized_spans(F.col("spans_out")).alias("s"))
+    rows = {r.doc_id: r.s for r in df.collect()}
+    assert rows["a"] is None and rows["b"] == "text\x1fx\x1f\x1f0"
