@@ -131,7 +131,7 @@ def ingest_batch(
                     "resubmitting ids under a new tag"
                 )
         if registry_m_bits is not None:
-            committed, n_pruned = _registry_prune(
+            committed, n_pruned, survivors_cache = _registry_prune(
                 spark, io, new_digests, committed, store_table,
                 registry_m_bits,
             )
@@ -195,6 +195,12 @@ def ingest_batch(
             kept_ids.unpersist()
         except NameError:
             pass
+        try:
+            if survivors_cache is not None:
+                survivors_cache.unpersist()  # one cache per BATCH — a
+                # continuous stream would otherwise accrete one forever
+        except NameError:
+            pass
 
 
 def _registry_table(store_table: str) -> str:
@@ -227,9 +233,10 @@ def _registry_prune(
     committed.  No false negatives (every committed digest's bits are
     set — the registry commits before the store, so it can only
     over-contain); false positives just ride through to the exact join.
-    Returns (pruned committed-side, survivor count) — the committed side
-    is filtered by semi-join against the surviving batch digests, so the
-    exact join's build input is |survivors|-bounded, not |store|."""
+    Returns (pruned committed-side, survivor count, survivors cache to
+    unpersist after the batch commits) — the committed side is filtered
+    by semi-join against the surviving batch digests, so the exact
+    join's build input is |survivors|-bounded, not |store|."""
     from ocr_spark.membership import bloom_probe, bloom_store_read
 
     m, k = _registry_params(m_bits)
@@ -240,7 +247,7 @@ def _registry_prune(
     except FileNotFoundError:
         # registry table not yet created (e.g. enabled on an existing
         # store): no prune this batch; the append below creates it
-        return committed, None
+        return committed, None, None
     probed = bloom_probe(
         _registry_key(new_digests).distinct(), bitmap, "g", m, k
     )
@@ -255,7 +262,7 @@ def _registry_prune(
         on=portable_hash(F.col("digest")) == survivors["g"],
         how="left_semi",
     )
-    return pruned, n_survivors
+    return pruned, n_survivors, survivors
 
 
 def run_stream_dedup_ingest(
