@@ -535,11 +535,15 @@ def write_training_shards(
         .parquet(f"{out_dir}/shards")
     )
     # manifest computed from the WRITTEN data, not the input plan: what
-    # the manifest attests is what a reader will actually see
+    # the manifest attests is what a reader will actually see.  The
+    # modulus rides along explicitly — inferring it from the manifest's
+    # row count breaks the moment any shard is EMPTY (sparse corpus,
+    # large n_shards), and a verify under the wrong modulus would report
+    # every shard as torn.
     written = spark.read.parquet(f"{out_dir}/shards").drop("shard")
-    shard_manifest(written, n_shards, text_col, id_col).write.mode(
-        "errorifexists"
-    ).parquet(f"{out_dir}/manifest")
+    shard_manifest(written, n_shards, text_col, id_col).withColumn(
+        "n_shards", F.lit(n_shards).cast("int")
+    ).write.mode("errorifexists").parquet(f"{out_dir}/manifest")
     return spark.read.parquet(f"{out_dir}/manifest")
 
 
@@ -553,7 +557,7 @@ def verify_training_shards(spark, out_dir: str,
     and content XOR match exactly; any torn, duplicated, lost, or
     bit-flipped row surfaces as a row here, naming its shard."""
     manifest = spark.read.parquet(f"{out_dir}/manifest")
-    n_shards = manifest.count()
+    n_shards = manifest.select("n_shards").first()["n_shards"]
     recomputed = shard_manifest(
         spark.read.parquet(f"{out_dir}/shards").drop("shard"),
         n_shards, text_col, id_col,

@@ -88,3 +88,16 @@ def test_manifest_xor_is_order_independent(spark, tmp_path):
              docs.orderBy(docs.doc_id.desc()).repartition(13), 8
          ).collect()}
     assert a == b
+
+
+def test_sparse_export_with_empty_shards_verifies_clean(spark, tmp_path):
+    """Regression: verify used to infer the modulus from the manifest's
+    ROW COUNT, so an export where some shards are empty recomputed
+    under the wrong modulus and reported every shard torn."""
+    m = write_training_shards(
+        synthetic_documents(spark, 5, start=0), str(tmp_path / "exp"),
+        n_shards=64,
+    )
+    assert m.count() < 64                      # some shards really empty
+    assert m.select("n_shards").first()["n_shards"] == 64
+    assert verify_training_shards(spark, str(tmp_path / "exp")).count() == 0
