@@ -274,24 +274,33 @@ def main(argv: list[str] | None = None) -> dict:
         # publication); THIS job's contract is byte-identical reruns
         # under the same args, so a rerun replaces its own export
         shutil.rmtree(export_dir, ignore_errors=True)
-        manifest = write_training_shards(
-            spark.read.parquet(os.path.join(args.out, "kept"))
-            .select("doc_id", "text"),
-            export_dir, n_shards=args.export_shards,
-        )
-        bad = verify_training_shards(spark, export_dir).count()
-        if bad:
-            raise SystemExit(
-                f"training-shard export failed verification: {bad} "
-                "manifest discrepancies — export not usable"
+        kept_out = spark.read.parquet(os.path.join(args.out, "kept")) \
+            .select("doc_id", "text")
+        if summary["kept_final"] == 0:
+            # nothing survived curation: an empty export has no shard
+            # files to read back or verify — report it plainly instead
+            # of tripping schema inference on a fileless directory
+            summary["export"] = {
+                "n_shards": args.export_shards, "docs": 0, "tokens": 0,
+                "verified": True,
+            }
+        else:
+            manifest = write_training_shards(
+                kept_out, export_dir, n_shards=args.export_shards,
             )
-        mrows = manifest.collect()
-        summary["export"] = {
-            "n_shards": args.export_shards,
-            "docs": sum(int(r.n_docs) for r in mrows),
-            "tokens": sum(int(r.n_tokens) for r in mrows),
-            "verified": True,
-        }
+            bad = verify_training_shards(spark, export_dir).count()
+            if bad:
+                raise SystemExit(
+                    f"training-shard export failed verification: {bad} "
+                    "manifest discrepancies — export not usable"
+                )
+            mrows = manifest.collect()
+            summary["export"] = {
+                "n_shards": args.export_shards,
+                "docs": sum(int(r.n_docs) for r in mrows),
+                "tokens": sum(int(r.n_tokens) for r in mrows),
+                "verified": True,
+            }
     json.dump(summary, sys.stdout)
     print()
     if owns_session:

@@ -228,3 +228,22 @@ def test_export_shards_stage(tmp_path):
         "--export-shards", "8",
     ])
     assert s2["export"] == s["export"]
+
+
+def test_export_shards_with_nothing_kept(spark, tmp_path):
+    """--export-shards over a corpus curation fully rejects must report
+    an empty verified export, not crash reading a fileless directory."""
+    import jobs.run_curation as job
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "zz"), (2, "zz")], "doc_id bigint, text string"
+    ).write.parquet(d)  # too short/low-quality: nothing survives
+    s = job.main([
+        "--docs", d, "--out", str(tmp_path / "c"),
+        "--export-shards", "4",
+    ])
+    assert s["kept_final"] == 0
+    assert s["export"] == {
+        "n_shards": 4, "docs": 0, "tokens": 0, "verified": True,
+    }
