@@ -48,20 +48,45 @@ DEFAULT_MINHASH_K = 8  # permutations; banded 2-per-band → 4 bands
 
 # --------------------------------------------------------------- primitives
 
+def let_bound(val: Column, body) -> Column:
+    """Evaluate ``val`` ONCE and pass the materialized value to
+    ``body`` — the single-element-array let-binding.
+
+    Why it exists: a higher-order-function lambda that references an
+    OUTER expression gets that expression INLINED into the lambda body,
+    re-evaluated per element.  ``shingles`` hit this hard: each of the
+    ~T grams called ``element_at(<full tokenize expr>, i)`` three
+    times, so one doc paid O(T²) regex splits — measured 9 s for a bare
+    5000-doc shingle projection at sf0.1 (≈2 ms/doc) vs 0.03 s
+    let-bound, and the ngram-pairs query rode it from ~3 s to ~20 s
+    when the round-5 corpus's docs got longer.  ``transform`` binds its
+    lambda ARGUMENT as a value, so routing ``val`` through a one-element
+    array pins one evaluation regardless of how many times ``body``
+    references it (and ``CollapseProject`` can't undo it, unlike a
+    two-step select)."""
+    return F.transform(F.array(val), body)[0]
+
+
 def shingles(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
     """Distinct word n-grams of a token array (1-based element_at, matching
     the DuckDB 1-based `l[i]` oracle exactly).
 
     Guarded for < n tokens: Spark's ``sequence(1, 0)`` counts *down* to
     ``[1, 0]`` instead of returning empty, so short docs need the explicit
-    empty-array branch."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(F.array_distinct(F.transform(idx, gram)))
+    empty-array branch.  The token array is let-bound (see
+    :func:`let_bound`) so the gram lambda reads a materialized array —
+    without it the whole upstream tokenize expression re-evaluates per
+    gram element and the operator turns O(T²) per document."""
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        )
+        return F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(F.array_distinct(F.transform(idx, gram)))
+
+    return let_bound(toks, build)
 
 
 def shingle_hashes(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
