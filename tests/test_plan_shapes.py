@@ -272,3 +272,36 @@ def test_rrf_fuse_plan_single_aggregation(spark):
     # top-k window repartition — nothing incidental
     assert "partial_sum(ppb" in plan
     assert plan.count("Exchange (") == 2
+
+
+def test_shingle_tokenize_not_inlined_per_gram(spark):
+    """Regression pin for the O(T²) shingle trap: the gram lambda must
+    read a LET-BOUND token array (dedup.let_bound), not re-evaluate the
+    tokenize expression per element.  Pre-fix, the optimized plan
+    inlined `split(trim(...))` into every element_at inside the
+    transform lambda — ~21 occurrences for the 3-column ngram base
+    projection (and per-ELEMENT evaluation at runtime: a bare 5000-doc
+    shingle projection measured 9-11 s at sf0.1, 1.0 s fixed).
+    Post-fix the tokenize appears once per let-binding site (3)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.dedup import (
+        DEFAULT_SHINGLE,
+        min_shingle_bucket,
+        shingle_hashes,
+    )
+    from ocr_spark.textstats import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id bigint, text string"
+    )
+    sh = shingle_hashes(tokens(F.col("text")), DEFAULT_SHINGLE)
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        min_shingle_bucket(sh).alias("bucket"),
+        sh.alias("sh"),
+        F.size(sh).alias("n_sh"),
+    )
+    plan = base._jdf.queryExecution().optimizedPlan().toString()
+    n = plan.count("split(trim")
+    assert 1 <= n <= 6, f"tokenize inlined {n}x — per-gram re-evaluation?"
