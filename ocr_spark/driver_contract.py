@@ -2484,9 +2484,32 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scalar columns belong in one projection over one scan, not
     five scans of the same table.  Each operator keeps its own
     oracle-verified columns: the oracle joins the five original oracle
-    blocks on doc_id."""
+    blocks on doc_id.
+
+    Round 5 adds ``clf_prob_ppm`` — the TRAINED quality classifier
+    (ocr_spark/classifier.py): a linear probe over hashed token counts,
+    trained LIVE here by exact-integer GD on label ``lang == 'en'``
+    (the reference-corpus-membership shape) and scored over every doc.
+    Training is iterative, so its oracle is precomputed truth from the
+    bit-exact plain-Python twin (tests/oracle_clf.py via
+    tools/gen_truth.py), keyed by a content fingerprint of the
+    documents table — the same hard-gate mechanism as
+    ``ann_ivf_trained``.  Corpus note: the driver's synthetic documents
+    draw every language from ONE vocabulary, so this label is
+    text-independent here and trained accuracy sits at the base rate by
+    construction; the gate is the train+score arithmetic (learning is
+    proven on a separable corpus in tests/test_classifier.py)."""
+    from ocr_spark.classifier import quality_probe
+
+    docs = _docs_df(spark, sf_dir)
+    clf = quality_probe(
+        docs.select("doc_id", "text", "lang"),
+        # coalesce: a NULL lang is 'not the reference corpus', not a
+        # NULL label (which train_linear_probe rejects loudly)
+        F.coalesce(F.col("lang") == F.lit("en"), F.lit(False)),
+    ).select(F.col("id").alias("doc_id"), "clf_prob_ppm")
     df = ts.with_winnow_fingerprints(
-        _docs_df(spark, sf_dir).select("doc_id", "lang", "text")
+        docs.select("doc_id", "lang", "text")
     )
     winnow = F.col("winnow")
     t = F.col("text")
@@ -2513,7 +2536,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.scrub_pii(raw).alias("scrubbed"),
         *ts.pii_counts(raw),
         simhash16(ts.tokens(t)).alias("simhash"),
-    )
+    ).join(clf, on="doc_id")
 
 
 def _sql_doc_stats() -> str:
@@ -2525,14 +2548,26 @@ WITH o1 AS ({_sql_langid()}),
 o2 AS ({_sql_quality()}),
 o3 AS ({_sql_fingerprint()}),
 o4 AS ({_sql_scrub_pii()}),
-o5 AS ({_sql_simhash("SELECT doc_id, text, lang FROM documents")})
+o5 AS ({_sql_simhash("SELECT doc_id, text, lang FROM documents")}),
+kclf AS (
+  SELECT md5(string_agg(
+           cast(doc_id AS varchar) || ':' ||
+           md5(coalesce(text, chr(1))) || ':' ||
+           coalesce(lang, chr(1)),
+           ',' ORDER BY doc_id)) AS ck
+  FROM documents),
+o6 AS (
+  SELECT t.doc_id, t.clf_prob_ppm
+  FROM read_parquet('{_TRUTH_DIR}/clf_quality.parquet') t, kclf
+  WHERE t.corpus_key = kclf.ck)
 SELECT o1.doc_id, o1.lang, o1.pred_lang,
        o2.n_tokens, o2.n_bpe_tokens, o2.punct_ratio, o2.quality,
        o3.fp, o3.prefix_fp, o3.n_winnow, o3.winnow_digest,
        o4.scrubbed, {pii_cols},
-       o5.simhash
+       o5.simhash, o6.clf_prob_ppm
 FROM o1 JOIN o2 USING (doc_id) JOIN o3 USING (doc_id)
 JOIN o4 USING (doc_id) JOIN o5 ON o1.doc_id = o5.id
+JOIN o6 ON o1.doc_id = o6.doc_id
 """
 
 

@@ -52,6 +52,71 @@ def hyperplanes(
     ]
 
 
+def hashed_token_sums(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 32,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id, *carry, s0..s{dims-1})`` — the EXACT-BIGINT signed
+    feature-hash token sums that are :func:`embed_hash` minus the final
+    normalize: each token occurrence votes ±1 into dimension
+    ``h % dims`` (sign bit ``(h >> 20) & 1``, h = the md5-portable
+    60-bit hash), summed per document.  Single-sourced here so the
+    embedding and the trained-classifier features
+    (:mod:`ocr_spark.classifier`) can never drift on the vote
+    arithmetic.
+
+    ``carry`` names extra per-document columns (labels, source tags —
+    anything functionally dependent on the id) to ride through the
+    aggregate's GROUPING KEY: at corpus scale that costs nothing extra
+    in the one existing shuffle, where a join-back of labels onto the
+    sums would be a second corpus-sized exchange.
+
+    Plan shape (shared with :func:`embed_hash` — see its docstring for
+    the measured traps): explode_outer(tokens) → ONE codegen hash
+    aggregate with ``dims`` conditional sums; every doc keeps a group
+    (empty/NULL text contributes one zero-vote null-token row), so all
+    sums are 0, never NULL, and there is no join-back.
+    """
+    from ocr_spark.textstats import portable_hash, tokens
+
+    h = F.col("h")
+    tok_null = F.col("tok").isNull()
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in carry],
+            # outer: empty docs keep one null-token row (zero vote below)
+            # AND no inferred size>0 pre-filter re-evaluates tokens() at
+            # the scan (see dedup._dup_gram_positions)
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select(
+            "id", *carry, "tok", portable_hash(F.col("tok")).alias("h")
+        )
+        .select(
+            "id",
+            *carry,
+            F.when(tok_null, F.lit(0))
+            .otherwise(F.pmod(h, F.lit(dims)))
+            .cast("int").alias("d"),
+            F.when(tok_null, F.lit(0))
+            .when(
+                F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("sgn"),
+        )
+    )
+    # every doc has ≥1 row (explode_outer), so each sum is 0, not NULL,
+    # for token-less docs — no coalesce, no join-back
+    return ex.groupBy("id", *carry).agg(*[
+        F.sum(F.when(F.col("d") == j, F.col("sgn")).otherwise(F.lit(0)))
+        .cast("bigint").alias(f"s{j}")
+        for j in range(dims)
+    ])
+
+
 def embed_hash(
     df: DataFrame,
     text_col: str = "text",
@@ -91,37 +156,7 @@ def embed_hash(
     outgrows whole-stage codegen limits, so raise planes (bucket
     selectivity), not dims, as the corpus grows.
     """
-    from ocr_spark.textstats import portable_hash, tokens
-
-    h = F.col("h")
-    tok_null = F.col("tok").isNull()
-    ex = (
-        df.select(
-            F.col(id_col).alias("id"),
-            # outer: empty docs keep one null-token row (zero vote below)
-            # AND no inferred size>0 pre-filter re-evaluates tokens() at
-            # the scan (see dedup._dup_gram_positions)
-            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
-        )
-        .select("id", "tok", portable_hash(F.col("tok")).alias("h"))
-        .select(
-            "id",
-            F.when(tok_null, F.lit(0))
-            .otherwise(F.pmod(h, F.lit(dims)))
-            .cast("int").alias("d"),
-            F.when(tok_null, F.lit(0))
-            .when(
-                F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)).alias("sgn"),
-        )
-    )
-    # every doc has ≥1 row (explode_outer), so each sum is 0, not NULL,
-    # for token-less docs — no coalesce, no join-back
-    filled = ex.groupBy("id").agg(*[
-        F.sum(F.when(F.col("d") == j, F.col("sgn")).otherwise(F.lit(0)))
-        .cast("bigint").alias(f"s{j}")
-        for j in range(dims)
-    ])
+    filled = hashed_token_sums(df, text_col, id_col, dims)
     ssq = None
     for j in range(dims):
         sq = F.col(f"s{j}") * F.col(f"s{j}")  # exact bigint

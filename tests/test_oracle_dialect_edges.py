@@ -44,14 +44,59 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _clf_truth_for(docs_rows, out_dir) -> None:
+    """Fixture-gate truth for an AD-HOC corpus: ``doc_stats`` carries the
+    trained-probe column, whose oracle reads content-fingerprinted truth
+    (tools/gen_truth.py) — an arbitrary test corpus has no committed row,
+    so the test computes the twin's truth itself (which ALSO extends the
+    twin differential to these adversarial \\x0b/NULL inputs) and points
+    ``driver_contract._TRUTH_DIR`` at it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.classifier import (
+        CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM,
+    )
+    from tests.oracle_clf import features_local, score_local, train_local
+    from tools.gen_truth import documents_fingerprint
+
+    ids = [r[0] for r in docs_rows]
+    texts = [r[1] for r in docs_rows]
+    langs = [r[2] for r in docs_rows]
+    key = documents_fingerprint(ids, texts, langs)
+    feats = [
+        (features_local(t, CONTRACT_DIMS), 1 if lang == "en" else 0)
+        for t, lang in zip(texts, langs)
+    ]
+    w, b = train_local(feats, CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM)
+    rows = [
+        {"corpus_key": key, "doc_id": did,
+         "clf_prob_ppm": score_local(s, w, b)[1]}
+        for did, (s, _y) in zip(ids, feats)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema([
+            ("corpus_key", pa.string()), ("doc_id", pa.int64()),
+            ("clf_prob_ppm", pa.int64()),
+        ])),
+        str(out_dir / "clf_quality.parquet"),
+    )
+
+
 @pytest.mark.parametrize("name", QUERIES)
-def test_twins_agree_on_vt_and_null_text(spark, tmp_path, name):
+def test_twins_agree_on_vt_and_null_text(spark, tmp_path, monkeypatch, name):
     sf = str(tmp_path)
     spark.createDataFrame(
         ADVERSARIAL_DOCS,
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    truth = tmp_path / "truth"
+    truth.mkdir()
+    _clf_truth_for(ADVERSARIAL_DOCS, truth)
+    import ocr_spark.driver_contract as dc
+    monkeypatch.setattr(dc, "_TRUTH_DIR", str(truth))
 
     con = duckdb.connect()
     con.execute(

@@ -187,6 +187,73 @@ def gen_ivf_trained() -> list[dict]:
     return rows
 
 
+# ------------------------------------------------- trained quality probe
+#
+# The trained linear probe (ocr_spark/classifier.py) is iterative GD —
+# not expressible in the DuckDB oracle — so, like the trained IVF
+# quantizer, it goes under the hard gate via precomputed truth from the
+# bit-exact plain-Python twin (tests/oracle_clf.py): train on the
+# documents table with label (lang == 'en'), score every doc, key the
+# rows by a content fingerprint over (doc_id, text, lang) so regenerated
+# testdata fails LOUDLY (0 oracle rows) instead of matching stale truth.
+# NOTE the corpus property this encodes: the driver's synthetic
+# documents draw every language's text from ONE vocabulary, so the lang
+# label is text-independent by construction and the trained probe's
+# accuracy sits at the base rate — the gate is the exact train+score
+# ARITHMETIC; that the probe learns real signals is proven on a
+# separable corpus in tests/test_classifier.py.
+
+def documents_fingerprint(
+    ids: list[int], texts: list[str | None], langs: list[str | None]
+) -> str:
+    parts = [
+        f"{did}:"
+        f"{hashlib.md5(((t if t is not None else chr(1))).encode('utf-8')).hexdigest()}"
+        f":{lang if lang is not None else chr(1)}"
+        for did, t, lang in sorted(
+            zip(ids, texts, langs), key=lambda r: r[0]
+        )
+    ]
+    return hashlib.md5(",".join(parts).encode("utf-8")).hexdigest()
+
+
+def gen_clf_quality() -> list[dict]:
+    from ocr_spark.classifier import (
+        CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM,
+    )
+    from tests.oracle_clf import features_local, score_local, train_local
+
+    rows: list[dict] = []
+    seen: set[str] = set()
+    for d in sorted(os.listdir(TESTDATA_ROOT)):
+        path = os.path.join(TESTDATA_ROOT, d, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        table = pq.read_table(path)
+        ids = table.column("doc_id").to_pylist()
+        texts = table.column("text").to_pylist()
+        langs = table.column("lang").to_pylist()
+        key = documents_fingerprint(ids, texts, langs)
+        if key in seen:
+            continue
+        seen.add(key)
+        feats = [
+            (features_local(t, CONTRACT_DIMS), 1 if lang == "en" else 0)
+            for t, lang in zip(texts, langs)
+        ]
+        w, b = train_local(
+            feats, CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM
+        )
+        for did, (s, _y) in zip(ids, feats):
+            rows.append({
+                "corpus_key": key,
+                "doc_id": did,
+                "clf_prob_ppm": score_local(s, w, b)[1],
+            })
+        print(f"clf truth: {d} key={key[:12]} n_docs={len(ids)}")
+    return rows
+
+
 def _write(name: str, rows: list[dict], schema: pa.Schema) -> None:
     table = pa.Table.from_pylist(rows, schema=schema)
     out = os.path.join(TRUTH_DIR, f"{name}.parquet")
@@ -232,6 +299,12 @@ def main() -> None:
         ("neighbor_id", pa.int64()), ("cosine_sim", pa.float64()),
     ])
     _write("ann_ivf_trained", gen_ivf_trained(), ivf_schema)
+
+    clf_schema = pa.schema([
+        ("corpus_key", pa.string()), ("doc_id", pa.int64()),
+        ("clf_prob_ppm", pa.int64()),
+    ])
+    _write("clf_quality", gen_clf_quality(), clf_schema)
 
 
 if __name__ == "__main__":
