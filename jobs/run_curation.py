@@ -13,6 +13,14 @@ pipeline uses them, over a ``(doc_id, text[, source])`` corpus:
    eval-set decontamination, near-dup cluster assignment, and the
    keep/drop decision (canonical ∧ quality ∧ ¬repetitive ∧
    ¬contaminated);
+1b. trained-probe distillation (optional, ``--clf-distill`` /
+   ``--clf-min-ppm``) — :mod:`ocr_spark.classifier` trains the
+   exact-integer linear probe on the label ``quality ≥ --quality-min``
+   (CCNet's two-stage shape: distill the heuristic gate into a dense
+   trained scorer), annotates every audit row with ``clf_prob_ppm``,
+   reports the train-slice confusion vs the label, and — when
+   ``--clf-min-ppm`` is given — adds the probe threshold to the final
+   keep gate;
 2. mixture (optional) — :func:`ocr_spark.assembly.mixture_sample`
    allocates ``--budget-tokens`` across the ``--weights`` domains and
    keeps each curation-kept doc at the deterministic hash-threshold
@@ -93,6 +101,18 @@ def main(argv: list[str] | None = None) -> dict:
                    help="mixture domain weights, e.g. web=3,books=1")
     p.add_argument("--source-col", default="source",
                    help="domain column for the mixture stage")
+    p.add_argument("--clf-distill", action="store_true",
+                   help="train the exact-integer linear probe "
+                        "(ocr_spark.classifier) on label quality >= "
+                        "--quality-min — CCNet's two-stage shape: distill "
+                        "the heuristic into a dense trained scorer — and "
+                        "add clf_prob_ppm to the verdicts audit")
+    p.add_argument("--clf-min-ppm", type=int, default=None,
+                   help="additionally gate kept docs on clf_prob_ppm >= "
+                        "this threshold (implies --clf-distill; 500000 = "
+                        "the link midpoint)")
+    p.add_argument("--clf-iters", type=int, default=8)
+    p.add_argument("--clf-lr-ppm", type=int, default=250_000)
     p.add_argument("--export-shards", type=int, default=None,
                    help="after curation (and mixture, if any), export the "
                         "final kept docs as N training shards with a "
@@ -186,6 +206,37 @@ def main(argv: list[str] | None = None) -> dict:
         verify_threshold=args.threshold,
     )
 
+    clf_eval = None
+    if args.clf_distill or args.clf_min_ppm is not None:
+        from ocr_spark.classifier import (
+            evaluate_linear_probe,
+            probe_features,
+            score_linear_probe,
+            train_linear_probe,
+        )
+        from ocr_spark.textstats import quality_score
+
+        # the distillation label re-derives quality_score directly (a
+        # pure per-doc projection, single-sourced with the verdict
+        # chain's own gate) instead of joining the verdicts frame —
+        # which would drag the LSH dedup chain into the label pass
+        labeled = docs.select(
+            "doc_id", "text",
+            (quality_score(F.col("text"), args.quality_lang)
+             >= args.quality_min).cast("bigint").alias("y"),
+        )
+        feats = probe_features(labeled, carry=("y",)).persist()
+        model = train_linear_probe(
+            feats, "y", iters=args.clf_iters, lr_ppm=args.clf_lr_ppm
+        )
+        clf_eval = evaluate_linear_probe(feats, model)
+        verdicts = verdicts.join(
+            score_linear_probe(feats, model)
+            .select(F.col("id").alias("doc_id"), "clf_prob_ppm"),
+            on="doc_id", how="left",
+        )
+        feats.unpersist()  # scoring re-derives from lineage at write time
+
     summary: dict = {"out": args.out}
     if weights is not None:
         # the mixture branch and the verdicts write share the whole
@@ -208,6 +259,12 @@ def main(argv: list[str] | None = None) -> dict:
         )
     else:
         final_filter = F.col("kept")
+    if args.clf_min_ppm is not None:
+        # coalesce for the (impossible-by-construction, but cheap to
+        # guard) left-join miss: an unscored doc must not pass the gate
+        final_filter = final_filter & F.coalesce(
+            F.col("clf_prob_ppm") >= args.clf_min_ppm, F.lit(False)
+        )
 
     verdicts.write.mode("overwrite").parquet(
         os.path.join(args.out, "verdicts")
@@ -260,6 +317,21 @@ def main(argv: list[str] | None = None) -> dict:
         summary["budget_tokens"] = args.budget_tokens
     else:
         summary["kept_final"] = summary["kept_curation"]
+    if clf_eval is not None:
+        # train-slice confusion vs the heuristic label (the distillation
+        # fidelity audit) + the gate's own non-exclusive drop count
+        summary["clf"] = clf_eval
+        if args.clf_min_ppm is not None:
+            summary["drop_clf"] = int(
+                committed.filter(
+                    F.col("clf_prob_ppm") < args.clf_min_ppm
+                ).count()
+            )
+            # kept_final above counted only the kept/sampled gates; the
+            # clf gate is part of final_filter, so recount it exactly
+            summary["kept_final"] = int(
+                committed.filter(final_filter).count()
+            )
 
     if args.export_shards:
         import shutil

@@ -243,6 +243,49 @@ def score_linear_probe(
     )
 
 
+def evaluate_linear_probe(
+    feats: DataFrame,
+    model: dict,
+    label_col: str = "y",
+    dims: int = CONTRACT_DIMS,
+    threshold_ppm: int = UNIT // 2,
+) -> dict:
+    """Confusion counts of the probe against ``label_col`` in ONE
+    aggregation job: ``{"tp", "fp", "tn", "fn", "n", "accuracy_ppm"}``
+    — exact integers (accuracy as ppm via truncating division), so the
+    numbers are reproducible across partitionings like everything else
+    here.  Evaluate on a held-out slice for generalization (e.g. a
+    deterministic hash split via ``assembly.stratified_sample``); on the
+    training slice this reports training accuracy."""
+    z = _z_sql(model["w"], model["b"])
+    pred = F.expr(fast_sigmoid_ppm_sql(z)) >= F.lit(threshold_ppm)
+    y = F.col(label_col).cast("bigint")
+    y1 = y == 1
+    row = feats.agg(
+        F.sum((pred & y1).cast("bigint")).alias("tp"),
+        F.sum((pred & ~y1).cast("bigint")).alias("fp"),
+        F.sum((~pred & ~y1).cast("bigint")).alias("tn"),
+        F.sum((~pred & y1).cast("bigint")).alias("fn"),
+        F.count(F.lit(1)).alias("n"),
+        # same label discipline as training: a NULL/2 label would
+        # silently fall out of every confusion bucket — fail loudly
+        F.sum(
+            F.when(y.isNull() | ~y.isin(0, 1), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("bad"),
+    ).first()
+    if int(row["bad"] or 0):
+        raise ValueError(
+            f"label column {label_col!r} must be 0/1 and non-NULL "
+            f"({int(row['bad'])} offending rows)"
+        )
+    out = {k: int(row[k] or 0) for k in ("tp", "fp", "tn", "fn", "n")}
+    out["accuracy_ppm"] = (
+        ((out["tp"] + out["tn"]) * UNIT) // out["n"] if out["n"] else 0
+    )
+    return out
+
+
 def quality_probe(
     docs: DataFrame,
     label_expr,

@@ -174,3 +174,36 @@ def test_token_less_doc_scores_the_bias(spark):
     assert got[1] == (b, py_fast_sigmoid_ppm(b))
     assert got[2] == (b, py_fast_sigmoid_ppm(b))
     assert got[3] != got[1]
+
+
+def test_evaluate_linear_probe_exact_confusion(spark):
+    """evaluate_linear_probe returns exact confusion counts in one job,
+    matching a driver-side recount, and fails loudly on bad labels."""
+    from ocr_spark.classifier import evaluate_linear_probe
+
+    rows = _corpus(80)
+    docs = _df(spark, rows, "doc_id bigint, text string, y bigint")
+    feats = probe_features(docs, dims=DIMS, carry=("y",))
+    model = train_linear_probe(feats, "y", dims=DIMS, iters=6)
+    got = evaluate_linear_probe(feats, model, "y", dims=DIMS)
+
+    want = {"tp": 0, "fp": 0, "tn": 0, "fn": 0}
+    for _id, text, y in rows:
+        z, p = twin.score_local(
+            twin.features_local(text, DIMS), model["w"], model["b"]
+        )
+        pred = int(p >= UNIT // 2)
+        want[("t" if pred == y else "f") + ("p" if pred else "n")] += 1
+    for k, v in want.items():
+        assert got[k] == v, (k, got)
+    assert got["n"] == len(rows)
+    assert got["accuracy_ppm"] == (
+        (got["tp"] + got["tn"]) * UNIT
+    ) // got["n"]
+
+    bad = _df(spark, [(1, "a", 3)], "doc_id bigint, text string, y bigint")
+    with pytest.raises(ValueError, match="must be 0/1"):
+        evaluate_linear_probe(
+            probe_features(bad, dims=DIMS, carry=("y",)), model, "y",
+            dims=DIMS,
+        )

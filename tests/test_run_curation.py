@@ -247,3 +247,58 @@ def test_export_shards_with_nothing_kept(spark, tmp_path):
     assert s["export"] == {
         "n_shards": 4, "docs": 0, "tokens": 0, "verified": True,
     }
+
+
+def test_clf_distill_stage_audits_and_gates(spark, tmp_path):
+    """--clf-distill trains the exact-integer probe on the heuristic
+    quality label and annotates every audit row; --clf-min-ppm folds the
+    probe into the final keep gate with exact drop accounting; reruns
+    are byte-identical (deterministic training)."""
+    out = str(tmp_path / "runclf")
+    argv = [
+        "--synthetic", "120", "--out", out,
+        "--clf-min-ppm", "500000", "--clf-iters", "6",
+    ]
+    summary = curation_main(argv)
+    verdicts = _read(spark, out, "verdicts")
+    assert "clf_prob_ppm" in verdicts.columns
+    assert verdicts.filter(F.col("clf_prob_ppm").isNull()).count() == 0
+
+    # confusion audit: counts add up and accuracy is the exact ratio
+    clf = summary["clf"]
+    assert clf["tp"] + clf["fp"] + clf["tn"] + clf["fn"] == clf["n"] == 120
+    assert clf["accuracy_ppm"] == (
+        (clf["tp"] + clf["tn"]) * 1_000_000
+    ) // clf["n"]
+
+    # the gate: kept_final counts exactly kept ∧ clf_prob ≥ threshold
+    want_final = verdicts.filter(
+        F.col("kept") & (F.col("clf_prob_ppm") >= 500000)
+    ).count()
+    assert summary["kept_final"] == want_final
+    assert summary["drop_clf"] == verdicts.filter(
+        F.col("clf_prob_ppm") < 500000
+    ).count()
+    kept = _read(spark, out, "kept")
+    assert kept.count() == want_final
+
+    # deterministic end to end: training, scoring, and the gate are all
+    # exact-integer — a rerun reproduces the identical summary + outputs
+    before = sorted(map(tuple, kept.collect()))
+    assert curation_main(argv) == summary
+    assert sorted(map(tuple, _read(spark, out, "kept").collect())) == before
+
+
+def test_clf_distill_without_gate_only_audits(spark, tmp_path):
+    """--clf-distill alone annotates + reports but must NOT change the
+    kept set."""
+    out = str(tmp_path / "runclf2")
+    summary = curation_main([
+        "--synthetic", "80", "--out", out, "--clf-distill",
+    ])
+    assert "clf" in summary and "drop_clf" not in summary
+    assert summary["kept_final"] == summary["kept_curation"]
+    verdicts = _read(spark, out, "verdicts")
+    assert "clf_prob_ppm" in verdicts.columns
+    kept = _read(spark, out, "kept")
+    assert kept.count() == summary["kept_curation"]
