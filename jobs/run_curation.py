@@ -111,8 +111,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="additionally gate kept docs on clf_prob_ppm >= "
                         "this threshold (implies --clf-distill; 500000 = "
                         "the link midpoint)")
-    p.add_argument("--clf-iters", type=int, default=8)
-    p.add_argument("--clf-lr-ppm", type=int, default=250_000)
+    p.add_argument("--clf-iters", type=int, default=16)
+    # 4.0, not the contract's 0.25: signed-hash count gradients are
+    # near-zero-mean, so convergent rates run orders above intuition —
+    # see train_linear_probe's measured rate guidance
+    p.add_argument("--clf-lr-ppm", type=int, default=4_000_000)
     p.add_argument("--export-shards", type=int, default=None,
                    help="after curation (and mixture, if any), export the "
                         "final kept docs as N training shards with a "

@@ -156,6 +156,15 @@ def train_linear_probe(
     to partitioning, and replayed int-for-int by the plain-Python twin
     (tests/oracle_clf.py, which gates this path under the driver's
     correctness fixture via tools/gen_truth.py).
+
+    Rate guidance (measured, tools/clf_stress.py): signed-hash count
+    features give near-zero-mean gradients, so useful rates run well
+    above the intuition for normalized features — the 20k-doc marker
+    corpus needed ``lr_ppm ≈ 4_000_000`` (4.0) for 0.96 holdout at 16
+    iterations, while the contract default ``250_000`` plateaued at
+    0.85.  Watch ``l1_ppm``: a slow monotone decline means raise the
+    rate, oscillation means lower it.  The contract constants stay
+    pinned regardless — they gate ARITHMETIC, not convergence.
     """
     if iters < 1:
         raise ValueError(f"iters must be ≥ 1 (got {iters})")
