@@ -305,18 +305,22 @@ def quality_probe(
     lr_ppm: int = CONTRACT_LR_PPM,
 ) -> DataFrame:
     """Train on ``label_expr`` (a 0/1 Column over ``docs``) and score
-    every document: ``(id, z_ppm, clf_prob_ppm)``.  ONE feature pass
-    serves both phases — the labeled feature table is persisted
-    (training iterates it; the returned scores re-read it at
-    materialize time) and stays cached like ``semantic_dedup``'s
-    assignment table: contract/bench runs clear the session cache
-    between queries, long-lived callers unpersist via the returned
-    frame's lineage or ``spark.catalog.clearCache()``."""
+    every document: ``(id, z_ppm, clf_prob_ppm)``.  The labeled feature
+    table is persisted only WHILE training iterates it, then released —
+    the returned scores recompute the feature aggregate once at
+    materialize time (one extra corpus pass) rather than pinning a
+    corpus-sized cache on a long-lived session.  Callers scoring
+    repeatedly should build :func:`probe_features` themselves, persist,
+    and drive :func:`train_linear_probe` / :func:`score_linear_probe`
+    directly (the shape ``jobs/run_curation.py`` uses)."""
     feats = probe_features(
         docs.withColumn("y", label_expr.cast("bigint")),
         text_col=text_col, id_col=id_col, dims=dims, carry=("y",),
     ).persist()
-    model = train_linear_probe(
-        feats, "y", dims=dims, iters=iters, lr_ppm=lr_ppm
-    )
+    try:
+        model = train_linear_probe(
+            feats, "y", dims=dims, iters=iters, lr_ppm=lr_ppm
+        )
+    finally:
+        feats.unpersist()
     return score_linear_probe(feats, model, dims=dims)
