@@ -881,6 +881,31 @@ def _reassemble_kept_lines(base: DataFrame, kept: DataFrame) -> DataFrame:
     )
 
 
+def make_checkpointer(spark, checkpoint_mode: str):
+    """Resolve ``'auto'/'local'/'reliable'`` into a lineage-truncation
+    function for driver-looped iterative operators — single-sourced so
+    :func:`connected_components` and the BPE trainer
+    (:mod:`ocr_spark.bpe`) share one definition of the cluster-durability
+    trade (see ``connected_components``' ``checkpoint_mode`` docstring
+    for the full semantics of each mode)."""
+    mode = checkpoint_mode
+    if mode == "auto":
+        has_dir = spark.sparkContext.getCheckpointDir() is not None
+        mode = "reliable" if has_dir else "local"
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if mode == "reliable":
+            cached = df.persist()
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
+        return df.localCheckpoint(eager=True)
+
+    return _ckpt
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -938,20 +963,7 @@ def connected_components(
     - ``'auto'`` (default) — ``'reliable'`` when a checkpoint dir is
       configured, else ``'local'``.
     """
-    mode = checkpoint_mode
-    if mode == "auto":
-        has_dir = nodes.sparkSession.sparkContext.getCheckpointDir() is not None
-        mode = "reliable" if has_dir else "local"
-    if mode not in ("local", "reliable"):
-        raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if mode == "reliable":
-            cached = df.persist()
-            out = cached.checkpoint(eager=True)
-            cached.unpersist()
-            return out
-        return df.localCheckpoint(eager=True)
+    _ckpt = make_checkpointer(nodes.sparkSession, checkpoint_mode)
 
     if algorithm == "star":
         return _star_components(nodes, edges, max_iter, _ckpt)
