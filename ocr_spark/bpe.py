@@ -113,12 +113,21 @@ def learn_bpe(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    max_word_chars: int = 100,
     checkpoint_mode: str = "auto",
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules; returns them in
     training order (the order IS the apply priority).  Stops early when
     the best remaining pair's weighted count drops below ``min_count``
     (merging singleton noise just memorizes the corpus).
+
+    ``max_word_chars`` drops longer "words" from TRAINING only (they
+    are still segmented at apply time): a single pathological token — a
+    base64 blob, a megabyte of run-together markup — would otherwise
+    make every round's pair explode and fold O(its length), and such
+    strings carry no subword signal worth learning.  The default
+    mirrors the cap production trainers ship (e.g. WordPiece's
+    ``max_input_chars_per_word=100``).
 
     Each round costs one explode+aggregate job and one ``.first()``
     (driver receives ONE row per round) over the vocab table; the
@@ -129,10 +138,16 @@ def learn_bpe(
         raise ValueError(f"n_merges must be ≥ 0 (got {n_merges})")
     if min_count < 1:
         raise ValueError(f"min_count must be ≥ 1 (got {min_count})")
+    if max_word_chars < 1:
+        raise ValueError(
+            f"max_word_chars must be ≥ 1 (got {max_word_chars})"
+        )
     ckpt = make_checkpointer(docs.sparkSession, checkpoint_mode)
 
     vocab = ckpt(
-        word_freqs(docs, text_col).select(
+        word_freqs(docs, text_col)
+        .filter(F.length("word") <= max_word_chars)
+        .select(
             "freq", _initial_symbols(F.col("word")).alias("syms")
         )
     )

@@ -167,8 +167,8 @@ def test_arg_validation(spark):
 
 
 def test_word_freqs_weights_rounds(spark):
-    """Pair counts are weighted by word FREQUENCY — 'the' appearing 5
-    times makes (t,h) count ≥ 5 even though the vocab row is one."""
+    """Pair counts are weighted by word FREQUENCY — 'the' appearing 6
+    times makes (t,h) count ≥ 6 even though the vocab row is one."""
     docs = _df(spark, CORPUS, "doc_id bigint, text string")
     wf = {r.word: r.freq for r in word_freqs(docs).collect()}
     assert wf["the"] == 6 and wf["sat"] == 3
@@ -178,3 +178,30 @@ def test_word_freqs_weights_rounds(spark):
     first = _twin_learn([t for _i, t in CORPUS], 1)
     docs1 = learn_bpe(docs, n_merges=1, min_count=1)
     assert docs1 == first == [("a", "t")]
+
+
+def test_max_word_chars_excludes_blobs_from_training(spark):
+    """A pathological mega-token must not poison training (its pairs
+    would dominate every round at O(length) fold cost) — but it still
+    segments at apply time."""
+    blob = "x" + "yz" * 300  # 601 chars of repeating structure
+    docs = _df(
+        spark,
+        [(1, f"ab ab ab {blob}"), (2, blob)],
+        "doc_id bigint, text string",
+    )
+    # default cap (100): the blob is excluded — rules come from 'ab'
+    got = learn_bpe(docs, n_merges=1, min_count=2)
+    assert got == [("a", "b")]
+    # cap raised: the blob's (y,z) pair (300 per occurrence × 2 docs)
+    # swamps everything
+    got_raw = learn_bpe(docs, n_merges=1, min_count=2, max_word_chars=1000)
+    assert got_raw == [("y", "z")]
+    # apply still segments the blob (training exclusion ≠ apply drop)
+    seg = bpe_segment(docs, got)
+    blob_rows = [r for r in seg.collect() if r.word == blob]
+    assert blob_rows and all(
+        "".join(r.pieces) == blob + EOW for r in blob_rows
+    )
+    with pytest.raises(ValueError, match="max_word_chars"):
+        learn_bpe(docs, n_merges=1, max_word_chars=0)
