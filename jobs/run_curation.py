@@ -246,8 +246,19 @@ def main(argv: list[str] | None = None) -> dict:
         # verdict chain (LSH dedup join, decontam broadcast) — persist
         # so the one write action evaluates it once, not per branch
         base_verdicts = verdicts.persist()
+        # the clf gate runs BEFORE budget allocation: mixture_sample
+        # sizes each domain's hash-threshold rate against the docs that
+        # can actually ship — allocating over probe-dropped docs would
+        # systematically undershoot --budget-tokens and make the
+        # per-domain realized-token audit describe documents the final
+        # filter later removes
+        mix_gate = F.col("kept")
+        if args.clf_min_ppm is not None:
+            mix_gate = mix_gate & F.coalesce(
+                F.col("clf_prob_ppm") >= args.clf_min_ppm, F.lit(False)
+            )
         kept_docs = docs.join(
-            base_verdicts.filter("kept").select("doc_id"), on="doc_id"
+            base_verdicts.filter(mix_gate).select("doc_id"), on="doc_id"
         )
         mix = mixture_sample(
             kept_docs, weights, args.budget_tokens, domain_col=src

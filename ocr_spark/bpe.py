@@ -247,13 +247,22 @@ def bpe_segment(
             )
         )
 
+    # posexplode_outer + null filter, NOT plain posexplode: the
+    # non-outer generator makes Catalyst infer a size(tokens())>0
+    # pre-filter that re-evaluates the tokenize at the scan (the
+    # measured trap textstats.explode_non_null exists for; posexplode
+    # needs the inline form because that helper is explode-only)
     exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
-    )
-    seg_vocab = (
-        exploded.select("word").distinct()
-        .select("word", seg(F.col("word")).alias("pieces"))
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word").isNotNull())
+    # vocab side from its own word_freqs pass (explode_non_null inside)
+    # rather than exploded.distinct(): referencing `exploded` twice
+    # without a persist would evaluate the corpus tokenize subtree
+    # twice ANYWAY, and this API returns an unmaterialized frame, so a
+    # persist here would leak past the call (see quality_probe)
+    seg_vocab = word_freqs(docs, text_col).select(
+        "word", seg(F.col("word")).alias("pieces")
     )
     return exploded.join(seg_vocab, on="word").select(
         "id", "pos", "word", "pieces"

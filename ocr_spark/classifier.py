@@ -116,6 +116,16 @@ def _step(lr_ppm: int, grad: int, n: int) -> int:
     return mag if grad >= 0 else -mag
 
 
+def _bad_label(raw) -> F.Column:
+    """1 where the RAW label is not exactly 0 or 1 (NULL, 2, 0.7, …),
+    else 0 — shared by training and evaluation so the fail-fast
+    discipline cannot drift.  Checked BEFORE any bigint cast: casting
+    first would truncate a fractional label to a 'valid' 0."""
+    return F.when(
+        raw.isNull() | ~raw.isin(0, 1), F.lit(1)
+    ).otherwise(F.lit(0))
+
+
 def probe_features(
     docs: DataFrame,
     text_col: str = "text",
@@ -168,7 +178,6 @@ def train_linear_probe(
     """
     if iters < 1:
         raise ValueError(f"iters must be ≥ 1 (got {iters})")
-    y = F.col(label_col).cast("bigint")
     w = [0] * dims
     b = 0
     n = None
@@ -177,14 +186,19 @@ def train_linear_probe(
         z_then_r = (
             feats.select(
                 *[F.col(f"s{j}") for j in range(dims)],
-                y.alias("y"),
+                # validation must see the RAW column: checking after the
+                # bigint cast would let a fractional label (0.7)
+                # truncate to a "valid" 0 and silently skew training
+                F.col(label_col).alias("y_raw"),
+                F.col(label_col).cast("bigint").alias("y"),
                 F.expr(_z_sql(w, b)).alias("z"),
             )
             .select(
                 *[F.col(f"s{j}") for j in range(dims)],
-                "y",
+                "y_raw",
                 (
-                    F.expr(fast_sigmoid_ppm_sql("z")) - y * F.lit(UNIT)
+                    F.expr(fast_sigmoid_ppm_sql("z"))
+                    - F.col("y") * F.lit(UNIT)
                 ).alias("r"),
             )
         )
@@ -198,17 +212,10 @@ def train_linear_probe(
         ]
         if it == 0:
             # label validation folded into the first iteration's job —
-            # a non-{0,1} or NULL label would silently skew every
-            # gradient, so it fails loudly instead, at zero extra jobs
-            aggs.append(
-                F.sum(
-                    F.when(
-                        F.col("y").isNull()
-                        | ~F.col("y").isin(0, 1),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ).alias("bad")
-            )
+            # a non-{0,1}, fractional, or NULL label would silently
+            # skew every gradient, so it fails loudly, at zero extra
+            # jobs
+            aggs.append(F.sum(_bad_label(F.col("y_raw"))).alias("bad"))
         row = z_then_r.agg(*aggs).first()
         n = int(row["n"])
         if n == 0:
@@ -266,6 +273,10 @@ def evaluate_linear_probe(
     here.  Evaluate on a held-out slice for generalization (e.g. a
     deterministic hash split via ``assembly.stratified_sample``); on the
     training slice this reports training accuracy."""
+    if len(model["w"]) != dims:
+        raise ValueError(
+            f"model width {len(model['w'])} != feature width {dims}"
+        )
     z = _z_sql(model["w"], model["b"])
     pred = F.expr(fast_sigmoid_ppm_sql(z)) >= F.lit(threshold_ppm)
     y = F.col(label_col).cast("bigint")
@@ -278,10 +289,7 @@ def evaluate_linear_probe(
         F.count(F.lit(1)).alias("n"),
         # same label discipline as training: a NULL/2 label would
         # silently fall out of every confusion bucket — fail loudly
-        F.sum(
-            F.when(y.isNull() | ~y.isin(0, 1), F.lit(1))
-            .otherwise(F.lit(0))
-        ).alias("bad"),
+        F.sum(_bad_label(F.col(label_col))).alias("bad"),
     ).first()
     if int(row["bad"] or 0):
         raise ValueError(

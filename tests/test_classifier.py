@@ -148,6 +148,35 @@ def test_bad_labels_fail_fast(spark):
         train_linear_probe(feats, "y", dims=DIMS, iters=2)
 
 
+def test_fractional_labels_fail_fast(spark):
+    """Validation must see the RAW label: a double 0.7 would cast-
+    truncate to a 'valid' 0 and silently train on garbage — the check
+    runs before the bigint cast, so it fails loudly instead (1.0/0.0
+    doubles remain acceptable: they ARE exactly 0/1)."""
+    from ocr_spark.classifier import evaluate_linear_probe
+
+    bad = _df(spark, [(1, "a b", 0.7), (2, "c d", 0.0)],
+              "doc_id bigint, text string, y double")
+    feats = probe_features(bad, dims=DIMS, carry=("y",))
+    with pytest.raises(ValueError, match="must be 0/1"):
+        train_linear_probe(feats, "y", dims=DIMS, iters=2)
+    with pytest.raises(ValueError, match="must be 0/1"):
+        evaluate_linear_probe(
+            feats, {"w": [0] * DIMS, "b": 0}, "y", dims=DIMS
+        )
+
+    ok = _df(spark, [(1, "a b", 1.0), (2, "c d", 0.0)],
+             "doc_id bigint, text string, y double")
+    feats_ok = probe_features(ok, dims=DIMS, carry=("y",))
+    model = train_linear_probe(feats_ok, "y", dims=DIMS, iters=2)
+    assert model["n"] == 2
+    # and the width guard now covers evaluation too (it was score-only)
+    with pytest.raises(ValueError, match="width"):
+        evaluate_linear_probe(
+            feats_ok, {"w": [0] * 16, "b": 0}, "y", dims=DIMS
+        )
+
+
 def test_model_width_mismatch_raises(spark):
     feats = probe_features(
         _df(spark, [(1, "a b c")], "doc_id bigint, text string"),

@@ -50,35 +50,21 @@ def _clf_truth_for(docs_rows, out_dir) -> None:
     (tools/gen_truth.py) — an arbitrary test corpus has no committed row,
     so the test computes the twin's truth itself (which ALSO extends the
     twin differential to these adversarial \\x0b/NULL inputs) and points
-    ``driver_contract._TRUTH_DIR`` at it."""
+    ``driver_contract._TRUTH_DIR`` at it.  Row construction, label rule,
+    and schema are SHARED with the committed-fixture generator
+    (tools/gen_truth.clf_truth_rows) so the two gates cannot drift."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ocr_spark.classifier import (
-        CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM,
-    )
-    from tests.oracle_clf import features_local, score_local, train_local
-    from tools.gen_truth import documents_fingerprint
+    from tools.gen_truth import CLF_TRUTH_FIELDS, clf_truth_rows
 
-    ids = [r[0] for r in docs_rows]
-    texts = [r[1] for r in docs_rows]
-    langs = [r[2] for r in docs_rows]
-    key = documents_fingerprint(ids, texts, langs)
-    feats = [
-        (features_local(t, CONTRACT_DIMS), 1 if lang == "en" else 0)
-        for t, lang in zip(texts, langs)
-    ]
-    w, b = train_local(feats, CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM)
-    rows = [
-        {"corpus_key": key, "doc_id": did,
-         "clf_prob_ppm": score_local(s, w, b)[1]}
-        for did, (s, _y) in zip(ids, feats)
-    ]
+    _key, rows = clf_truth_rows(
+        [r[0] for r in docs_rows],
+        [r[1] for r in docs_rows],
+        [r[2] for r in docs_rows],
+    )
     pq.write_table(
-        pa.Table.from_pylist(rows, schema=pa.schema([
-            ("corpus_key", pa.string()), ("doc_id", pa.int64()),
-            ("clf_prob_ppm", pa.int64()),
-        ])),
+        pa.Table.from_pylist(rows, schema=pa.schema(CLF_TRUTH_FIELDS)),
         str(out_dir / "clf_quality.parquet"),
     )
 

@@ -217,12 +217,48 @@ def documents_fingerprint(
     return hashlib.md5(",".join(parts).encode("utf-8")).hexdigest()
 
 
-def gen_clf_quality() -> list[dict]:
+#: clf truth parquet schema — shared with the dialect-edge test's
+#: ad-hoc-corpus truth writer so the two cannot drift
+CLF_TRUTH_FIELDS = [
+    ("corpus_key", pa.string()), ("doc_id", pa.int64()),
+    ("clf_prob_ppm", pa.int64()),
+]
+
+
+def clf_truth_rows(
+    ids: list[int], texts: list[str | None], langs: list[str | None]
+) -> tuple[str, list[dict]]:
+    """``(corpus_key, truth rows)`` for ONE corpus — the single
+    definition of the label rule (``lang == 'en'``), contract
+    constants, and row shape, used by both the committed-fixture
+    generator below and tests/test_oracle_dialect_edges.py's
+    ad-hoc-corpus truth (a drift between the two would let the
+    dialect gate and the driver gate verify different things)."""
     from ocr_spark.classifier import (
         CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM,
     )
     from tests.oracle_clf import features_local, score_local, train_local
 
+    key = documents_fingerprint(ids, texts, langs)
+    feats = [
+        (features_local(t, CONTRACT_DIMS), 1 if lang == "en" else 0)
+        for t, lang in zip(texts, langs)
+    ]
+    w, b = train_local(
+        feats, CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM
+    )
+    rows = [
+        {
+            "corpus_key": key,
+            "doc_id": did,
+            "clf_prob_ppm": score_local(s, w, b)[1],
+        }
+        for did, (s, _y) in zip(ids, feats)
+    ]
+    return key, rows
+
+
+def gen_clf_quality() -> list[dict]:
     rows: list[dict] = []
     seen: set[str] = set()
     for d in sorted(os.listdir(TESTDATA_ROOT)):
@@ -233,23 +269,11 @@ def gen_clf_quality() -> list[dict]:
         ids = table.column("doc_id").to_pylist()
         texts = table.column("text").to_pylist()
         langs = table.column("lang").to_pylist()
-        key = documents_fingerprint(ids, texts, langs)
+        key, corpus_rows = clf_truth_rows(ids, texts, langs)
         if key in seen:
             continue
         seen.add(key)
-        feats = [
-            (features_local(t, CONTRACT_DIMS), 1 if lang == "en" else 0)
-            for t, lang in zip(texts, langs)
-        ]
-        w, b = train_local(
-            feats, CONTRACT_DIMS, CONTRACT_ITERS, CONTRACT_LR_PPM
-        )
-        for did, (s, _y) in zip(ids, feats):
-            rows.append({
-                "corpus_key": key,
-                "doc_id": did,
-                "clf_prob_ppm": score_local(s, w, b)[1],
-            })
+        rows.extend(corpus_rows)
         print(f"clf truth: {d} key={key[:12]} n_docs={len(ids)}")
     return rows
 
@@ -300,11 +324,7 @@ def main() -> None:
     ])
     _write("ann_ivf_trained", gen_ivf_trained(), ivf_schema)
 
-    clf_schema = pa.schema([
-        ("corpus_key", pa.string()), ("doc_id", pa.int64()),
-        ("clf_prob_ppm", pa.int64()),
-    ])
-    _write("clf_quality", gen_clf_quality(), clf_schema)
+    _write("clf_quality", gen_clf_quality(), pa.schema(CLF_TRUTH_FIELDS))
 
 
 if __name__ == "__main__":
