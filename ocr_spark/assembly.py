@@ -72,6 +72,7 @@ def pack_sequences(
     n_shards: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a (shard, bin) training sequence by greedy
     next-fit packing of whitespace token counts.
@@ -83,12 +84,22 @@ def pack_sequences(
     that follows an overshooting document starts correspondingly late).
     Output: (doc_id, shard, bin, n_tokens, cum_tokens) where
     ``cum_tokens`` includes this document.
+
+    ``tokens_col`` (additive, round 5): name a precomputed per-doc
+    token-count column to pack by REAL tokenizer counts instead of the
+    whitespace approximation — the handoff from ``bpe.bpe_encode``,
+    whose ``n_tokens`` are the trained tokenizer's piece counts.  The
+    default path (count ``text_col`` by whitespace) is unchanged.
     """
     shard = shard_key(F.col(id_col), n_shards)
+    n_tok = (
+        F.col(tokens_col) if tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard"),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

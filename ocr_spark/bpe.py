@@ -216,6 +216,92 @@ def _apply_merges(
     return syms
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(piece, piece_id)`` — the corpus's realized piece vocabulary
+    under ``merges``, with DETERMINISTIC dense ids (rank in lexicographic
+    piece order): ids are a pure function of the piece SET, so two runs
+    — or two clusters — that segment the same corpus agree on every id
+    without coordination.  The piece inventory is corpus-dependent (the
+    character base alone is), hence built from the segmented corpus, not
+    from the rule list."""
+    from pyspark.sql import Window
+
+    pieces = (
+        bpe_segment(docs, merges, text_col, id_col)
+        .select(F.explode("pieces").alias("piece"))
+        .distinct()
+    )
+    # vocab-sized window sort (tens of thousands of rows), not a corpus
+    # sort; single partition is deliberate — a global rank needs one
+    return pieces.select(
+        "piece",
+        (F.row_number().over(
+            Window.orderBy(F.asc("piece"))
+        ) - 1).cast("bigint").alias("piece_id"),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_tokens, piece_ids)`` — one row per document with its
+    full piece-id sequence in reading order: the handoff to sequence
+    packing (``assembly.pack_sequences`` wants per-doc token counts) and
+    shard export.  ``vocab`` comes from :func:`bpe_vocab` (pass the SAME
+    frame to every encode over a corpus slice so ids stay aligned); a
+    piece missing from it fails loudly rather than silently dropping
+    tokens — encode with the vocab built over the corpus that is being
+    encoded, or a superset."""
+    seg = bpe_segment(docs, merges, text_col, id_col)
+    per_piece = (
+        seg.select(
+            "id", "pos", F.posexplode("pieces").alias("ppos", "piece")
+        )
+        .join(vocab, on="piece", how="left")
+    )
+    # the unknown-piece guard rides INSIDE n_tokens (CaseWhen branches
+    # evaluate lazily per row): a standalone guard column would be
+    # pruned away with its raise_error by Catalyst the moment a caller
+    # selects past it
+    return (
+        per_piece.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("piece_id").isNull(), 1).otherwise(0)
+            ).alias("_unknown"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "ppos", "piece_id"))
+            ).alias("_ordered"),
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("_unknown") > 0,
+                F.raise_error(F.concat(
+                    F.lit("bpe_encode: pieces missing from the vocab "
+                          "for doc id "),
+                    F.col("id").cast("string"),
+                    F.lit(" — encode with a vocab built over this "
+                          "corpus (bpe_vocab) or a superset"),
+                )).cast("bigint"),
+            ).otherwise(
+                F.size("_ordered").cast("bigint")
+            ).alias("n_tokens"),
+            F.transform(F.col("_ordered"), lambda s: s["piece_id"])
+            .alias("piece_ids"),
+        )
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],

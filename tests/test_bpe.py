@@ -205,3 +205,69 @@ def test_max_word_chars_excludes_blobs_from_training(spark):
     )
     with pytest.raises(ValueError, match="max_word_chars"):
         learn_bpe(docs, n_merges=1, max_word_chars=0)
+
+
+def test_vocab_ids_deterministic_and_dense(spark):
+    """bpe_vocab assigns rank-in-lexicographic-order ids — a pure
+    function of the piece set, identical across partitionings."""
+    from ocr_spark.bpe import bpe_vocab
+
+    docs = _df(spark, CORPUS, "doc_id bigint, text string")
+    merges = learn_bpe(docs, n_merges=8)
+    v1 = {r.piece: r.piece_id for r in bpe_vocab(docs, merges).collect()}
+    v2 = {
+        r.piece: r.piece_id
+        for r in bpe_vocab(docs.repartition(5), merges).collect()
+    }
+    assert v1 == v2
+    assert sorted(v1.values()) == list(range(len(v1)))  # dense 0..n-1
+    assert list(sorted(v1)) == [
+        p for p, _i in sorted(v1.items(), key=lambda kv: kv[1])
+    ]  # id order IS lexicographic piece order
+
+
+def test_encode_roundtrip_and_packing_handoff(spark):
+    """bpe_encode emits per-doc piece-id sequences in reading order
+    (decode via the inverted vocab reassembles every document's words),
+    and its (id, n_tokens) shape feeds assembly.pack_sequences — the
+    tokenize → encode → pack composition a training-data pipeline
+    runs."""
+    from ocr_spark.assembly import pack_sequences
+    from ocr_spark.bpe import bpe_encode, bpe_vocab
+
+    docs = _df(spark, CORPUS, "doc_id bigint, text string")
+    merges = learn_bpe(docs, n_merges=8)
+    vocab = bpe_vocab(docs, merges)
+    enc = bpe_encode(docs, merges, vocab)
+    rows = {r.id: r for r in enc.collect()}
+    inv = {r.piece_id: r.piece for r in vocab.collect()}
+    for doc_id, text in CORPUS:
+        if not text:
+            assert doc_id not in rows  # token-less docs have no pieces
+            continue
+        decoded = "".join(inv[i] for i in rows[doc_id].piece_ids)
+        assert decoded == "".join(w + EOW for w in text.split()), doc_id
+        assert rows[doc_id].n_tokens == len(rows[doc_id].piece_ids)
+
+    packed = pack_sequences(
+        enc.select(F.col("id").alias("doc_id"), "n_tokens"),
+        target_tokens=16, n_shards=2, tokens_col="n_tokens",
+    )
+    prows = packed.collect()
+    assert len(prows) == len(rows)
+    # packing consumed the TRAINED tokenizer's counts, not whitespace
+    assert {r.doc_id: r.n_tokens for r in prows} == {
+        i: rows[i].n_tokens for i in rows
+    }
+
+
+def test_encode_unknown_piece_fails_loudly(spark):
+    """Encoding with a vocab that lacks the corpus's pieces must raise,
+    not silently drop tokens."""
+    from ocr_spark.bpe import bpe_encode, bpe_vocab
+
+    docs = _df(spark, [(1, "ab ab")], "doc_id bigint, text string")
+    other = _df(spark, [(2, "xy")], "doc_id bigint, text string")
+    vocab = bpe_vocab(other, [])
+    with pytest.raises(Exception, match="missing from the vocab"):
+        bpe_encode(docs, [], vocab).collect()
