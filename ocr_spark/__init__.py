@@ -18,9 +18,21 @@ Layout
   backend for sandbox tests; Paddle backend gated behind import).
 - ``ocr_spark.tableio``     snapshot-append table seam (parquet+manifest in
   the sandbox; Iceberg catalog config in production).
-- ``ocr_spark.textops``     large-scale training-data ops: dedup (exact,
-  minhash-LSH, simhash), ANN similarity, language id, quality scoring,
-  token counting, fingerprinting.
+- ``ocr_spark.dedup``       exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+  duplicated-passage dedup, connected components, and their cross-run
+  incremental twins.
+- ``ocr_spark.similarity``  embeddings (feature hashing), brute/LSH/IVF ANN,
+  SemDeDup, rank fusion, incremental ANN stores.
+- ``ocr_spark.textstats``   language-ID, quality scoring, LM surprisal,
+  tf·idf / BM25, repetition stats, PII scrub, fingerprints.
+- ``ocr_spark.classifier``  trained quality probe (exact-integer GD).
+- ``ocr_spark.bpe``         BPE tokenizer training / vocab / encode.
+- ``ocr_spark.assembly``    sampling, mixing, perplexity buckets, sequence
+  packing, verified training-shard export.
+- ``ocr_spark.membership``  distributed Bloom membership + cross-run registry.
+- ``ocr_spark.decontam``    eval-set n-gram decontamination.
+- ``ocr_spark.streaming`` / ``ocr_spark.ingest``  structured-streaming
+  operators and exactly-once dedup/extraction ingest.
 """
 
 __version__ = "0.1.0"
