@@ -28,7 +28,12 @@ primitive:
    commit never happened: future probes see false POSITIVES (extra
    verify work, resolved by the exact join), never false negatives
    (which would admit duplicates).  The safe over-approximation is why
-   the registry is written first.
+   the registry is written first.  The registry ⊇ store invariant is
+   ENFORCED at both edges (round 5): enabling the registry on a
+   pre-existing store first backfills every committed digest (one pass,
+   once per store lifetime), and a batch run with the registry disabled
+   against a store that has one is REFUSED — either hole would let a
+   probe prune a committed digest and admit its duplicate.
 3. **Docs partition next** — per-batch dynamic partition overwrite, so
    a replayed write of the same batch id replaces rather than
    duplicates.
@@ -67,12 +72,6 @@ DOCS_SCHEMA_DDL = "doc_id bigint, text string"
 STORE_TABLE = "digests"
 
 
-def _registry_params(m_bits: int):
-    from ocr_spark.membership import DEFAULT_K
-
-    return m_bits, DEFAULT_K
-
-
 def ingest_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -99,44 +98,75 @@ def ingest_batch(
     t0 = time.monotonic()
     if tag in io.tags(store_table):
         return {"batch_id": batch_id, "tag": tag, "replayed": True}
+    if registry_m_bits is None and _registry_exists(io, store_table):
+        # toggle-off guard: this store HAS a registry, and a batch
+        # committed without appending to it would punch false-NEGATIVE
+        # holes (probes would prune committed digests this batch adds)
+        # — the one failure class the registry design rules out.  The
+        # prune is optional; keeping the registry complete is not.
+        raise ValueError(
+            f"store table {store_table!r} has a Bloom registry "
+            f"({_registry_table(store_table)!r}) but this run disabled "
+            "it (registry_m_bits=None); committing a batch without the "
+            "registry append would admit future duplicates — pass the "
+            "registry geometry, or drop the registry table explicitly"
+        )
 
     # batch-sized, consumed by up to four actions (disjointness guard,
-    # verdict, registry append, store append) — one cache, dropped on exit
+    # verdict, registry append, store append) — one cache, dropped on
+    # exit.  The try opens HERE: the disjointness fail-fast and the
+    # registry reads are designed failure paths, and a driver that
+    # catches per-batch errors and continues must not accrete one
+    # leaked cache per failed batch.
     new_digests = exact_digests(docs).persist()
-
-    committed = None
-    try:
-        committed = io.read(spark, store_table)
-    except FileNotFoundError:
-        pass  # first batch ever — nothing committed yet
-
     n_pruned = None
-    if committed is not None:
-        if enforce_disjoint_ids:
-            # same precondition + fail-fast as jobs/run_dedup_incremental:
-            # a batch re-submitting committed ids under a NEW tag would
-            # double-commit digests and corrupt first-run-wins semantics.
-            overlap = (
-                new_digests.select("id")
-                .join(committed.select("id"), on="id", how="left_semi")
-                .limit(3)
-                .collect()
-            )
-            if overlap:
-                raise ValueError(
-                    f"batch {batch_id}: doc ids overlap the committed "
-                    f"store (e.g. {sorted(r.id for r in overlap)}); each "
-                    "batch must carry fresh ids — a replay of an "
-                    "already-committed batch is detected by TAG, not by "
-                    "resubmitting ids under a new tag"
-                )
-        if registry_m_bits is not None:
-            committed, n_pruned, survivors_cache = _registry_prune(
-                spark, io, new_digests, committed, store_table,
-                registry_m_bits,
-            )
-
+    survivors_cache = None
     try:
+        committed = None
+        try:
+            committed = io.read(spark, store_table)
+        except FileNotFoundError:
+            pass  # first batch ever — nothing committed yet
+
+        if committed is not None:
+            if enforce_disjoint_ids:
+                # same precondition + fail-fast as
+                # jobs/run_dedup_incremental: a batch re-submitting
+                # committed ids under a NEW tag would double-commit
+                # digests and corrupt first-run-wins semantics.
+                overlap = (
+                    new_digests.select("id")
+                    .join(committed.select("id"), on="id", how="left_semi")
+                    .limit(3)
+                    .collect()
+                )
+                if overlap:
+                    raise ValueError(
+                        f"batch {batch_id}: doc ids overlap the "
+                        "committed store (e.g. "
+                        f"{sorted(r.id for r in overlap)}); each batch "
+                        "must carry fresh ids — a replay of an "
+                        "already-committed batch is detected by TAG, "
+                        "not by resubmitting ids under a new tag"
+                    )
+            if registry_m_bits is not None:
+                if not _registry_exists(io, store_table):
+                    # registry enabled on a PRE-EXISTING store: back-
+                    # fill every committed digest first, or the probe
+                    # would report false negatives for them and admit
+                    # duplicates (registry ⊇ store is the invariant the
+                    # 'no false negatives' argument rests on).  One
+                    # pass over the store, once per store lifetime; a
+                    # crash after this append just leaves a registry
+                    # that over-contains committed — the safe side.
+                    _registry_append(
+                        io, committed, store_table, registry_m_bits
+                    )
+                committed, n_pruned, survivors_cache = _registry_prune(
+                    spark, io, new_digests, committed, store_table,
+                    registry_m_bits,
+                )
+
         verdict = exact_duplicates_incremental(new_digests, committed)
         kept_ids = verdict.filter(F.col("kept")).select("id").persist()
         # NULL-text rows have no digest (exact_digests excludes them to
@@ -195,12 +225,19 @@ def ingest_batch(
             kept_ids.unpersist()
         except NameError:
             pass
-        try:
-            if survivors_cache is not None:
-                survivors_cache.unpersist()  # one cache per BATCH — a
-                # continuous stream would otherwise accrete one forever
-        except NameError:
-            pass
+        if survivors_cache is not None:
+            survivors_cache.unpersist()  # one cache per BATCH — a
+            # continuous stream would otherwise accrete one forever
+
+
+def _registry_exists(io, store_table: str) -> bool:
+    """Whether the store's Bloom registry table has ever committed —
+    manifest presence, the same existence probe the store tables use."""
+    import os
+
+    return os.path.exists(os.path.join(
+        io.root, _registry_table(store_table), "manifest.json"
+    ))
 
 
 def _registry_table(store_table: str) -> str:
@@ -216,9 +253,9 @@ def _registry_key(df: DataFrame) -> DataFrame:
 def _registry_append(
     io, new_digests: DataFrame, store_table: str, m_bits: int
 ) -> None:
-    from ocr_spark.membership import bloom_store_append
+    from ocr_spark.membership import DEFAULT_K, bloom_store_append
 
-    m, k = _registry_params(m_bits)
+    m, k = m_bits, DEFAULT_K
     bloom_store_append(
         io, _registry_key(new_digests), "g",
         _registry_table(store_table), m, k,
@@ -237,9 +274,11 @@ def _registry_prune(
     unpersist after the batch commits) — the committed side is filtered
     by semi-join against the surviving batch digests, so the exact
     join's build input is |survivors|-bounded, not |store|."""
-    from ocr_spark.membership import bloom_probe, bloom_store_read
+    from ocr_spark.membership import (
+        DEFAULT_K, bloom_probe, bloom_store_read,
+    )
 
-    m, k = _registry_params(m_bits)
+    m, k = m_bits, DEFAULT_K
     try:
         bitmap = bloom_store_read(
             io, spark, _registry_table(store_table), m, k
@@ -263,6 +302,30 @@ def _registry_prune(
         how="left_semi",
     )
     return pruned, n_survivors, survivors
+
+
+def _start_ingest_stream(
+    spark: SparkSession,
+    schema_ddl: str,
+    input_dir: str,
+    checkpoint_dir: str,
+    process_batch,
+    available_now: bool,
+    max_files_per_trigger: int,
+):
+    """Shared readStream → foreachBatch → checkpoint scaffolding of the
+    three ingest entry points — one definition so a stream option or
+    trigger change cannot be applied to two of the three and drift."""
+    writer = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_stream_dedup_ingest(
@@ -299,16 +362,10 @@ def run_stream_dedup_ingest(
         if collect_stats is not None:
             collect_stats.append(stats)
 
-    writer = (
-        spark.readStream.schema(DOCS_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_ingest_stream(
+        spark, DOCS_SCHEMA_DDL, input_dir, checkpoint_dir,
+        process_batch, available_now, max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 # --------------------------------------------------------------- near-dup
@@ -444,16 +501,10 @@ def run_stream_neardup_ingest(
         if collect_stats is not None:
             collect_stats.append(stats)
 
-    writer = (
-        spark.readStream.schema(DOCS_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_ingest_stream(
+        spark, DOCS_SCHEMA_DDL, input_dir, checkpoint_dir,
+        process_batch, available_now, max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 # ------------------------------------------------- extraction × dedup store
@@ -464,24 +515,44 @@ EXTRACT_STORE_TABLE = "doc_digests"
 _SPAN_RS, _SPAN_US = "\x1e", "\x1f"
 
 
+def _framed(field: Column) -> Column:
+    """``<len>:<field>`` — explicit-length framing.  A parser reads the
+    decimal length, takes exactly that many chars, and expects the next
+    delimiter; field CONTENT can therefore never shift the framing, so
+    the concatenated encoding is injective over field sequences (the
+    bare separator scheme it replaced collided when extracted text
+    itself contained \\x1e/\\x1f — OCR output is not sanitized for
+    control characters, and a colliding pair would silently drop a
+    NON-duplicate document)."""
+    return F.concat(F.length(field).cast("string"), F.lit(":"), field)
+
+
 def serialized_spans(spans_out: Column) -> Column:
     """Canonical serialization of an extracted span sequence — the digest
     input for document-level dedup: every field of every span, in offset
-    order (``spans_out`` is emitted ordered), field- and
-    record-delimited with non-printing separators so distinct sequences
-    cannot collide by concatenation.  NULL for an EMPTY sequence:
+    order (``spans_out`` is emitted ordered), length-prefix-framed
+    (:func:`_framed`) and delimited, so DISTINCT sequences cannot
+    collide regardless of field content.  NULL fields encode as ``''``
+    (deliberate: a NULL and an empty extracted text are the same
+    no-content outcome).  NULL for an EMPTY sequence:
     quarantined/empty documents carry no content to deduplicate on and
     must not collapse into one bogus ''-digest group (they ride through
-    unscreened, like NULL-text rows in :func:`ingest_batch`)."""
+    unscreened, like NULL-text rows in :func:`ingest_batch`).
+
+    Framing v2 (round 5): digests differ from the unframed v1 encoding
+    — a store written by v1 must be rebuilt before running under v2, or
+    v1-era content would re-keep once (content identity only holds
+    within one framing version).
+    """
     ser = F.array_join(
         F.transform(
             spans_out,
             lambda s: F.concat_ws(
                 _SPAN_US,
-                F.coalesce(s["kind"], F.lit("")),
-                F.coalesce(s["text"], F.lit("")),
-                F.coalesce(s["media_ref"], F.lit("")),
-                s["offset"].cast("string"),
+                _framed(F.coalesce(s["kind"], F.lit(""))),
+                _framed(F.coalesce(s["text"], F.lit(""))),
+                _framed(F.coalesce(s["media_ref"], F.lit(""))),
+                _framed(s["offset"].cast("string")),
             ),
         ),
         _SPAN_RS,
@@ -500,6 +571,7 @@ def extract_ingest_batch(
     cfg=None,
     stream_id: str = "extract",
     store_table: str = EXTRACT_STORE_TABLE,
+    enforce_disjoint_ids: bool = True,
 ) -> dict:
     """One micro-batch of INTERLEAVED documents (span rows + media
     store) through the flagship extraction pipeline, then exact
@@ -539,6 +611,26 @@ def extract_ingest_batch(
             committed = io.read(spark, store_table)
         except FileNotFoundError:
             pass
+
+        if committed is not None and enforce_disjoint_ids:
+            # same precondition + fail-fast as ingest_batch: spans for
+            # an already-committed doc_id re-dropped under new file
+            # names (the checkpoint skips FILES, not content) whose
+            # extraction output changed would otherwise commit a second
+            # (id, digest) row and corrupt first-run-wins semantics
+            overlap = (
+                new_digests.select("id")
+                .join(committed.select("id"), on="id", how="left_semi")
+                .limit(3)
+                .collect()
+            )
+            if overlap:
+                raise ValueError(
+                    f"batch {batch_id}: doc ids overlap the committed "
+                    f"store (e.g. {sorted(r.id for r in overlap)}); "
+                    "each batch must carry fresh doc ids — replays of "
+                    "a committed batch are detected by TAG"
+                )
 
         verdict = exact_duplicates_incremental(new_digests, committed)
         kept_ids = verdict.filter(F.col("kept")).select("id").persist()
@@ -618,13 +710,7 @@ def run_stream_extract_ingest(
         if collect_stats is not None:
             collect_stats.append(stats)
 
-    writer = (
-        spark.readStream.schema(SPANS_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_ingest_stream(
+        spark, SPANS_SCHEMA_DDL, input_dir, checkpoint_dir,
+        process_batch, available_now, max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -152,6 +152,14 @@ def bloom_probe(
     so callers need no surrogate key; keep the probe projection narrow.
     Internal working columns are ``__bloom_``-prefixed, so arbitrary
     probe projections never collide (validated, not assumed).
+
+    SET semantics, by construction: the output carries one row per
+    DISTINCT probe row — duplicate probe rows collapse in the
+    re-aggregation (membership is a property of the key, so every
+    in-repo caller passes pre-distincted probes).  If duplicate rows
+    are meaningful, carry a uniqueness column (position, doc id)
+    through the probe projection; rows with non-groupable column types
+    (maps) need the same treatment.
     """
     pcols = probe.columns
     clash = [c for c in pcols if c == out_col or c in _PROBE_INTERNAL]
@@ -243,7 +251,10 @@ def bloom_store_read(
     """The registry's current bitmap: every committed snapshot OR-folded
     per word index.  Raises on any snapshot whose (m_bits, k) disagree
     with the caller's — probing a bitmap under the wrong geometry is
-    silent garbage, never a degraded answer."""
+    silent garbage, never a degraded answer.  (The validation pass
+    reads only the two int param columns — parquet column pruning keeps
+    it from re-reading the bitmap words, so per-call cost is metadata-
+    scale, not bitmap-scale.)"""
     raw = io.read(spark, table)
     bad = (
         raw.select("m_bits", "k").distinct()

@@ -379,21 +379,41 @@ class ParquetManifestIO:
         """Delete the directories a previous ``compact(vacuum=False)``
         expired — call once no reader can still hold a pre-compaction
         manifest (Iceberg's expire-snapshots file cleanup, decoupled
-        from the compaction commit).  Returns the deleted entries."""
+        from the compaction commit).  Returns the deleted entries.
+
+        Also reclaims orphaned tombstone markers whose data dir is gone:
+        this op's contract is operator-asserted QUIESCENCE (no writers
+        in flight), which is exactly the condition under which removing
+        a tombstone is safe — ``vacuum_orphans`` deliberately never
+        touches them, because an age heuristic cannot distinguish a
+        dead writer from one stalled through two sweep windows (see the
+        round-5 note there)."""
         import shutil
 
         with self._writer_lock(table):
             manifest = self._load(table)
             expired = manifest.get("expired", [])
-            if not expired:
-                return []
             manifest["expired"] = []
-            self._commit_manifest(table, manifest)
+            if expired:
+                self._commit_manifest(table, manifest)
+            data_root = os.path.join(self.root, table, "data")
+            reclaimed: list[str] = []
+            if os.path.isdir(data_root):
+                for name in sorted(os.listdir(data_root)):
+                    if not name.endswith(".tombstone"):
+                        continue
+                    full = os.path.join(data_root, name)
+                    # dir PRESENT ⇒ the marker still guards a vacuumed-
+                    # then-recreated partial dir; it leaves only with it
+                    if not os.path.isdir(full[: -len(".tombstone")]):
+                        with contextlib.suppress(OSError):
+                            os.unlink(full)
+                            reclaimed.append(f"data/{name}")
         # deletions need no lock: these dirs left the manifest above and
         # nothing ever re-registers an existing directory
         for d in expired:
             shutil.rmtree(self._resolve(table, d), ignore_errors=True)
-        return expired
+        return expired + reclaimed
 
     def vacuum_orphans(self, table: str,
                        min_age_s: float = 3600.0) -> list[str]:
@@ -421,9 +441,12 @@ class ParquetManifestIO:
         reference nor as a silently PARTIAL directory when Spark
         committer task retries recreated the path after the reclaim
         (the writer fails loudly instead; only possible when
-        ``min_age_s`` undercuts the write's duration).  Stale
-        tombstones (dir gone, older than ``min_age_s``) are reclaimed
-        at listing time.
+        ``min_age_s`` undercuts the write's duration).  Tombstone
+        markers are never reclaimed here — only :meth:`vacuum_expired`
+        (operator-asserted quiescence) removes them: no age heuristic
+        can distinguish a dead writer from one stalled through two
+        sweep windows, and a swept marker would let that writer commit
+        a partial, task-retry-recreated directory.
 
         ``min_age_s`` guards the benign case: an in-flight
         :meth:`append` writes its data directory BEFORE taking the lock,
@@ -464,24 +487,16 @@ class ParquetManifestIO:
                     if os.path.isdir(d := os.path.join(data_root, name))
                     and os.path.realpath(d) not in protected
                 ]
-                # stale tombstones: dir gone + aged means the writer
-                # the tombstone was meant to abort is long dead (dir
-                # names are unique per attempt, so no writer can ever
-                # return for this name); a missing dir aborts a
-                # returning writer via the isdir guard regardless, so
-                # reclaiming the marker is safe
-                for name in sorted(os.listdir(data_root)):
-                    if not name.endswith(".tombstone"):
-                        continue
-                    full = os.path.join(data_root, name)
-                    dir_path = full[: -len(".tombstone")]
-                    try:
-                        aged = now - os.path.getmtime(full) >= min_age_s
-                    except OSError:
-                        continue
-                    if aged and not os.path.isdir(dir_path):
-                        with contextlib.suppress(OSError):
-                            os.unlink(full)
+                # Tombstones are NEVER auto-reclaimed here (round 5):
+                # "aged + dir gone" does not prove the tombstoned
+                # writer is dead — a write stalled through TWO
+                # consecutive >min_age_s windows could see its
+                # tombstone swept, its dir recreated by committer task
+                # retries, and _check_commitable then commit a PARTIAL
+                # directory with the marker gone.  The markers are
+                # bytes-sized and bounded by crash count; reclaim goes
+                # through vacuum_expired, whose contract is operator-
+                # asserted quiescence.
             for name in sorted(os.listdir(table_dir)):
                 if name.startswith("tmp") and name.endswith(".manifest"):
                     with contextlib.suppress(OSError):
@@ -564,15 +579,37 @@ class ParquetManifestIO:
 
 
 class IcebergIO:  # pragma: no cover - needs an Iceberg catalog
-    """Production backend: the same three calls against a real catalog
-    (configure ``spark.sql.catalog.<name>`` with the Iceberg jar)."""
+    """Production backend: ``append``/``read`` against a real catalog
+    (configure ``spark.sql.catalog.<name>`` with the Iceberg jar).
+
+    The TAGGED exactly-once protocol (``tags()`` / ``append(tag=)``,
+    which ingest.py's replay short-circuit depends on) is implemented on
+    the parquet-manifest backend only: the Iceberg mapping is a WAP
+    commit plus ``ALTER TABLE … CREATE TAG`` in one transaction, and
+    shipping that untestable (no catalog or jar exists in this sandbox)
+    would be a claim, not an implementation — both members raise
+    ``NotImplementedError`` naming the gap rather than letting an
+    AttributeError or a silently dropped tag masquerade as support."""
+
+    _TAG_GAP = (
+        "tagged (exactly-once) appends are parquet-manifest-only for "
+        "now; the Iceberg mapping is WAP + CREATE TAG in one "
+        "transaction and needs a real catalog to implement and test "
+        "against"
+    )
 
     def __init__(self, catalog: str = "docs") -> None:
         self.catalog = catalog
 
-    def append(self, df: DataFrame, table: str) -> int:
+    def append(self, df: DataFrame, table: str,
+               tag: str | None = None) -> int:
+        if tag is not None:
+            raise NotImplementedError(self._TAG_GAP)
         df.writeTo(f"{self.catalog}.{table}").append()
         return -1  # snapshot id available via the catalog's metadata tables
+
+    def tags(self, table: str) -> dict[str, int]:
+        raise NotImplementedError(self._TAG_GAP)
 
     def read(self, spark: SparkSession, table: str,
              asof: int | None = None) -> DataFrame:

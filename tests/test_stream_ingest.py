@@ -471,13 +471,107 @@ def test_extract_ingest_drops_cross_batch_content_dups(spark, tmp_path):
     assert len(io.tags("doc_digests")) == 2
 
 
-def test_serialized_spans_null_for_empty(spark):
+def test_serialized_spans_null_for_empty_and_framed(spark):
+    """v2 length-prefix framing: the byte form is pinned, empty
+    sequences are NULL, and — the reason framing exists — two DISTINCT
+    sequences whose v1 separator-joined encodings collided (span text
+    containing the \\x1f field separator) now digest apart."""
     from ocr_spark.ingest import serialized_spans
 
     df = spark.createDataFrame(
-        [("a", []), ("b", [("text", "x", None, 0)])],
+        [
+            ("a", []),
+            ("b", [("text", "x", None, 0)]),
+            # v1 collision pair: 'x\x1fy' inside ONE text field vs the
+            # same bytes split across text/media_ref — identical v1
+            # encodings ("text\x1fx\x1fy\x1f0"), so one of these two
+            # DIFFERENT documents was silently dropped as a duplicate
+            ("c1", [("text", "x\x1fy", None, 0)]),
+            ("c2", [("text", "x", "y", 0)]),
+        ],
         "doc_id string, spans_out array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>",
     ).select("doc_id", serialized_spans(F.col("spans_out")).alias("s"))
     rows = {r.doc_id: r.s for r in df.collect()}
-    assert rows["a"] is None and rows["b"] == "text\x1fx\x1f\x1f0"
+    assert rows["a"] is None
+    assert rows["b"] == "4:text\x1f1:x\x1f0:\x1f1:0"
+    assert rows["c1"] != rows["c2"]
+
+
+def test_registry_enabled_on_existing_store_backfills(spark, tmp_path):
+    """Enabling the Bloom registry on a PRE-EXISTING store must backfill
+    every committed digest — without the backfill, a duplicate of
+    pre-registry content probes might_contain=false, the committed row
+    is pruned away, and the duplicate is KEPT (the false-negative class
+    the registry design claims impossible)."""
+    from pyspark.sql import Row
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in rows],
+            "doc_id bigint, text string",
+        )
+
+    # batch 0 commits WITHOUT a registry
+    s0 = ingest_batch(
+        spark, docs([(0, "alpha content"), (1, "beta content")]),
+        0, io, out,
+    )
+    assert s0["docs_kept"] == 2
+
+    # batch 1 enables the registry on the existing store; doc 10 is an
+    # exact duplicate of pre-registry doc 0 — it MUST drop
+    s1 = ingest_batch(
+        spark, docs([(10, "alpha content"), (11, "gamma content")]),
+        1, io, out, registry_m_bits=4096,
+    )
+    assert s1["docs_kept"] == 1 and s1["docs_dropped"] == 1
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    }
+    assert 10 not in kept_ids and 11 in kept_ids
+
+    # and batch 2 still dedups against BOTH eras through the registry
+    s2 = ingest_batch(
+        spark, docs([(20, "beta content"), (21, "gamma content")]),
+        2, io, out, registry_m_bits=4096,
+    )
+    assert s2["docs_kept"] == 0
+
+
+def test_registry_toggle_off_is_refused(spark, tmp_path):
+    """Once a store has a registry, a batch run without it must FAIL —
+    committing digests the registry lacks punches false-negative holes
+    for every future probe."""
+    from pyspark.sql import Row
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="x")], "doc_id bigint, text string"
+    )
+    ingest_batch(spark, d, 0, io, out, registry_m_bits=4096)
+    d2 = spark.createDataFrame(
+        [Row(doc_id=1, text="y")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="has a Bloom registry"):
+        ingest_batch(spark, d2, 1, io, out)
+
+
+def test_extract_ingest_rejects_overlapping_ids(spark, tmp_path):
+    """extract_ingest_batch now carries the same disjoint-ids fail-fast
+    as ingest_batch: re-submitting a committed doc_id (outside the tag
+    replay path) must error, not silently double-commit."""
+    from ocr_spark.fixtures import corpus_dataframes
+    from ocr_spark.ingest import extract_ingest_batch
+
+    spans, media = corpus_dataframes(spark, seed=7, n_docs=6)
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    out = str(tmp_path / "out")
+    s0 = extract_ingest_batch(spark, spans, media, 0, io, out)
+    assert s0["docs_in"] == 6
+    with pytest.raises(ValueError, match="overlap the committed store"):
+        extract_ingest_batch(spark, spans, media, 1, io, out)

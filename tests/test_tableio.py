@@ -351,10 +351,13 @@ def test_append_aborts_when_vacuumed_dir_was_recreated_by_retries(
     assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
-def test_stale_tombstones_are_reclaimed_once_aged(spark, tmp_path):
-    """A tombstone whose dir is gone and which has aged past min_age_s
-    belongs to a writer that can never return (dir names are unique per
-    attempt) — the vacuum reclaims it; a FRESH one is spared."""
+def test_tombstone_reclaim_requires_quiescence_opt_in(spark, tmp_path):
+    """vacuum_orphans must NEVER remove tombstones — even aged,
+    dir-gone ones: a writer stalled through two sweep windows would
+    otherwise see its marker swept, its dir recreated by task retries,
+    and a PARTIAL directory committed.  Reclaim is vacuum_expired's
+    job (operator-asserted quiescence), and even there a marker whose
+    dir is PRESENT stays (it still guards a recreated partial dir)."""
     import os as _os
     import time as _time
 
@@ -363,14 +366,21 @@ def test_stale_tombstones_are_reclaimed_once_aged(spark, tmp_path):
     data_root = tmp_path / "t" / "data"
     old_tomb = data_root / "s000033-dead0000.tombstone"
     new_tomb = data_root / "s000034-cafe0000.tombstone"
+    guarded_tomb = data_root / "s000035-beef0000.tombstone"
     old_tomb.write_bytes(b"")
     new_tomb.write_bytes(b"")
+    guarded_tomb.write_bytes(b"")
+    (data_root / "s000035-beef0000").mkdir()  # "recreated" partial dir
     past = _time.time() - 10_000
     _os.utime(old_tomb, (past, past))
 
     io.vacuum_orphans("t", min_age_s=3600.0)
-    assert not old_tomb.exists()
-    assert new_tomb.exists()  # young: its writer may still return
+    assert old_tomb.exists() and new_tomb.exists()  # orphans spares ALL
+
+    reclaimed = io.vacuum_expired("t")
+    assert not old_tomb.exists() and not new_tomb.exists()
+    assert guarded_tomb.exists()  # dir present ⇒ marker stays
+    assert "data/s000033-dead0000.tombstone" in reclaimed
     assert [r.v for r in io.read(spark, "t").collect()] == [1]
 
 
